@@ -1,0 +1,284 @@
+"""The HDFS entity model, derived deterministically from the fixture tables.
+
+The reference engine's data model (SURVEY.md §1) is five tables:
+
+- ``inodes``     — the namespace tree (INode.java:35-51, HdfsFileStatus.java:49-60)
+- ``blocks``     — per-file block lists (protocol/Block.java:84-86)
+- ``replicas``   — block x datanode placement (BlocksMap.java:54-78,
+                   server/datanode/ReplicaInfo.java)
+- ``datanodes``  — cluster membership (protocol/DatanodeInfo.java:49-81)
+- ``edits``      — the edit-log changelog (FSEditLogOpCodes.java:31-60)
+
+plus an auxiliary ``leases`` map (LeaseManager.java:63-83).
+
+The driver's correctness oracle only knows the TPC-H-ish fixture tables
+(region nation customer supplier part orders lineitem events documents
+embeddings), so each entity is defined ONCE as a SQL SELECT over those tables,
+written in the common dialect of Spark SQL and DuckDB (arithmetic, CASE,
+``||`` concat, CAST ... AS STRING/BIGINT, ROW_NUMBER). Spark materializes the
+entities as temp views; the oracle embeds the identical text as CTEs. One
+source of truth — the two engines cannot drift.
+
+Mapping (all arithmetic-deterministic, no randomness):
+
+- supplier  -> datanodes  (one node per supplier; rack from nationkey)
+- region/nation/customer -> directory tree levels; orders -> files
+- lineitem  -> blocks (one block per line item; size = quantity MiB)
+- blocks x small-int series -> replicas (replica count, corruption, disk/
+  memory presence all keyed off block_id arithmetic so every fsck/report-diff
+  edge case exists: missing blocks, all-corrupt, under-/over-replicated)
+- events    -> edits (event_type -> opcode)
+
+Timestamps are modeled as epoch-millisecond BIGINTs (``*_ms`` columns): the
+reference itself stores epoch-millis longs (HdfsFileStatus.java:144-156), and
+integer columns hash identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# "now" for liveness checks: 2024-01-02T00:00:00Z.
+NOW_MS = 1_704_153_600_000
+# Dead-node threshold: 10.5 min (FSNamesystem heartbeatCheck; DFSConfigKeys.java:192).
+HEARTBEAT_EXPIRY_MS = 630_000
+MIB = 1_048_576
+
+BASE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# One node per supplier. Utilization percent = (s_suppkey*37)%100 spreads the
+# fleet across all four balancer classes (Balancer.java:800-861). s_suppkey%7==0
+# nodes are dead (stale heartbeat), s_suppkey%9 in {0,1} are decommissioning/ed.
+_DATANODES_SQL = """
+SELECT
+  'dn' || CAST(s_suppkey AS STRING)                            AS datanode_id,
+  'host' || CAST(s_suppkey AS STRING)                          AS host,
+  'rack' || CAST(s_nationkey % 3 AS STRING)                    AS rack,
+  CAST(1000000000 AS BIGINT) * (1 + (s_suppkey % 4))           AS capacity,
+  CAST(10000000 AS BIGINT) * (1 + (s_suppkey % 4))
+      * ((s_suppkey * 37) % 100)                               AS dfs_used,
+  CAST(1000000000 AS BIGINT) * (1 + (s_suppkey % 4))
+      - CAST(10000000 AS BIGINT) * (1 + (s_suppkey % 4))
+      * ((s_suppkey * 37) % 100)                               AS remaining,
+  CAST(5000000 AS BIGINT) * (1 + (s_suppkey % 4))
+      * ((s_suppkey * 37) % 100)                               AS block_pool_used,
+  CAST(1704153600000 AS BIGINT)
+      - CASE WHEN s_suppkey % 7 = 0 THEN 700000
+             ELSE (s_suppkey * 1000) % 60000 END               AS last_heartbeat_ms,
+  CAST((s_suppkey * 3) % 40 AS INT)                            AS xceiver_count,
+  CASE WHEN s_suppkey % 9 = 0 THEN 'DECOMMISSION_INPROGRESS'
+       WHEN s_suppkey % 9 = 1 THEN 'DECOMMISSIONED'
+       ELSE 'NORMAL' END                                       AS admin_state
+FROM supplier
+"""
+
+# One block per lineitem row; (l_orderkey, l_linenumber) is NOT unique in the
+# fixtures, so seq comes from a ROW_NUMBER over a total ordering of the line
+# columns. Block size = quantity MiB.
+_BLOCKS_SQL = """
+SELECT
+  CAST(l_orderkey * 100 + seq AS BIGINT)                       AS block_id,
+  CAST(10000000 + l_orderkey AS BIGINT)                        AS file_id,
+  CAST(seq - 1 AS INT)                                         AS seq,
+  CAST(l_quantity AS BIGINT) * 1048576                         AS num_bytes,
+  CAST(1000 + ((l_orderkey * 7 + seq) % 100) AS BIGINT)        AS gen_stamp,
+  'BP-1'                                                       AS block_pool_id
+FROM (
+  SELECT l_orderkey, l_quantity,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                    l_extendedprice) AS seq
+  FROM lineitem
+) t
+"""
+
+# Replica fan-out: each block gets (block_id % 6) replicas (0..5 — so missing,
+# under- and over-replicated blocks all exist vs expected replication 1..4).
+# Datanode assignment stride 17 guarantees distinct nodes per block.
+# on_disk/in_memory model the DirectoryScanner disk<->memory diff
+# (DirectoryScanner.java:332-396); is_corrupt models CorruptReplicasMap.
+_REPLICAS_SQL = """
+SELECT
+  b.block_id                                                   AS block_id,
+  'dn' || CAST((b.block_id * 31 + r.r * 17)
+               % (SELECT COUNT(*) FROM supplier) AS STRING)    AS datanode_id,
+  CASE WHEN (b.block_id + r.r) % 20 = 0 THEN 'RBW'
+       WHEN (b.block_id + r.r) % 20 = 1 THEN 'RWR'
+       ELSE 'FINALIZED' END                                    AS state,
+  (b.block_id * 7 + r.r) % 13 = 0                              AS is_corrupt,
+  (b.block_id * 3 + r.r) % 17 <> 0                             AS on_disk,
+  (b.block_id * 5 + r.r) % 19 <> 0                             AS in_memory,
+  CAST(1704100000000 AS BIGINT)
+      - ((b.block_id * 977 + r.r) % 21600) * 1000              AS last_verified_ms
+FROM blocks b
+JOIN (SELECT 1 AS r UNION ALL SELECT 2 UNION ALL SELECT 3
+      UNION ALL SELECT 4 UNION ALL SELECT 5) r
+  ON r.r <= b.block_id % 6
+"""
+
+# Namespace tree: / -> region dirs -> nation dirs -> customer dirs -> order
+# files. File length = sum of its blocks' bytes (0 for the 27 orders with no
+# lineitems -> empty files). File `name` draws from a 97-value pool so the
+# NameDistribution rollup (A5) is non-trivial; `path` stays unique.
+_INODES_SQL = """
+SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS parent_id,
+       '/' AS path, '' AS name, true AS is_dir,
+       CAST(0 AS INT) AS replication, CAST(0 AS BIGINT) AS preferred_block_size,
+       CAST(0 AS BIGINT) AS length,
+       CAST(1700000000000 AS BIGINT) AS mtime_ms, CAST(1700000000000 AS BIGINT) AS atime_ms,
+       'rwxr-xr-x' AS perm, 'hdfs' AS owner, 'hdfs' AS grp,
+       CAST(NULL AS STRING) AS symlink,
+       CAST(-1 AS BIGINT) AS ns_quota, CAST(-1 AS BIGINT) AS ds_quota,
+       false AS under_construction
+UNION ALL
+SELECT CAST(10 + r_regionkey AS BIGINT), CAST(1 AS BIGINT),
+       '/r' || CAST(r_regionkey AS STRING), 'r' || CAST(r_regionkey AS STRING), true,
+       CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1700000000000 + r_regionkey * 1000 AS BIGINT),
+       CAST(1700000000000 + r_regionkey * 1000 AS BIGINT),
+       'rwxr-xr-x', 'hdfs', 'hdfs', CAST(NULL AS STRING),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+FROM region
+UNION ALL
+SELECT CAST(100 + n_nationkey AS BIGINT), CAST(10 + n_regionkey AS BIGINT),
+       '/r' || CAST(n_regionkey AS STRING) || '/n' || CAST(n_nationkey AS STRING),
+       'n' || CAST(n_nationkey AS STRING), true,
+       CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1700000000000 + n_nationkey * 1000 AS BIGINT),
+       CAST(1700000000000 + n_nationkey * 1000 AS BIGINT),
+       'rwxr-xr-x', 'hdfs', 'hdfs', CAST(NULL AS STRING),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+FROM nation
+UNION ALL
+SELECT CAST(1000 + c_custkey AS BIGINT), CAST(100 + c_nationkey AS BIGINT),
+       '/r' || CAST(n_regionkey AS STRING) || '/n' || CAST(c_nationkey AS STRING)
+            || '/c' || CAST(c_custkey AS STRING),
+       'c' || CAST(c_custkey AS STRING), true,
+       CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1700000000000 + c_custkey * 1000 AS BIGINT),
+       CAST(1700000000000 + c_custkey * 1000 AS BIGINT),
+       CASE WHEN c_custkey % 4 = 0 THEN 'rwx------' ELSE 'rwxr-xr-x' END,
+       'user' || CAST(c_custkey % 5 AS STRING),
+       'grp' || CAST(c_custkey % 3 AS STRING),
+       CAST(NULL AS STRING),
+       CASE WHEN c_custkey % 10 = 0 THEN CAST(5 AS BIGINT) ELSE CAST(-1 AS BIGINT) END,
+       CASE WHEN c_custkey % 7 = 0 THEN CAST(209715200 AS BIGINT) ELSE CAST(-1 AS BIGINT) END,
+       false
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+UNION ALL
+SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT),
+       '/r' || CAST(n_regionkey AS STRING) || '/n' || CAST(c_nationkey AS STRING)
+            || '/c' || CAST(o_custkey AS STRING) || '/o' || CAST(o_orderkey AS STRING),
+       'f' || CAST(o_orderkey % 97 AS STRING), false,
+       CAST(1 + (o_orderkey % 4) AS INT),
+       CAST(67108864 AS BIGINT),
+       COALESCE(bl.len, CAST(0 AS BIGINT)),
+       CAST(1700000000000 + o_orderkey * 1000 AS BIGINT),
+       CAST(1700000000000 + o_orderkey * 500 AS BIGINT),
+       CASE WHEN o_orderkey % 3 = 0 THEN 'rw-r--r--'
+            WHEN o_orderkey % 3 = 1 THEN 'rw-rw-r--'
+            ELSE 'rwxr-x---' END,
+       'user' || CAST(o_custkey % 5 AS STRING),
+       'grp' || CAST(o_custkey % 3 AS STRING),
+       CASE WHEN o_orderkey % 53 = 0 THEN '/r0' ELSE CAST(NULL AS STRING) END,
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (o_orderstatus = 'O' AND o_orderkey % 11 = 0)
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+LEFT JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) * 1048576 AS len
+  FROM lineitem GROUP BY l_orderkey
+) bl ON bl.l_orderkey = o_orderkey
+"""
+
+# Edit-log changelog from the events stream (FSEditLogOpCodes.java:31-60).
+_EDITS_SQL = """
+SELECT
+  CAST(event_id AS BIGINT)                                     AS txid,
+  CASE event_type
+       WHEN 'click'    THEN 'OP_ADD'
+       WHEN 'view'     THEN 'OP_MKDIR'
+       WHEN 'purchase' THEN 'OP_CLOSE'
+       WHEN 'signup'   THEN 'OP_RENAME'
+       ELSE 'OP_DELETE' END                                    AS op,
+  CAST(1704067200000 + event_id * 60000 AS BIGINT)             AS ts_ms,
+  '/ev/u' || CAST(user_id AS STRING) || '/f'
+           || CAST(event_id % 100 AS STRING)                   AS path,
+  CASE WHEN event_type = 'signup'
+       THEN '/ev/u' || CAST(user_id AS STRING) || '/g'
+            || CAST(event_id % 100 AS STRING)
+       ELSE CAST(NULL AS STRING) END                           AS dst,
+  CASE WHEN event_type = 'click'
+       THEN CAST(1 + (event_id % 4) AS INT)
+       ELSE CAST(NULL AS INT) END                              AS replication
+FROM events
+"""
+
+# Open-file leases (LeaseManager.java:63-83): one lease per file under
+# construction; holder keyed off the file id.
+_LEASES_SQL = """
+SELECT
+  'client' || CAST(id % 7 AS STRING)                           AS holder,
+  path                                                         AS path,
+  CAST(1704153600000 AS BIGINT) - (id % 7200) * 1000           AS last_renewed_ms
+FROM inodes
+WHERE under_construction
+"""
+
+# Definition order matters: replicas reads blocks, leases reads inodes.
+ENTITY_SQL: dict[str, str] = {
+    "datanodes": _DATANODES_SQL,
+    "blocks": _BLOCKS_SQL,
+    "replicas": _REPLICAS_SQL,
+    "inodes": _INODES_SQL,
+    "edits": _EDITS_SQL,
+    "leases": _LEASES_SQL,
+}
+
+
+def register_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the fixture parquet tables as temp views; return them."""
+    # events.parquet stores TIMESTAMP(NANOS), unreadable by Spark 4 without
+    # this (runtime-settable) flag; `ts` surfaces as BIGINT nanoseconds.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in BASE_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def load_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Materialize the HDFS entity model as temp views + DataFrames.
+
+    Runs the shared SQL through Spark's own parser so the Spark plan and the
+    DuckDB oracle are built from identical text.
+    """
+    register_base_tables(spark, sf_dir)
+    out = {}
+    for name, sql in ENTITY_SQL.items():
+        df = spark.sql(sql)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def oracle_prelude() -> str:
+    """WITH-clause prefix deriving all entities, for DuckDB oracle queries."""
+    parts = [f"{name} AS ({sql})" for name, sql in ENTITY_SQL.items()]
+    return "WITH " + ",\n".join(parts) + "\n"

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configuration below is written for a
+real multi-executor cluster at 100 TB scale:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- shuffle partitions sized to the parallelism at hand (the cluster value
+  would be ~2-3x total cores; locally we match core count);
+- Arrow enabled so any Pandas-UDF path is batch-vectorized, never per-row;
+- broadcast threshold left at default 10 MB — dimension tables (datanodes,
+  region/nation, leases) broadcast automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoop-hdfs-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.parquet stores TIMESTAMP(NANOS); Spark 4 needs this
+        # to read it (as a BIGINT nanos column)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
