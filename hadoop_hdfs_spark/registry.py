@@ -1,0 +1,84 @@
+"""Query registry: the single catalog the driver contract is served from.
+
+Every SURVEY.md §2 operator registers here as
+
+- a name (stable key, shows up in CORRECTNESS_r{N}.json),
+- a builder ``(spark, sf_dir) -> DataFrame`` implemented with the DataFrame
+  API over the entity model,
+- an optional DuckDB oracle SQL string (full standalone statement; the
+  entity CTE prelude from ``entities.oracle_prelude()`` is prepended by the
+  helper below). ``oracle=None`` marks a genuinely non-SQL-expressible op —
+  the driver then records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .entities import load_entities, oracle_prelude
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[dict[str, DataFrame]], DataFrame]  # entities -> result
+    oracle: str | None  # operator SQL (entity CTEs prepended automatically)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+# Entity views are re-registered per (app, sf_dir) at most once.
+_loaded: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _loaded:
+        _loaded[key] = load_entities(spark, sf_dir)
+    return _loaded[key]
+
+
+def _import_operator_modules() -> None:
+    # import for side effect: each module registers its queries
+    from .operators import blocks, cluster, namespace  # noqa: F401
+    from .pipeline import dedup, similarity, text  # noqa: F401
+
+
+def queries() -> dict[str, QueryFn]:
+    _import_operator_modules()
+    out: dict[str, QueryFn] = {}
+    for name, q in _REGISTRY.items():
+
+        def make(q: Query) -> QueryFn:
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return q.fn(_entities(spark, sf_dir))
+
+            run.__doc__ = q.doc
+            return run
+
+        out[name] = make(q)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    _import_operator_modules()
+    prelude = oracle_prelude()
+    return {
+        name: prelude + q.oracle
+        for name, q in _REGISTRY.items()
+        if q.oracle is not None
+    }
