@@ -1,1 +1,721 @@
-"""(stub — filled in by later milestones)"""
+"""Block / replica analytics (SURVEY.md §2.1 S3/S10, §2.2 F5-F7, §2.3 J1-J3/J5,
+§2.4 A3/A9/A10/A11/A12, §2.5 W1/W2/W5/W6, §2.6 U3).
+
+"live" replica throughout = a replica that is not corrupt (the reference
+counts liveness from BlocksMap minus CorruptReplicasMap,
+BlockManager.java:441-473).
+
+Scale notes: every query below is a single equi-join tree on block_id /
+file_id followed by one aggregation — Catalyst plans hash/sort-merge joins
+partitioned on the join key, so the shuffle count stays constant as data
+grows. The only broadcast candidates are `datanodes` (node-count-sized) and
+single-row aggregates; both stay under the auto-broadcast threshold at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# Shared DuckDB fragment: per-block replica rollup.
+_BLOCK_REPL = """
+  SELECT b.block_id, b.file_id, b.seq, b.num_bytes,
+         CAST(COUNT(r.datanode_id) AS BIGINT)                            AS total_replicas,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live
+  FROM blocks b LEFT JOIN replicas r ON r.block_id = b.block_id
+  GROUP BY b.block_id, b.file_id, b.seq, b.num_bytes
+"""
+
+
+def _block_replica_counts(e) -> DataFrame:
+    """blocks + (total_replicas, live) — the rollup most queries start from."""
+    blocks, replicas = e["blocks"], e["replicas"]
+    return (
+        blocks.join(replicas, "block_id", "left")
+        .groupBy("block_id", "file_id", "seq", "num_bytes")
+        .agg(
+            F.count("datanode_id").alias("total_replicas"),
+            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
+        )
+    )
+
+
+@register(
+    "w1_block_offsets",
+    oracle="""
+SELECT block_id, file_id, seq,
+       CAST(COALESCE(SUM(num_bytes) OVER (
+         PARTITION BY file_id ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+       CAST(COALESCE(SUM(num_bytes) OVER (
+         PARTITION BY file_id ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + num_bytes AS BIGINT)                                           AS end_offset
+FROM blocks
+""",
+    doc="W1 offset->block mapping (BlockManager.java:410-437, "
+    "LocatedBlocks.findBlock binary search LocatedBlocks.java:117-138): "
+    "cumulative byte offset of every block via a running-sum window.",
+)
+def w1_block_offsets(e) -> DataFrame:
+    w = Window.partitionBy("file_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("num_bytes").over(w), F.lit(0)).cast("long")
+    return e["blocks"].select(
+        "block_id",
+        "file_id",
+        "seq",
+        start.alias("start_offset"),
+        (start + F.col("num_bytes")).cast("long").alias("end_offset"),
+    )
+
+
+@register(
+    "s3_pread_range",
+    oracle="""
+SELECT block_id, file_id, seq, start_offset, end_offset
+FROM (
+  SELECT block_id, file_id, seq,
+         CAST(COALESCE(SUM(num_bytes) OVER (
+           PARTITION BY file_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+         CAST(COALESCE(SUM(num_bytes) OVER (
+           PARTITION BY file_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + num_bytes AS BIGINT)                                           AS end_offset
+  FROM blocks
+) o
+WHERE start_offset < 157286400 AND end_offset > 52428800
+""",
+    doc="S3 positional read (DFSInputStream.fetchBlockByteRange:655-762): "
+    "select the blocks of every file overlapping byte range "
+    "[50 MiB, 150 MiB) — the pread block-selection predicate.",
+)
+def s3_pread_range(e, off: int = 52428800, end: int = 157286400) -> DataFrame:
+    offs = w1_block_offsets_frame(e)
+    return offs.filter((F.col("start_offset") < end) & (F.col("end_offset") > off))
+
+
+def w1_block_offsets_frame(e) -> DataFrame:
+    w = Window.partitionBy("file_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("num_bytes").over(w), F.lit(0)).cast("long")
+    return e["blocks"].select(
+        "block_id",
+        "file_id",
+        "seq",
+        start.alias("start_offset"),
+        (start + F.col("num_bytes")).cast("long").alias("end_offset"),
+    )
+
+
+@register(
+    "s10_file_tail",
+    oracle="""
+SELECT file_id, block_id, seq
+FROM (
+  SELECT file_id, block_id, seq,
+         ROW_NUMBER() OVER (PARTITION BY file_id ORDER BY seq DESC) AS rn
+  FROM blocks
+) t
+WHERE rn <= 2
+""",
+    doc="S10 file tail (webapps/datanode/tail.jsp): last blocks of every "
+    "file — per-group top-k by descending offset.",
+)
+def s10_file_tail(e) -> DataFrame:
+    w = Window.partitionBy("file_id").orderBy(F.col("seq").desc())
+    return (
+        e["blocks"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("file_id", "block_id", "seq")
+    )
+
+
+@register(
+    "f6_block_id_projection",
+    oracle="SELECT block_id, gen_stamp FROM blocks",
+    doc="F6 id-only projection (Block.writeId Block.java:182-191): column "
+    "pruning down to (blockId, genstamp).",
+)
+def f6_block_id_projection(e) -> DataFrame:
+    return e["blocks"].select("block_id", "gen_stamp")
+
+
+@register(
+    "f7_block_name_codec",
+    oracle="""
+SELECT block_id,
+       'blk_' || CAST(block_id AS STRING) AS blk_name,
+       'blk_' || CAST(block_id AS STRING) || '_'
+              || CAST(gen_stamp AS STRING) || '.meta' AS meta_name,
+       CAST(regexp_extract('blk_' || CAST(block_id AS STRING), 'blk_(-?[0-9]+)', 1) AS BIGINT) AS parsed_id,
+       CAST(regexp_extract('blk_' || CAST(block_id AS STRING) || '_'
+              || CAST(gen_stamp AS STRING) || '.meta',
+              'blk_-?[0-9]+_([0-9]+)\\.meta', 1) AS BIGINT) AS parsed_gen_stamp,
+       regexp_matches('blk_' || CAST(block_id AS STRING) || '_'
+              || CAST(gen_stamp AS STRING) || '.meta',
+              '^blk_-?[0-9]+_[0-9]+\\.meta$') AS name_is_meta
+FROM blocks
+""",
+    doc="F7/C2 block filename codec (Block.java:47-82,126-128): build "
+    "blk_<id> / blk_<id>_<genstamp>.meta names and parse them back with "
+    "regexes (the DataNode's on-disk scan classifier).",
+)
+def f7_block_name_codec(e) -> DataFrame:
+    blocks = e["blocks"]
+    blk = F.concat(F.lit("blk_"), F.col("block_id").cast("string"))
+    meta = F.concat(blk, F.lit("_"), F.col("gen_stamp").cast("string"), F.lit(".meta"))
+    return blocks.select(
+        "block_id",
+        blk.alias("blk_name"),
+        meta.alias("meta_name"),
+        F.regexp_extract(blk, r"blk_(-?[0-9]+)", 1).cast("long").alias("parsed_id"),
+        F.regexp_extract(meta, r"blk_-?[0-9]+_([0-9]+)\.meta", 1)
+        .cast("long")
+        .alias("parsed_gen_stamp"),
+        meta.rlike(r"^blk_-?[0-9]+_[0-9]+\.meta$").alias("name_is_meta"),
+    )
+
+
+@register(
+    "j1_block_locations",
+    oracle="""
+SELECT b.block_id, b.file_id,
+       CAST(COUNT(r.datanode_id) AS BIGINT)                              AS total_replicas,
+       CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
+       string_agg(CASE WHEN NOT r.is_corrupt THEN r.datanode_id END,
+                  ',' ORDER BY r.datanode_id)                            AS machines,
+       (COUNT(r.datanode_id) > 0
+        AND SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) = 0)       AS is_corrupt_block
+FROM blocks b LEFT JOIN replicas r ON r.block_id = b.block_id
+GROUP BY b.block_id, b.file_id
+""",
+    doc="J1 getBlockLocations (BlockManager.getBlockLocation:441-473): "
+    "attach the sorted live-replica location list to every block; a block "
+    "is corrupt iff ALL its replicas are corrupt.",
+)
+def j1_block_locations(e) -> DataFrame:
+    blocks, replicas = e["blocks"], e["replicas"]
+    agg = (
+        blocks.join(replicas, "block_id", "left")
+        .groupBy("block_id", "file_id")
+        .agg(
+            F.count("datanode_id").alias("total_replicas"),
+            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("is_corrupt"), F.col("datanode_id")))
+            ).alias("live_list"),
+        )
+    )
+    return agg.select(
+        "block_id",
+        "file_id",
+        "total_replicas",
+        "live",
+        F.when(F.col("live") > 0, F.array_join("live_list", ",")).alias("machines"),
+        ((F.col("total_replicas") > 0) & (F.col("live") == 0)).alias("is_corrupt_block"),
+    )
+
+
+@register(
+    "j2_report_diff",
+    oracle="""
+SELECT COALESCE(d.block_id, m.block_id)       AS block_id,
+       COALESCE(d.datanode_id, m.datanode_id) AS datanode_id,
+       CASE WHEN m.block_id IS NULL THEN 'TO_ADD'
+            WHEN d.block_id IS NULL THEN 'TO_REMOVE'
+            WHEN d.is_corrupt        THEN 'TO_CORRUPT'
+            ELSE 'MATCH' END                  AS action
+FROM      (SELECT * FROM replicas WHERE on_disk)   d
+FULL OUTER JOIN
+          (SELECT * FROM replicas WHERE in_memory) m
+  ON d.block_id = m.block_id AND d.datanode_id = m.datanode_id
+""",
+    doc="J2/U2 block-report diff (BlockManager.processReport/reportDiff:"
+    "1078-1228): full-outer join of the datanode-reported replica set vs "
+    "namenode state, classified into toAdd / toRemove / toCorrupt — the "
+    "delimiter-trick set difference as a declarative join.",
+)
+def j2_report_diff(e) -> DataFrame:
+    replicas = e["replicas"]
+    disk = replicas.filter("on_disk").select(
+        "block_id", "datanode_id", F.col("is_corrupt").alias("disk_corrupt")
+    )
+    mem = replicas.filter("in_memory").select(
+        "block_id", "datanode_id", F.lit(True).alias("in_mem")
+    )
+    j = disk.join(mem, ["block_id", "datanode_id"], "full_outer")
+    return j.select(
+        "block_id",
+        "datanode_id",
+        F.when(F.col("in_mem").isNull(), "TO_ADD")
+        .when(F.col("disk_corrupt").isNull(), "TO_REMOVE")
+        .when(F.col("disk_corrupt"), "TO_CORRUPT")
+        .otherwise("MATCH")
+        .alias("action"),
+    )
+
+
+@register(
+    "j3_scanner_stats",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN in_memory AND NOT on_disk THEN 1 ELSE 0 END) AS BIGINT) AS missing_block_file,
+       CAST(SUM(CASE WHEN on_disk AND NOT in_memory THEN 1 ELSE 0 END) AS BIGINT) AS missing_memory_block,
+       CAST(SUM(CASE WHEN on_disk AND in_memory AND state <> 'FINALIZED'
+                THEN 1 ELSE 0 END) AS BIGINT)                                      AS mismatched
+FROM replicas
+""",
+    doc="J3/A12 DirectoryScanner disk<->memory reconcile "
+    "(DirectoryScanner.java:332-405, Stats :80-96): sort-merge diff "
+    "expressed as conditional sums; missing-on-disk / missing-in-memory / "
+    "mismatched-state counts.",
+)
+def j3_scanner_stats(e) -> DataFrame:
+    r = e["replicas"]
+    return r.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("in_memory") & ~F.col("on_disk"), 1).otherwise(0)).alias(
+            "missing_block_file"
+        ),
+        F.sum(F.when(F.col("on_disk") & ~F.col("in_memory"), 1).otherwise(0)).alias(
+            "missing_memory_block"
+        ),
+        F.sum(
+            F.when(
+                F.col("on_disk") & F.col("in_memory") & (F.col("state") != "FINALIZED"), 1
+            ).otherwise(0)
+        ).alias("mismatched"),
+    )
+
+
+@register(
+    "f5_corrupt_files",
+    oracle=f"""
+SELECT c.block_id, i.path
+FROM ({_BLOCK_REPL}) c
+JOIN inodes i ON i.id = c.file_id
+WHERE c.total_replicas > 0 AND c.live = 0
+  AND i.path LIKE '/r0/%' AND c.block_id > 0
+ORDER BY c.block_id
+LIMIT 100
+""",
+    doc="F5 listCorruptFileBlocks (FSNamesystem.java:5211-5249): corrupt "
+    "blocks (zero live replicas), path-prefix filter, blockId cursor, "
+    "LIMIT 100 page (FSNamesystem.java:175).",
+)
+def f5_corrupt_files(e) -> DataFrame:
+    counts = _block_replica_counts(e)
+    inodes = e["inodes"]
+    return (
+        counts.filter((F.col("total_replicas") > 0) & (F.col("live") == 0))
+        .join(inodes.select(F.col("id").alias("file_id"), "path"), "file_id")
+        .filter(F.col("path").startswith("/r0/") & (F.col("block_id") > 0))
+        .orderBy("block_id")
+        .limit(100)
+        .select("block_id", "path")
+    )
+
+
+@register(
+    "j5_fsck_blocks",
+    oracle=f"""
+SELECT c.block_id, i.path, i.replication AS expected,
+       c.live, c.total_replicas,
+       CAST(COUNT(DISTINCT CASE WHEN NOT r.is_corrupt THEN d.rack END) AS BIGINT) AS racks,
+       CASE WHEN c.total_replicas = 0                  THEN 'MISSING'
+            WHEN c.live = 0                            THEN 'CORRUPT'
+            WHEN c.live < i.replication                THEN 'UNDER_REPLICATED'
+            WHEN c.live > i.replication                THEN 'OVER_REPLICATED'
+            WHEN i.replication > 1 AND
+                 COUNT(DISTINCT CASE WHEN NOT r.is_corrupt THEN d.rack END) < 2
+                                                       THEN 'MIS_REPLICATED'
+            ELSE 'HEALTHY' END                         AS status
+FROM ({_BLOCK_REPL}) c
+JOIN inodes i ON i.id = c.file_id
+LEFT JOIN replicas r ON r.block_id = c.block_id
+LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
+GROUP BY c.block_id, i.path, i.replication, c.live, c.total_replicas
+""",
+    doc="J5 fsck per-block verification (NamenodeFsck.check:238-399): "
+    "inodes x blocks x replicas x datanodes join classifying every block "
+    "as missing / corrupt / under / over / mis-replicated (rack-deficit "
+    "per BlockPlacementPolicy.verifyBlockPlacement).",
+)
+def j5_fsck_blocks(e) -> DataFrame:
+    counts = _block_replica_counts(e)
+    inodes, replicas, datanodes = e["inodes"], e["replicas"], e["datanodes"]
+    racks = (
+        replicas.join(F.broadcast(datanodes.select("datanode_id", "rack")), "datanode_id")
+        .groupBy("block_id")
+        .agg(
+            F.count_distinct(F.when(~F.col("is_corrupt"), F.col("rack"))).alias("racks")
+        )
+    )
+    j = (
+        counts.join(inodes.select(F.col("id").alias("file_id"), "path", "replication"), "file_id")
+        .join(racks, "block_id", "left")
+        .fillna({"racks": 0})
+    )
+    status = (
+        F.when(F.col("total_replicas") == 0, "MISSING")
+        .when(F.col("live") == 0, "CORRUPT")
+        .when(F.col("live") < F.col("replication"), "UNDER_REPLICATED")
+        .when(F.col("live") > F.col("replication"), "OVER_REPLICATED")
+        .when((F.col("replication") > 1) & (F.col("racks") < 2), "MIS_REPLICATED")
+        .otherwise("HEALTHY")
+    )
+    return j.select(
+        "block_id",
+        "path",
+        F.col("replication").alias("expected"),
+        "live",
+        "total_replicas",
+        "racks",
+        status.alias("status"),
+    )
+
+
+@register(
+    "a3_fsck_result",
+    oracle=f"""
+WITH fsck AS (
+  SELECT c.*, i.replication AS expected, i.length, i.under_construction,
+         CASE WHEN c.total_replicas = 0 THEN 1 ELSE 0 END AS is_missing,
+         CASE WHEN c.total_replicas > 0 AND c.live = 0 THEN 1 ELSE 0 END AS is_corrupt,
+         CASE WHEN c.live > 0 AND c.live < i.replication THEN 1 ELSE 0 END AS is_under,
+         CASE WHEN c.live > i.replication THEN 1 ELSE 0 END AS is_over
+  FROM ({_BLOCK_REPL}) c JOIN inodes i ON i.id = c.file_id
+)
+SELECT CAST(SUM(num_bytes) AS BIGINT)               AS total_size,
+       CAST(COUNT(DISTINCT file_id) AS BIGINT)      AS total_files_with_blocks,
+       CAST(COUNT(*) AS BIGINT)                     AS total_blocks,
+       CAST(SUM(live) AS BIGINT)                    AS total_live_replicas,
+       SUM(live) * 1.0 / COUNT(*)                   AS avg_replication,
+       CAST(SUM(is_missing) AS BIGINT)              AS missing_blocks,
+       CAST(SUM(is_missing * num_bytes) AS BIGINT)  AS missing_size,
+       CAST(SUM(is_corrupt) AS BIGINT)              AS corrupt_blocks,
+       CAST(SUM(is_under) AS BIGINT)                AS under_replicated,
+       CAST(SUM(is_over) AS BIGINT)                 AS over_replicated,
+       CAST(SUM(CASE WHEN under_construction THEN 1 ELSE 0 END) AS BIGINT) AS open_blocks
+FROM fsck
+""",
+    doc="A3 fsck Result multi-aggregate (NamenodeFsck.Result:599-637): the "
+    "18-field single-pass health report as one conditional-sum agg over the "
+    "J5 join — whole-stage codegen fuses it exactly like the reference's "
+    "hand-fused walk.",
+)
+def a3_fsck_result(e) -> DataFrame:
+    counts = _block_replica_counts(e)
+    inodes = e["inodes"]
+    j = counts.join(
+        inodes.select(
+            F.col("id").alias("file_id"), "replication", "under_construction"
+        ),
+        "file_id",
+    )
+    missing = F.when(F.col("total_replicas") == 0, 1).otherwise(0)
+    corrupt = F.when((F.col("total_replicas") > 0) & (F.col("live") == 0), 1).otherwise(0)
+    under = F.when((F.col("live") > 0) & (F.col("live") < F.col("replication")), 1).otherwise(0)
+    over = F.when(F.col("live") > F.col("replication"), 1).otherwise(0)
+    return j.agg(
+        F.sum("num_bytes").alias("total_size"),
+        F.count_distinct("file_id").alias("total_files_with_blocks"),
+        F.count("*").alias("total_blocks"),
+        F.sum("live").alias("total_live_replicas"),
+        (F.sum("live") * 1.0 / F.count("*")).alias("avg_replication"),
+        F.sum(missing).alias("missing_blocks"),
+        F.sum(missing * F.col("num_bytes")).alias("missing_size"),
+        F.sum(corrupt).alias("corrupt_blocks"),
+        F.sum(under).alias("under_replicated"),
+        F.sum(over).alias("over_replicated"),
+        F.sum(F.when(F.col("under_construction"), 1).otherwise(0)).alias("open_blocks"),
+    )
+
+
+@register(
+    "w2_replication_priority",
+    oracle=f"""
+SELECT c.block_id, c.live, i.replication AS expected,
+       CAST(CASE WHEN c.live = 0 AND c.decom_live > 0 THEN 0
+            WHEN c.live = 0                           THEN 4
+            WHEN c.live = 1                           THEN 0
+            WHEN c.live * 3 < i.replication           THEN 1
+            ELSE 2 END AS INT)                        AS priority
+FROM (
+  SELECT b.block_id, b.file_id,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
+                  THEN 1 ELSE 0 END) AS BIGINT)                            AS decom_live
+  FROM blocks b
+  LEFT JOIN replicas r ON r.block_id = b.block_id
+  LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
+  GROUP BY b.block_id, b.file_id
+) c
+JOIN inodes i ON i.id = c.file_id
+WHERE c.live < i.replication
+""",
+    doc="W2 UnderReplicatedBlocks 5-level priority "
+    "(UnderReplicatedBlocks.getPriority:85-107): CASE priority column over "
+    "under-replicated blocks; queue drain = ORDER BY priority.",
+)
+def w2_replication_priority(e) -> DataFrame:
+    blocks, replicas, datanodes, inodes = (
+        e["blocks"],
+        e["replicas"],
+        e["datanodes"],
+        e["inodes"],
+    )
+    counts = (
+        blocks.join(replicas, "block_id", "left")
+        .join(
+            F.broadcast(datanodes.select("datanode_id", "admin_state")),
+            "datanode_id",
+            "left",
+        )
+        .groupBy("block_id", "file_id")
+        .agg(
+            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
+            F.sum(
+                F.when(~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1).otherwise(0)
+            ).alias("decom_live"),
+        )
+    )
+    j = counts.join(
+        inodes.select(F.col("id").alias("file_id"), "replication"), "file_id"
+    ).filter(F.col("live") < F.col("replication"))
+    priority = (
+        F.when((F.col("live") == 0) & (F.col("decom_live") > 0), 0)
+        .when(F.col("live") == 0, 4)
+        .when(F.col("live") == 1, 0)
+        .when(F.col("live") * 3 < F.col("replication"), 1)
+        .otherwise(2)
+    )
+    return j.select(
+        "block_id",
+        "live",
+        F.col("replication").alias("expected"),
+        priority.cast("int").alias("priority"),
+    )
+
+
+@register(
+    "u3_excess_replicas",
+    oracle=f"""
+SELECT t.block_id, t.datanode_id
+FROM (
+  SELECT r.block_id, r.datanode_id,
+         ROW_NUMBER() OVER (PARTITION BY r.block_id
+                            ORDER BY d.dfs_used DESC, r.datanode_id) AS rk,
+         c.live, i.replication
+  FROM replicas r
+  JOIN datanodes d ON d.datanode_id = r.datanode_id
+  JOIN ({_BLOCK_REPL}) c ON c.block_id = r.block_id
+  JOIN inodes i ON i.id = c.file_id
+  WHERE NOT r.is_corrupt
+) t
+WHERE t.live > t.replication AND t.rk <= t.live - t.replication
+""",
+    doc="U3 excess-replica selection (BlockManager."
+    "processOverReplicatedBlock:1572): for over-replicated blocks pick the "
+    "excess replicas on the most-used nodes — rank window, delete rank <= "
+    "live-expected.",
+)
+def u3_excess_replicas(e) -> DataFrame:
+    replicas, datanodes, inodes = e["replicas"], e["datanodes"], e["inodes"]
+    counts = _block_replica_counts(e)
+    live_reps = (
+        replicas.filter(~F.col("is_corrupt"))
+        .join(F.broadcast(datanodes.select("datanode_id", "dfs_used")), "datanode_id")
+        .join(counts.select("block_id", "file_id", "live"), "block_id")
+        .join(inodes.select(F.col("id").alias("file_id"), "replication"), "file_id")
+    )
+    w = Window.partitionBy("block_id").orderBy(
+        F.col("dfs_used").desc(), F.col("datanode_id")
+    )
+    return (
+        live_reps.withColumn("rk", F.row_number().over(w))
+        .filter(
+            (F.col("live") > F.col("replication"))
+            & (F.col("rk") <= F.col("live") - F.col("replication"))
+        )
+        .select("block_id", "datanode_id")
+    )
+
+
+@register(
+    "a9_file_checksum",
+    oracle="""
+SELECT file_id,
+       md5(string_agg(block_md5, '' ORDER BY seq)) AS file_md5
+FROM (
+  SELECT file_id, seq,
+         md5(CAST(block_id AS STRING) || ':' || CAST(gen_stamp AS STRING)
+             || ':' || CAST(num_bytes AS STRING)) AS block_md5
+  FROM blocks
+) b
+GROUP BY file_id
+""",
+    doc="A9 MD5-of-MD5 file checksum (DFSClient.getFileChecksum:1054-1151, "
+    "DataXceiver.opBlockChecksum:440): per-block MD5 then MD5 over the "
+    "seq-ordered concatenation — deterministic ordered aggregation via "
+    "sort_array(collect_list(struct(seq, md5))).",
+)
+def a9_file_checksum(e) -> DataFrame:
+    blocks = e["blocks"]
+    block_md5 = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("block_id").cast("string"),
+            F.col("gen_stamp").cast("string"),
+            F.col("num_bytes").cast("string"),
+        )
+    )
+    per_block = blocks.select("file_id", "seq", block_md5.alias("block_md5"))
+    return (
+        per_block.groupBy("file_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seq", "block_md5"))),
+                        lambda s: s["block_md5"],
+                    ),
+                    "",
+                )
+            ).alias("file_md5")
+        )
+    )
+
+
+@register(
+    "a10_safemode",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS total_blocks,
+       CAST(SUM(CASE WHEN live >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS safe_blocks,
+       CAST(CEIL(COUNT(*) * 0.999) AS BIGINT)                     AS threshold_blocks,
+       SUM(CASE WHEN live >= 1 THEN 1 ELSE 0 END)
+           < CEIL(COUNT(*) * 0.999)                               AS in_safemode
+FROM ({_BLOCK_REPL}) c
+""",
+    doc="A10 safemode threshold (FSNamesystem.java:3986-4049, threshold "
+    "0.999 DFSConfigKeys.java:64): blockSafe >= threshold x blockTotal gate "
+    "with minReplication 1.",
+)
+def a10_safemode(e) -> DataFrame:
+    counts = _block_replica_counts(e)
+    return counts.agg(
+        F.count("*").alias("total_blocks"),
+        F.sum(F.when(F.col("live") >= 1, 1).otherwise(0)).alias("safe_blocks"),
+        F.ceil(F.count("*") * 0.999).cast("long").alias("threshold_blocks"),
+        (
+            F.sum(F.when(F.col("live") >= 1, 1).otherwise(0))
+            < F.ceil(F.count("*") * 0.999)
+        ).alias("in_safemode"),
+    )
+
+
+@register(
+    "w5_balancer_block_cursor",
+    oracle="""
+SELECT datanode_id, block_id, cum_bytes
+FROM (
+  SELECT r.datanode_id, r.block_id,
+         CAST(SUM(b.num_bytes) OVER (
+           PARTITION BY r.datanode_id ORDER BY r.block_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+  FROM replicas r JOIN blocks b ON b.block_id = r.block_id
+  WHERE NOT r.is_corrupt
+) t
+WHERE cum_bytes <= 104857600
+""",
+    doc="W5 balancer block cursor (Balancer.java:601-645, "
+    "FSNamesystem.getBlocks:705-717): fetch each source datanode's blocks "
+    "up to a running-size cap (scaled 100 MiB) — running sum window + "
+    "cumulative cutoff.",
+)
+def w5_balancer_block_cursor(e) -> DataFrame:
+    r = e["replicas"].filter(~F.col("is_corrupt"))
+    j = r.join(e["blocks"].select("block_id", "num_bytes"), "block_id")
+    w = (
+        Window.partitionBy("datanode_id")
+        .orderBy("block_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.withColumn("cum_bytes", F.sum("num_bytes").over(w).cast("long"))
+        .filter(F.col("cum_bytes") <= 104857600)
+        .select("datanode_id", "block_id", "cum_bytes")
+    )
+
+
+@register(
+    "w6_salvage_runs",
+    oracle=f"""
+SELECT file_id, CAST(MAX(run_len) AS BIGINT) AS longest_valid_run
+FROM (
+  SELECT file_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM (
+    SELECT c.file_id, c.seq,
+           SUM(CASE WHEN c.live = 0 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY c.file_id ORDER BY c.seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+           c.live
+    FROM ({_BLOCK_REPL}) c
+  ) flagged
+  WHERE live > 0
+  GROUP BY file_id, run_id
+) runs
+GROUP BY file_id
+""",
+    doc="W6 fsck -move longest-valid-prefix salvage "
+    "(NamenodeFsck.lostFoundMove:401): flag missing blocks, running-sum "
+    "window groups consecutive valid runs, keep each file's longest chain.",
+)
+def w6_salvage_runs(e) -> DataFrame:
+    counts = _block_replica_counts(e)
+    w = (
+        Window.partitionBy("file_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = counts.withColumn(
+        "run_id", F.sum(F.when(F.col("live") == 0, 1).otherwise(0)).over(w)
+    )
+    runs = (
+        flagged.filter(F.col("live") > 0)
+        .groupBy("file_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("file_id").agg(F.max("run_len").alias("longest_valid_run"))
+
+
+@register(
+    "a11_verification_staleness",
+    oracle="""
+SELECT datanode_id,
+       CAST(COUNT(*) AS BIGINT) AS total_replicas,
+       CAST(SUM(CASE WHEN last_verified_ms < 1704089200000 THEN 1 ELSE 0 END) AS BIGINT) AS stale_replicas
+FROM replicas
+GROUP BY datanode_id
+""",
+    doc="A11 block-scanner verification staleness "
+    "(BlockPoolSliceScanner.java:65-406): replicas whose last verification "
+    "predates the scan-period watermark, per datanode — the rolling "
+    "verification-log rollup.",
+)
+def a11_verification_staleness(e) -> DataFrame:
+    r = e["replicas"]
+    return r.groupBy("datanode_id").agg(
+        F.count("*").alias("total_replicas"),
+        F.sum(F.when(F.col("last_verified_ms") < 1704089200000, 1).otherwise(0)).alias(
+            "stale_replicas"
+        ),
+    )

@@ -1,1 +1,373 @@
-"""(stub — filled in by later milestones)"""
+"""Cluster-level analytics (SURVEY.md §2.2 F4, §2.3 J4/J6/J7, §2.4 A6-A8,
+§2.5 W3/W4, §2.8 T4 batch analog): datanode reports, balancer analysis,
+edit-log statistics, lease accounting.
+
+`datanodes` is node-count-sized (a dimension table) — every join against it
+is a broadcast join, and the balancer computations aggregate to node-level
+frames before any pairing logic, so nothing here scales with block count
+except the initial rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..entities import HEARTBEAT_EXPIRY_MS, NOW_MS
+from ..registry import register
+
+
+@register(
+    "f4_datanode_report",
+    oracle=f"""
+SELECT datanode_id, host, rack, capacity, dfs_used, remaining, admin_state,
+       CASE WHEN {NOW_MS} - last_heartbeat_ms > {HEARTBEAT_EXPIRY_MS}
+            THEN 'DEAD' ELSE 'LIVE' END AS liveness,
+       admin_state = 'DECOMMISSION_INPROGRESS' AS decommissioning
+FROM datanodes
+""",
+    doc="F4 getDatanodeReport LIVE/DEAD/decommissioning filter "
+    "(FSNamesystem.getDatanodeListForReport, decommissioning list "
+    ":5254-5267): dead iff now - lastUpdate > 10.5 min expiry.",
+)
+def f4_datanode_report(e) -> DataFrame:
+    d = e["datanodes"]
+    return d.select(
+        "datanode_id",
+        "host",
+        "rack",
+        "capacity",
+        "dfs_used",
+        "remaining",
+        "admin_state",
+        F.when(
+            F.lit(NOW_MS) - F.col("last_heartbeat_ms") > HEARTBEAT_EXPIRY_MS, "DEAD"
+        )
+        .otherwise("LIVE")
+        .alias("liveness"),
+        (F.col("admin_state") == "DECOMMISSION_INPROGRESS").alias("decommissioning"),
+    )
+
+
+@register(
+    "a6_edits_opcode_stats",
+    oracle="""
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(txid) AS BIGINT) AS first_txid,
+       CAST(MAX(txid) AS BIGINT) AS last_txid
+FROM edits
+GROUP BY op
+""",
+    doc="A6 edits opcode statistics (StatisticsEditsVisitor.java:168-173): "
+    "count per opcode over the changelog; streaming variant = same groupBy "
+    "in complete output mode (see streaming.replay).",
+)
+def a6_edits_opcode_stats(e) -> DataFrame:
+    return (
+        e["edits"]
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("txid").alias("first_txid"),
+            F.max("txid").alias("last_txid"),
+        )
+    )
+
+
+@register(
+    "a7_cluster_stats",
+    oracle="""
+SELECT d.capacity_total, d.used_total, d.remaining_total,
+       b.under_replicated, b.corrupt_blocks, b.missing_blocks
+FROM (
+  SELECT CAST(SUM(capacity) AS BIGINT)  AS capacity_total,
+         CAST(SUM(dfs_used) AS BIGINT)  AS used_total,
+         CAST(SUM(remaining) AS BIGINT) AS remaining_total
+  FROM datanodes
+) d
+CROSS JOIN (
+  SELECT CAST(SUM(CASE WHEN live > 0 AND live < replication THEN 1 ELSE 0 END) AS BIGINT) AS under_replicated,
+         CAST(SUM(CASE WHEN total_replicas > 0 AND live = 0 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_blocks,
+         CAST(SUM(CASE WHEN total_replicas = 0 THEN 1 ELSE 0 END) AS BIGINT)              AS missing_blocks
+  FROM (
+    SELECT b.block_id, i.replication,
+           CAST(COUNT(r.datanode_id) AS BIGINT) AS total_replicas,
+           CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live
+    FROM blocks b
+    JOIN inodes i ON i.id = b.file_id
+    LEFT JOIN replicas r ON r.block_id = b.block_id
+    GROUP BY b.block_id, i.replication
+  ) c
+) b
+""",
+    doc="A7 getStats 6-vector (FSNamesystem.java:3480-3533, ClientProtocol"
+    ".getStats:551-574, DFSAdmin -report): capacity/used/remaining totals "
+    "plus under-replicated/corrupt/missing block counts.",
+)
+def a7_cluster_stats(e) -> DataFrame:
+    d = e["datanodes"].agg(
+        F.sum("capacity").alias("capacity_total"),
+        F.sum("dfs_used").alias("used_total"),
+        F.sum("remaining").alias("remaining_total"),
+    )
+    counts = (
+        e["blocks"]
+        .join(e["inodes"].select(F.col("id").alias("file_id"), "replication"), "file_id")
+        .join(e["replicas"], "block_id", "left")
+        .groupBy("block_id", "replication")
+        .agg(
+            F.count("datanode_id").alias("total_replicas"),
+            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
+        )
+    )
+    b = counts.agg(
+        F.sum(
+            F.when((F.col("live") > 0) & (F.col("live") < F.col("replication")), 1).otherwise(0)
+        ).alias("under_replicated"),
+        F.sum(
+            F.when((F.col("total_replicas") > 0) & (F.col("live") == 0), 1).otherwise(0)
+        ).alias("corrupt_blocks"),
+        F.sum(F.when(F.col("total_replicas") == 0, 1).otherwise(0)).alias("missing_blocks"),
+    )
+    return d.crossJoin(b)
+
+
+@register(
+    "a8_utilization",
+    oracle="""
+SELECT d.datanode_id,
+       d.dfs_used * 100.0 / d.capacity AS utilization,
+       a.avg_utilization
+FROM datanodes d
+CROSS JOIN (
+  SELECT SUM(dfs_used) * 100.0 / SUM(capacity) AS avg_utilization
+  FROM datanodes
+) a
+""",
+    doc="A8 balancer utilization (BalancingPolicy.java:30-120, "
+    "Balancer.java:800-808): per-node used% and the cluster average "
+    "Sum(used)*100/Sum(capacity).",
+)
+def a8_utilization(e) -> DataFrame:
+    d = e["datanodes"]
+    avg = d.agg(
+        (F.sum("dfs_used") * 100.0 / F.sum("capacity")).alias("avg_utilization")
+    )
+    return d.select(
+        "datanode_id",
+        (F.col("dfs_used") * 100.0 / F.col("capacity")).alias("utilization"),
+    ).crossJoin(F.broadcast(avg))
+
+
+@register(
+    "w3_balancer_classes",
+    oracle="""
+SELECT datanode_id, utilization, avg_utilization,
+       CASE WHEN utilization > avg_utilization + 10 THEN 'OVER_UTILIZED'
+            WHEN utilization > avg_utilization      THEN 'ABOVE_AVERAGE'
+            WHEN utilization >= avg_utilization - 10 THEN 'BELOW_AVERAGE'
+            ELSE 'UNDER_UTILIZED' END AS class
+FROM (
+  SELECT d.datanode_id,
+         d.dfs_used * 100.0 / d.capacity AS utilization,
+         a.avg_utilization
+  FROM datanodes d
+  CROSS JOIN (SELECT SUM(dfs_used) * 100.0 / SUM(capacity) AS avg_utilization
+              FROM datanodes) a
+) u
+""",
+    doc="W3 balancer 4-way classification (Balancer.java:800-861, threshold "
+    "10%): over / above-average / below-average / under-utilized vs the "
+    "cluster mean.",
+)
+def w3_balancer_classes(e) -> DataFrame:
+    u = a8_utilization(e)
+    cls = (
+        F.when(F.col("utilization") > F.col("avg_utilization") + 10, "OVER_UTILIZED")
+        .when(F.col("utilization") > F.col("avg_utilization"), "ABOVE_AVERAGE")
+        .when(F.col("utilization") >= F.col("avg_utilization") - 10, "BELOW_AVERAGE")
+        .otherwise("UNDER_UTILIZED")
+    )
+    return u.select("datanode_id", "utilization", "avg_utilization", cls.alias("class"))
+
+
+@register(
+    "j4_balancer_pairing",
+    oracle="""
+SELECT s.datanode_id AS source, t.datanode_id AS target,
+       CAST(LEAST(s.excess_bytes, t.deficit_bytes) AS BIGINT) AS bytes_to_move,
+       s.rack = t.rack AS same_rack
+FROM (
+  SELECT datanode_id, rack,
+         CAST(FLOOR((utilization - avg_utilization) * capacity / 100.0) AS BIGINT) AS excess_bytes,
+         ROW_NUMBER() OVER (ORDER BY utilization DESC, datanode_id) AS rk
+  FROM (SELECT d.*, d.dfs_used * 100.0 / d.capacity AS utilization, a.avg_utilization
+        FROM datanodes d
+        CROSS JOIN (SELECT SUM(dfs_used) * 100.0 / SUM(capacity) AS avg_utilization
+                    FROM datanodes) a) u
+  WHERE utilization > avg_utilization + 10
+) s
+JOIN (
+  SELECT datanode_id, rack,
+         CAST(FLOOR((avg_utilization - utilization) * capacity / 100.0) AS BIGINT) AS deficit_bytes,
+         ROW_NUMBER() OVER (ORDER BY utilization ASC, datanode_id) AS rk
+  FROM (SELECT d.*, d.dfs_used * 100.0 / d.capacity AS utilization, a.avg_utilization
+        FROM datanodes d
+        CROSS JOIN (SELECT SUM(dfs_used) * 100.0 / SUM(capacity) AS avg_utilization
+                    FROM datanodes) a) u
+  WHERE utilization < avg_utilization - 10
+) t ON s.rk = t.rk
+""",
+    doc="J4 balancer source->target pairing (Balancer.chooseNodes:884-925): "
+    "rank the over-utilized by descending utilization and the "
+    "under-utilized ascending, pair by rank, move min(excess, deficit). "
+    "The reference's greedy same-rack-first refinement is sequential; the "
+    "rank-pairing declarative form keeps the plan shuffle-free at node "
+    "scale (the frames are node-count-sized).",
+)
+def j4_balancer_pairing(e) -> DataFrame:
+    u = a8_utilization(e).join(
+        e["datanodes"].select("datanode_id", "rack", "capacity"), "datanode_id"
+    )
+    over = (
+        u.filter(F.col("utilization") > F.col("avg_utilization") + 10)
+        .withColumn(
+            "excess_bytes",
+            F.floor((F.col("utilization") - F.col("avg_utilization")) * F.col("capacity") / 100.0).cast("long"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("utilization").desc(), "datanode_id")),
+        )
+        .select(
+            F.col("datanode_id").alias("source"),
+            F.col("rack").alias("src_rack"),
+            "excess_bytes",
+            "rk",
+        )
+    )
+    under = (
+        u.filter(F.col("utilization") < F.col("avg_utilization") - 10)
+        .withColumn(
+            "deficit_bytes",
+            F.floor((F.col("avg_utilization") - F.col("utilization")) * F.col("capacity") / 100.0).cast("long"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("utilization").asc(), "datanode_id")),
+        )
+        .select(
+            F.col("datanode_id").alias("target"),
+            F.col("rack").alias("dst_rack"),
+            "deficit_bytes",
+            "rk",
+        )
+    )
+    return over.join(under, "rk").select(
+        "source",
+        "target",
+        F.least("excess_bytes", "deficit_bytes").alias("bytes_to_move"),
+        (F.col("src_rack") == F.col("dst_rack")).alias("same_rack"),
+    )
+
+
+@register(
+    "j6_host_datanodes",
+    oracle="""
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS nodes,
+       string_agg(datanode_id, ',' ORDER BY datanode_id) AS datanode_ids
+FROM datanodes
+GROUP BY host
+""",
+    doc="J6 Host2NodesMap lookup (Host2NodesMap.java:24-130): host -> "
+    "datanode(s) — broadcast-joinable dimension rollup.",
+)
+def j6_host_datanodes(e) -> DataFrame:
+    return (
+        e["datanodes"]
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("nodes"),
+            F.array_join(F.sort_array(F.collect_list("datanode_id")), ",").alias(
+                "datanode_ids"
+            ),
+        )
+    )
+
+
+@register(
+    "j7_lease_paths",
+    oracle="""
+SELECT l.holder,
+       CAST(COUNT(*) AS BIGINT) AS open_files,
+       string_agg(i.path, ',' ORDER BY i.path) AS paths,
+       CAST(SUM(i.length) AS BIGINT) AS open_bytes
+FROM leases l JOIN inodes i ON i.path = l.path
+GROUP BY l.holder
+""",
+    doc="J7 lease->open-paths join (LeaseManager.java:75-94, sorted maps by "
+    "holder and path): per holder, the sorted open-file set and bytes.",
+)
+def j7_lease_paths(e) -> DataFrame:
+    j = e["leases"].join(e["inodes"].select("path", "length"), "path")
+    return j.groupBy("holder").agg(
+        F.count("*").alias("open_files"),
+        F.array_join(F.sort_array(F.collect_list("path")), ",").alias("paths"),
+        F.sum("length").alias("open_bytes"),
+    )
+
+
+@register(
+    "t4_lease_expiry",
+    oracle=f"""
+SELECT holder, path, last_renewed_ms,
+       {NOW_MS} - last_renewed_ms > 60000   AS soft_expired,
+       {NOW_MS} - last_renewed_ms > 3600000 AS hard_expired
+FROM leases
+WHERE {NOW_MS} - last_renewed_ms > 60000
+""",
+    doc="T4 lease expiry (LeaseManager.Monitor:365-411; soft 60 s / hard "
+    "3600 s FSConstants.java:41-42) as the batch analog: leases past the "
+    "soft limit, flagged when past the hard limit. The continuous form "
+    "lives in streaming.timeouts (mapGroupsWithState).",
+)
+def t4_lease_expiry(e) -> DataFrame:
+    l = e["leases"]
+    age = F.lit(NOW_MS) - F.col("last_renewed_ms")
+    return l.filter(age > 60000).select(
+        "holder",
+        "path",
+        "last_renewed_ms",
+        (age > 60000).alias("soft_expired"),
+        (age > 3600000).alias("hard_expired"),
+    )
+
+
+@register(
+    "w4_datanode_ranking",
+    oracle="""
+SELECT datanode_id, capacity, dfs_used, remaining,
+       CAST(RANK() OVER (ORDER BY remaining DESC, datanode_id) AS BIGINT) AS remaining_rank,
+       CAST(RANK() OVER (ORDER BY dfs_used DESC, datanode_id) AS BIGINT)  AS used_rank
+FROM datanodes
+""",
+    doc="W4 datanode web-UI field sort (NamenodeJspHelper.java:395-425): "
+    "rank nodes by arbitrary fields, descending.",
+)
+def w4_datanode_ranking(e) -> DataFrame:
+    d = e["datanodes"]
+    return d.select(
+        "datanode_id",
+        "capacity",
+        "dfs_used",
+        "remaining",
+        F.rank()
+        .over(Window.orderBy(F.col("remaining").desc(), "datanode_id"))
+        .cast("long")
+        .alias("remaining_rank"),
+        F.rank()
+        .over(Window.orderBy(F.col("dfs_used").desc(), "datanode_id"))
+        .cast("long")
+        .alias("used_rank"),
+    )

@@ -77,8 +77,14 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     _import_operator_modules()
     prelude = oracle_prelude()
-    return {
-        name: prelude + q.oracle
-        for name, q in _REGISTRY.items()
-        if q.oracle is not None
-    }
+    out = {}
+    for name, q in _REGISTRY.items():
+        if q.oracle is None:
+            continue
+        sql = q.oracle.strip()
+        # operator SQL may open its own WITH clause; merge it into the
+        # entity-CTE prelude ("WITH a AS (...)\n" + "WITH b AS ..." -> ", b AS ...")
+        if sql.upper().startswith("WITH"):
+            sql = "," + sql[4:]
+        out[name] = prelude + sql
+    return out
