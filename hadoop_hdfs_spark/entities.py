@@ -267,10 +267,11 @@ def load_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Materialize the HDFS entity model as temp views + DataFrames.
 
     Runs the shared SQL through Spark's own parser so the Spark plan and the
-    DuckDB oracle are built from identical text.
+    DuckDB oracle are built from identical text. The returned dict also
+    carries the base fixture tables (documents, embeddings, ...) so pipeline
+    operators can reach them.
     """
-    register_base_tables(spark, sf_dir)
-    out = {}
+    out = dict(register_base_tables(spark, sf_dir))
     for name, sql in ENTITY_SQL.items():
         df = spark.sql(sql)
         df.createOrReplaceTempView(name)

@@ -1,1 +1,272 @@
-"""(stub — filled in by later milestones)"""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §7
+Phase 5; beyond the reference surface, per BASELINE.json north star).
+
+Design for 100 TB:
+
+- exact dedup      — one hash-groupBy; the hash is computed map-side, the
+                     shuffle key is the digest (fixed width), never the text.
+- MinHash + LSH    — shingle -> 16 md5-based minhashes -> 4 bands; candidate
+                     generation is an equi-join on (band_idx, band_value), so
+                     the only pairwise work is within hash buckets. The
+                     verify step touches candidate pairs only.
+- SimHash          — 16-bit signature from per-token md5 bit votes; identical
+                     signatures bucket near-dup candidates with zero pairwise
+                     work.
+- n-gram Jaccard   — the exact (quadratic) baseline the LSH path
+                     approximates; blocked by language at scale.
+
+Portability: md5 is the one hash both Spark and DuckDB evaluate identically,
+so every signature here is built from md5 hex strings; similarity scores are
+emitted as floor(x*1e6) BIGINTs so no float ever reaches the comparator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASH // N_BANDS
+
+# ---------------------------------------------------------------- shingles
+
+_DUCK_SHINGLES = """
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS sh
+  FROM documents
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, sh: distinct word-3-gram shingle array."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return docs.select("doc_id", "lang", sh.alias("sh"))
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+SELECT md5(text) AS text_md5,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="Exact dedup: hash-groupBy on the content digest; keeper = min "
+    "doc_id per group. Map-side md5 means the shuffle moves 16-byte keys, "
+    "not documents.",
+)
+def d_exact_dedup(e) -> DataFrame:
+    return (
+        e["documents"]
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def _duck_minhash_exprs() -> str:
+    return ",\n         ".join(
+        f"MIN(md5('{i}|' || s)) AS mh{i}" for i in range(N_HASH)
+    )
+
+
+def _duck_band_exprs() -> str:
+    return ",\n       ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {_duck_minhash_exprs()}
+  FROM tok GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+       {_duck_band_exprs()}
+  FROM sig
+),
+bl AS (
+  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+  UNION ALL SELECT doc_id, 1, band1 FROM bands
+  UNION ALL SELECT doc_id, 2, band2 FROM bands
+  UNION ALL SELECT doc_id, 3, band3 FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 1000000.0
+            / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS jaccard_e6
+FROM cand c
+JOIN sh x ON x.doc_id = c.a_id
+JOIN sh y ON y.doc_id = c.b_id
+WHERE len(list_intersect(x.sh, y.sh)) * 1000000.0
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= 500000
+""",
+    doc="MinHash+LSH near-dedup: word-3-gram shingles -> 16 md5-keyed "
+    "minhashes -> 4 bands of 4; pairs sharing any band are candidates; "
+    "exact shingle-Jaccard >= 0.5 confirms. Only bucket-mates are ever "
+    "paired — the LSH equi-join is the 100 TB path.",
+)
+def d_minhash_lsh(e) -> DataFrame:
+    sh = _shingles(e["documents"]).cache()
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            for i in range(N_HASH)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", *band_cols)
+    bl = None
+    for b in range(N_BANDS):
+        part = bands.select(
+            "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+        )
+        bl = part if bl is None else bl.unionAll(part)
+    a = bl.alias("a")
+    b = bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    joined = cand.join(x, "a_id").join(y, "b_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter * 1000000.0 / union
+    return (
+        joined.filter(jac >= 500000)
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(jac).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(FLOOR(len(list_intersect(a.sh, b.sh)) * 1000000.0
+            / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e6
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1000000.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 800000
+""",
+    doc="Exact n-gram Jaccard near-dup baseline: pairwise word-3-gram set "
+    "similarity >= 0.8, blocked by language (the blocking key bounds the "
+    "quadratic term; LSH replaces it at scale).",
+)
+def d_ngram_jaccard(e) -> DataFrame:
+    sh = _shingles(e["documents"])
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b"))
+    j = a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("a_id") < F.col("b_id")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter * 1000000.0 / union
+    return j.filter(jac >= 800000).select(
+        "a_id", "b_id", F.floor(jac).cast("long").alias("jaccard_e6")
+    )
+
+
+# SimHash: 16 bits; bit j votes with the MSB of hex digit j of md5(token).
+def _duck_simhash_sql() -> str:
+    bit_terms = ",\n         ".join(
+        f"CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(h, {j + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j in range(16)
+    )
+    packed = " + ".join(f"bit{j} * {1 << j}" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         {bit_terms}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash16
+FROM bits
+"""
+
+
+@register(
+    "d_simhash",
+    oracle=_duck_simhash_sql(),
+    doc="SimHash document signature: each of 16 bits is the sign of the "
+    "per-token md5 hex-digit MSB votes — identical signatures bucket "
+    "near-dup candidates with no pairwise comparisons at all.",
+)
+def d_simhash(e) -> DataFrame:
+    docs = e["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.substring("h", j + 1, 1).rlike("[89a-f]"), 1).otherwise(-1)
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias(f"bit{j}")
+        for j in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_aggs)
+    packed = None
+    for j in range(16):
+        term = F.col(f"bit{j}") * (1 << j)
+        packed = term if packed is None else packed + term
+    return bits.select("doc_id", packed.cast("long").alias("simhash16"))

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched Pandas UDF stages.
+
+The container has no image/audio codecs, so the decode kernel itself is
+STUBBED (deterministic fake features, clearly marked); everything Spark-side
+is real and tested: the schema contract, the ``mapInPandas`` batch shape,
+partition sizing, and the metadata fan-out. Swapping the stub for a real
+decoder (PIL / torchaudio / pyav) changes one function body, not the plan.
+
+100 TB design notes:
+
+- binary payloads ride a ``binary`` column read via ``spark.read.format
+  ("binaryFile")`` or a parquet BLOB column; payloads never pass through
+  Python row-at-a-time — only Arrow record batches.
+- decode/feature stages are ``mapInPandas`` (1 payload in, 1 feature row
+  out) so Spark sizes tasks by input split; frame-sampling fan-out returns
+  multiple rows per input, which mapInPandas expresses naturally.
+- `spark.sql.execution.arrow.maxRecordsPerBatch` bounds decoder memory:
+  batch_bytes ~ batch_rows x max payload size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema contract for a multimodal asset table.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image/audio/video
+        StructField("payload", BinaryType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("feature_digest", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def decode_kernel(payload: bytes, media_type: str) -> dict:
+    """STUB decoder — deterministic fake in place of PIL/pyav (not present
+    in this container). Raises for media types a real deployment would need
+    a codec for; returns stable pseudo-features otherwise so the Spark-side
+    plumbing is fully testable.
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    import hashlib
+
+    digest = hashlib.md5(payload or b"").hexdigest()
+    # fake dimensions derived from the digest — deterministic stand-ins
+    return {
+        "feature_digest": digest,
+        "width": int(digest[:4], 16) % 4096,
+        "height": int(digest[4:8], 16) % 4096,
+    }
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature stage: Arrow batches in, feature rows out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_kernel(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature_digest": [f["feature_digest"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """Frame-sampling fan-out: one row per sampled 'frame' (byte offset
+    stride stands in for time stride). Demonstrates the 1->N mapInPandas
+    shape a video pipeline needs."""
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("frame_digest", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "frame_digest": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = payload or b""
+                for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
+                    chunk = data[off : off + every_n_bytes]
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Adapt the fixture documents table into the asset schema (text bytes
+    standing in for media payloads) — the test harness for the plumbing."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        "source",
+    )

@@ -1,1 +1,182 @@
-"""(stub — filled in by later milestones)"""
+"""Similarity search over embedding vectors (array<float> column).
+
+Two paths, per the standard ANN playbook:
+
+- brute-force top-k — the exact baseline: query set x corpus cross join with
+  a broadcast query side. Dot products run as a sequential fold over
+  double-cast arrays (`F.aggregate` + `zip_with`) entirely JVM-side — no
+  Python UDF in the hot path.
+- IVF-style bucketed top-k — the scale path: a coarse partitioner (here the
+  fixture's `label` column stands in for a k-means cell id) turns the cross
+  join into an equi-join on the cell key, so each query only scans its
+  bucket. At 100 TB the bucket key is what you shuffle on.
+
+Scores are emitted as floor(cos * 1e6) BIGINTs: DuckDB and Spark both fold
+left-to-right over double lists, and flooring removes any residual ulp from
+the comparator's view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# Sequential double fold — mirrors Spark's F.aggregate element order.
+_DUCK_VECS = """
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+"""
+_DUCK_DOT = "list_reduce(list_transform(range(1, 65), i -> a.v[i] * q.v[i]), (acc, x) -> acc + x)"
+_DUCK_NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {t}.v[i] * {t}.v[i]), (acc, x) -> acc + x))"
+
+
+def _vecs(e) -> DataFrame:
+    return e["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "s_knn_bruteforce",
+    oracle=f"""
+WITH e AS ({_DUCK_VECS}),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM q JOIN e a ON a.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_e6,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_e6 DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= 10
+""",
+    doc="Brute-force cosine top-10 (exact ANN baseline): broadcast query "
+    "vectors x full corpus, JVM-side sequential-fold dot product, "
+    "per-query rank window.",
+)
+def s_knn_bruteforce(e) -> DataFrame:
+    vecs = _vecs(e)
+    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    a = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("av"))
+    scored = (
+        a.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(_cosine(F.col("av"), F.col("qv")) * 1000000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cos_e6", "rank")
+    )
+
+
+@register(
+    "s_knn_ivf",
+    oracle=f"""
+WITH e AS ({_DUCK_VECS}),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.label,
+         CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM q JOIN e a ON a.label = q.label AND a.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, label, cos_e6, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_e6 DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= 5
+""",
+    doc="IVF-style bucketed top-5: the coarse cell id (label) turns the "
+    "scan into an equi-join — each query probes one bucket instead of the "
+    "corpus. The 100 TB shape: shuffle on cell id, never cross-join.",
+)
+def s_knn_ivf(e) -> DataFrame:
+    vecs = _vecs(e)
+    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("av")
+    )
+    scored = (
+        a.join(F.broadcast(q), (F.col("label") == F.col("qlabel")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.floor(_cosine(F.col("av"), F.col("qv")) * 1000000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "label", "cos_e6", "rank")
+    )
+
+
+@register(
+    "s_embedding_stats",
+    oracle=f"""
+WITH e AS ({_DUCK_VECS})
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS vectors,
+       CAST(FLOOR(AVG({_DUCK_NORM.format(t='e')}) * 1000000) AS BIGINT) AS avg_norm_e6,
+       CAST(FLOOR(MIN({_DUCK_NORM.format(t='e')}) * 1000000) AS BIGINT) AS min_norm_e6,
+       CAST(FLOOR(MAX({_DUCK_NORM.format(t='e')}) * 1000000) AS BIGINT) AS max_norm_e6
+FROM e
+GROUP BY label
+""",
+    doc="Per-bucket embedding geometry stats (norm distribution) — the "
+    "cell-level summary an IVF index build starts from.",
+)
+def s_embedding_stats(e) -> DataFrame:
+    vecs = _vecs(e)
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    per_vec = vecs.select("label", norm.alias("norm"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("vectors"),
+        F.floor(F.avg("norm") * 1000000).cast("long").alias("avg_norm_e6"),
+        F.floor(F.min("norm") * 1000000).cast("long").alias("min_norm_e6"),
+        F.floor(F.max("norm") * 1000000).cast("long").alias("max_norm_e6"),
+    )

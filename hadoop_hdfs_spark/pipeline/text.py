@@ -1,1 +1,219 @@
-"""(stub — filled in by later milestones)"""
+"""Text analysis operators for LLM training-data pipelines: token statistics,
+quality scoring, corpus-profile language ID, document fingerprinting, and
+multimodal binary-column plumbing stats.
+
+Everything is built-in-function Spark (split / explode / groupBy / window) —
+no Python UDFs — so the hot path stays in whole-stage codegen and scales as
+one or two shuffles per query regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+
+@register(
+    "t_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)                AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT)                                AS n_chars_measured,
+       length(text) = n_chars                                      AS chars_match,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents
+""",
+    doc="Token counting (whitespace tokenizer): per-document token count, "
+    "distinct-token count, measured char length cross-checked against the "
+    "stored n_chars metadata column.",
+)
+def t_token_stats(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (F.length("text") == F.col("n_chars")).alias("chars_match"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle="""
+SELECT doc_id,
+       CAST(FLOOR(len(list_distinct(string_split(text, ' '))) * 1000000.0
+            / len(string_split(text, ' '))) AS BIGINT) AS diversity_e6,
+       CASE WHEN len(string_split(text, ' ')) < 20 THEN 'TOO_SHORT'
+            WHEN len(list_distinct(string_split(text, ' '))) * 1000000.0
+                 / len(string_split(text, ' ')) < 300000 THEN 'REPETITIVE'
+            ELSE 'OK' END AS quality_band
+FROM documents
+""",
+    doc="Quality scoring: lexical diversity (type/token ratio) plus "
+    "length banding — the cheap heuristics a pretraining filter applies "
+    "before any model-based scoring.",
+)
+def t_quality_score(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    div = nd * 1000000.0 / n
+    band = (
+        F.when(n < 20, "TOO_SHORT")
+        .when(div < 300000, "REPETITIVE")
+        .otherwise("OK")
+    )
+    return d.select(
+        "doc_id",
+        F.floor(div).cast("long").alias("diversity_e6"),
+        band.alias("quality_band"),
+    )
+
+
+@register(
+    "t_lang_id",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+profile AS (
+  SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY t, lang
+),
+lang_total AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS total FROM tok GROUP BY lang
+),
+scored AS (
+  SELECT tok.doc_id, p.lang AS cand_lang,
+         CAST(SUM(CAST(FLOOR(p.freq * 1000000.0 / lt.total) AS BIGINT)) AS BIGINT) AS score
+  FROM tok
+  JOIN profile p ON p.t = tok.t
+  JOIN lang_total lt ON lt.lang = p.lang
+  GROUP BY tok.doc_id, p.lang
+)
+SELECT s.doc_id, s.cand_lang AS predicted_lang, d.lang AS actual_lang,
+       s.cand_lang = d.lang AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand_lang) AS rk
+  FROM scored
+) s
+JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.rk = 1
+""",
+    doc="Language ID by corpus n-gram profile: per-(token, lang) frequency "
+    "profiles normalized per language, document scored against every "
+    "profile, argmax wins. Scores are integer-quantized so the aggregation "
+    "is order-independent. (The fixture text is language-agnostic word "
+    "soup, so accuracy hovers near prior — the measured fact, not a bug.)",
+)
+def t_lang_id(e) -> DataFrame:
+    d = e["documents"]
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    profile = tok.groupBy("t", "lang").agg(F.count("*").alias("freq"))
+    lang_total = tok.groupBy("lang").agg(F.count("*").alias("total"))
+    prof = profile.join(lang_total, "lang").select(
+        "t",
+        F.col("lang").alias("cand_lang"),
+        F.floor(F.col("freq") * 1000000.0 / F.col("total")).cast("long").alias("w"),
+    )
+    scored = (
+        tok.select("doc_id", "t")
+        .join(prof, "t")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("cand_lang").alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+        (F.col("cand_lang") == F.col("lang")).alias("correct"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+h AS (
+  SELECT doc_id, md5(unnest(s)) AS hv FROM sh
+),
+ranked AS (
+  SELECT doc_id, hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rk
+  FROM h
+)
+SELECT doc_id, md5(string_agg(hv, '' ORDER BY hv)) AS fingerprint
+FROM ranked WHERE rk <= 4
+GROUP BY doc_id
+""",
+    doc="Document fingerprint (winnowing-style): the 4 smallest md5 shingle "
+    "hashes, concatenated in order and re-hashed — a compact stable "
+    "signature robust to local edits.",
+)
+def t_fingerprint(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    hashes = d.select("doc_id", F.explode(sh).alias("s")).select(
+        "doc_id", F.md5("s").alias("hv")
+    )
+    w = Window.partitionBy("doc_id").orderBy("hv")
+    top4 = hashes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4)
+    return top4.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.sort_array(F.collect_list("hv")), "")).alias("fingerprint")
+    )
+
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)                       AS byte_len,
+       CAST(CEIL(length(text) / 256.0) AS BIGINT)         AS n_chunks,
+       md5(substr(text, 1, 64))                           AS head_digest,
+       source                                             AS media_source
+FROM documents
+""",
+    doc="Multimodal binary-column plumbing stats: treat content as an opaque "
+    "byte payload — size, 256-byte chunk count (the BlockSender 512 B chunk "
+    "analog, BlockSender.java:46-182), head digest for magic-byte sniffing, "
+    "source tag. Decode itself is a stubbed Pandas-UDF stage (see "
+    "pipeline.multimodal).",
+)
+def mm_binary_stats(e) -> DataFrame:
+    d = e["documents"]
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("byte_len"),
+        F.ceil(F.length("text") / 256.0).cast("long").alias("n_chunks"),
+        F.md5(F.substring("text", 1, 64)).alias("head_digest"),
+        F.col("source").alias("media_source"),
+    )

@@ -1,0 +1,131 @@
+"""T1 edit replay, the streaming A6 aggregation, and the multimodal
+mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_hdfs_spark.entities import load_entities
+from hadoop_hdfs_spark.pipeline.multimodal import (
+    decode_kernel,
+    documents_as_assets,
+    extract_features,
+    frame_sample,
+)
+from hadoop_hdfs_spark.streaming.replay import (
+    apply_edits_batch,
+    edits_opcode_stream_stats,
+    replay_edits_stream,
+)
+
+
+def test_apply_edits_batch_semantics(spark):
+    state = spark.createDataFrame(
+        [("/a", True, 3), ("/a/x", True, 3), ("/b", True, 2)],
+        "path STRING, exists BOOLEAN, replication INT",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "OP_RENAME", 0, "/a", "/c", None),       # subtree rename
+            (2, "OP_ADD", 0, "/d", None, 1),             # create
+            (3, "OP_DELETE", 0, "/b", None, None),       # delete
+            (4, "OP_SET_REPLICATION", 0, "/d", None, 5), # update (after add)
+        ],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    out = {r["path"]: (r["exists"], r["replication"]) for r in apply_edits_batch(state, batch).collect()}
+    # rename rewrote the subtree prefix
+    assert "/c" in out and "/c/x" in out and "/a" not in out and "/a/x" not in out
+    # delete flips exists; last-writer-wins applied set_replication over add
+    assert out["/b"][0] is False
+    assert out["/d"] == (True, 5)
+
+
+def test_apply_edits_batch_idempotent(spark):
+    """foreachBatch is at-least-once: re-applying the same batch must
+    converge (MERGE keyed by path, not append)."""
+    state = spark.createDataFrame(
+        [("/a", True, 3)], "path STRING, exists BOOLEAN, replication INT"
+    )
+    batch = spark.createDataFrame(
+        [(1, "OP_ADD", 0, "/e", None, 2)],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    once = apply_edits_batch(state, batch)
+    twice = apply_edits_batch(once, batch)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
+    """Stream the derived edits changelog through foreachBatch MERGE and
+    check the final snapshot agrees with a batch replay."""
+    e = load_entities(spark, sf_dir)
+    edits_dir = str(tmp_path / "edits")
+    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+        2
+    ).write.parquet(edits_dir)
+    q = replay_edits_stream(
+        spark,
+        edits_dir,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "snapshot"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    snap = spark.read.parquet(str(tmp_path / "snapshot"))
+    assert snap.count() > 0
+    # every OP_ADD/OP_MKDIR path with no later delete/rename-away exists
+    batch_applied = apply_edits_batch(
+        spark.createDataFrame([], "path STRING, exists BOOLEAN, replication INT"),
+        e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").orderBy("txid"),
+    )
+    # streamed (multiple micro-batches) vs one-shot batch replay converge
+    lhs = {(r["path"], r["exists"]) for r in snap.collect()}
+    rhs = {(r["path"], r["exists"]) for r in batch_applied.collect()}
+    assert lhs == rhs
+
+
+def test_edits_opcode_stream_matches_batch(spark, sf_dir, tmp_path):
+    e = load_entities(spark, sf_dir)
+    edits_dir = str(tmp_path / "edits2")
+    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+        3
+    ).write.parquet(edits_dir)
+    q, table = edits_opcode_stream_stats(spark, edits_dir)
+    q.awaitTermination(120)
+    stream_counts = {r["op"]: r["count"] for r in table().collect()}
+    batch_counts = {
+        r["op"]: r["n"]
+        for r in e["edits"].groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    assert stream_counts == batch_counts
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    e = load_entities(spark, sf_dir)
+    assets = documents_as_assets(e["documents"])
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == e["documents"].count()
+    # digests deterministic: re-run produces identical output
+    again = {r["asset_id"]: r["feature_digest"] for r in extract_features(assets).collect()}
+    for r in rows:
+        assert again[r["asset_id"]] == r["feature_digest"]
+        assert r["byte_len"] > 0 and 0 <= r["width"] < 4096
+
+
+def test_multimodal_frame_sample_fanout(spark, sf_dir):
+    e = load_entities(spark, sf_dir)
+    assets = documents_as_assets(e["documents"]).limit(20)
+    frames = frame_sample(assets, every_n_bytes=100)
+    pdf = frames.toPandas()
+    assert len(pdf) >= 20  # 1->N fan-out
+    assert (pdf.groupby("asset_id")["frame_idx"].min() == 0).all()
+
+
+def test_decode_kernel_rejects_unknown_media():
+    with pytest.raises(NotImplementedError):
+        decode_kernel(b"xx", "hologram")
