@@ -273,7 +273,11 @@ def load_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     out = dict(register_base_tables(spark, sf_dir))
     for name, sql in ENTITY_SQL.items():
-        df = spark.sql(sql)
+        # Entity tables are the *metadata* model (namespace/node-scale, not
+        # data-scale) — the hot dimensions every query joins. Caching them
+        # is the FSImage-in-RAM analog and shares the derivation across the
+        # whole query suite.
+        df = spark.sql(sql).cache()
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

