@@ -36,6 +36,8 @@ integer columns hash identically across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 # "now" for liveness checks: 2024-01-02T00:00:00Z.
@@ -255,6 +257,14 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     # events.parquet stores TIMESTAMP(NANOS), unreadable by Spark 4 without
     # this (runtime-settable) flag; `ts` surfaces as BIGINT nanoseconds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a default-config session (200 shuffle
+    # partitions — 6x task overhead for metadata-scale frames on a 32-core
+    # box). These are runtime-settable; a cluster deployment would size
+    # them to 2-3x total cores instead.
+    cores = os.cpu_count() or 8
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(cores, 64)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     out = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,206 @@
+"""Administrative / scalar-function surface (SURVEY.md §2.7 C3-C8, §2.8 T6,
+§2.10): the DFSAdmin-style scalar library, the replication work scheduler,
+and the multi-namespace federation rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+
+@register(
+    "c3_c8_scalar_functions",
+    oracle="""
+SELECT block_id,
+       CAST(FLOOR(num_bytes / 1073741824.0 + 0.5) AS BIGINT) AS size_gb_rounded,
+       CAST(FLOOR(num_bytes * 100.0 / 67108864) AS BIGINT)   AS pct_of_block_e2,
+       md5(CAST(block_id AS STRING))                         AS content_md5,
+       'blk_' || CAST(block_id AS STRING)                    AS blk_name,
+       substr(md5(CAST(gen_stamp AS STRING)), 1, 8)          AS gen_digest8
+FROM blocks
+""",
+    doc="C3/C6 scalar function family (DFSUtil.roundBytesToGB "
+    "FSNamesystem.java:3502-3524; DataChecksum/MD5 DFSClient.java:1054): "
+    "GB rounding, percent-of-blocksize, digests, name codecs — all "
+    "JVM-side built-ins inside whole-stage codegen.",
+)
+def c3_c8_scalar_functions(e) -> DataFrame:
+    b = e["blocks"]
+    return b.select(
+        "block_id",
+        F.floor(F.col("num_bytes") / 1073741824.0 + 0.5).cast("long").alias("size_gb_rounded"),
+        F.floor(F.col("num_bytes") * 100.0 / 67108864).cast("long").alias("pct_of_block_e2"),
+        F.md5(F.col("block_id").cast("string")).alias("content_md5"),
+        F.concat(F.lit("blk_"), F.col("block_id").cast("string")).alias("blk_name"),
+        F.substring(F.md5(F.col("gen_stamp").cast("string")), 1, 8).alias("gen_digest8"),
+    )
+
+
+@register(
+    "c5_permission_codec",
+    oracle="""
+SELECT perm,
+       CAST(
+         (CASE WHEN substr(perm, 1, 1) = 'r' THEN 4 ELSE 0 END +
+          CASE WHEN substr(perm, 2, 1) = 'w' THEN 2 ELSE 0 END +
+          CASE WHEN substr(perm, 3, 1) = 'x' THEN 1 ELSE 0 END) * 100 +
+         (CASE WHEN substr(perm, 4, 1) = 'r' THEN 4 ELSE 0 END +
+          CASE WHEN substr(perm, 5, 1) = 'w' THEN 2 ELSE 0 END +
+          CASE WHEN substr(perm, 6, 1) = 'x' THEN 1 ELSE 0 END) * 10 +
+         (CASE WHEN substr(perm, 7, 1) = 'r' THEN 4 ELSE 0 END +
+          CASE WHEN substr(perm, 8, 1) = 'w' THEN 2 ELSE 0 END +
+          CASE WHEN substr(perm, 9, 1) = 'x' THEN 1 ELSE 0 END) AS INT) AS octal,
+       CAST(COUNT(*) AS BIGINT) AS inodes
+FROM inodes
+GROUP BY perm
+""",
+    doc="C5 permission rwx<->octal codec (FsPermission rendering, "
+    "ImageLoaderCurrent.java:316-320): digit-wise rwx decode to octal, "
+    "rolled up per distinct permission string.",
+)
+def c5_permission_codec(e) -> DataFrame:
+    def tri(base: int) -> F.Column:
+        return (
+            F.when(F.substring("perm", base + 1, 1) == "r", 4).otherwise(0)
+            + F.when(F.substring("perm", base + 2, 1) == "w", 2).otherwise(0)
+            + F.when(F.substring("perm", base + 3, 1) == "x", 1).otherwise(0)
+        )
+
+    octal = (tri(0) * 100 + tri(3) * 10 + tri(6)).cast("int")
+    return (
+        e["inodes"]
+        .groupBy("perm")
+        .agg(F.count("*").alias("inodes"))
+        .select("perm", octal.alias("octal"), "inodes")
+    )
+
+
+@register(
+    "t6_replication_work",
+    oracle="""
+SELECT block_id, priority, source_datanode, rk AS round_slot
+FROM (
+  SELECT w.block_id, w.priority, s.source_datanode,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.source_datanode
+                                 ORDER BY w.priority, w.block_id) AS INT) AS rk
+  FROM (
+    SELECT c.block_id,
+           CAST(CASE WHEN c.live = 0 AND c.decom_live > 0 THEN 0
+                WHEN c.live = 0 THEN 4
+                WHEN c.live = 1 THEN 0
+                WHEN c.live * 3 < i.replication THEN 1
+                ELSE 2 END AS INT) AS priority
+    FROM (
+      SELECT b.block_id, b.file_id,
+             CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
+             CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS decom_live
+      FROM blocks b
+      LEFT JOIN replicas r ON r.block_id = b.block_id
+      LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
+      GROUP BY b.block_id, b.file_id
+    ) c
+    JOIN inodes i ON i.id = c.file_id
+    WHERE c.live < i.replication AND c.live > 0
+  ) w
+  JOIN (
+    SELECT block_id, MIN(datanode_id) AS source_datanode
+    FROM replicas WHERE NOT is_corrupt GROUP BY block_id
+  ) s ON s.block_id = w.block_id
+) t
+WHERE rk <= 2
+""",
+    doc="T6 replication work scheduler (FSNamesystem.computeDatanodeWork:"
+    "3075-3111, BlockManager.computeReplicationWork:686-905): drain the W2 "
+    "priority queues, pick a live source replica per block, cap 2 transfers "
+    "per source node per round (the per-heartbeat work cap) — priority "
+    "ordering + per-node rank window.",
+)
+def t6_replication_work(e) -> DataFrame:
+    from .blocks import w2_replication_priority
+
+    work = w2_replication_priority(e).filter(F.col("live") > 0)
+    sources = (
+        e["replicas"]
+        .filter(~F.col("is_corrupt"))
+        .groupBy("block_id")
+        .agg(F.min("datanode_id").alias("source_datanode"))
+    )
+    j = work.join(sources, "block_id")
+    w = Window.partitionBy("source_datanode").orderBy("priority", "block_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 2)
+        .select("block_id", "priority", "source_datanode", F.col("rk").alias("round_slot"))
+    )
+
+
+@register(
+    "fed_namespace_rollup",
+    oracle="""
+SELECT ns.namespace,
+       CAST(COUNT(*) AS BIGINT)                                        AS inodes,
+       CAST(SUM(CASE WHEN NOT i.is_dir THEN 1 ELSE 0 END) AS BIGINT)   AS files,
+       CAST(SUM(CASE WHEN NOT i.is_dir THEN i.length ELSE 0 END) AS BIGINT) AS bytes,
+       CAST(SUM(CASE WHEN i.under_construction THEN 1 ELSE 0 END) AS BIGINT) AS open_files
+FROM inodes i
+JOIN (SELECT path AS ns_path, name AS namespace FROM inodes WHERE parent_id = 1) ns
+  ON i.path = ns.ns_path OR i.path LIKE ns.ns_path || '/%'
+GROUP BY ns.namespace
+""",
+    doc="Federation multi-namespace rollup (ClusterJspHelper.java:55-286 — "
+    "the multi-NameNode cluster summary; each top-level directory stands "
+    "for one federated namespace volume): union + aggregate over namespace "
+    "rows.",
+)
+def fed_namespace_rollup(e) -> DataFrame:
+    inodes = e["inodes"]
+    ns = inodes.filter(F.col("parent_id") == 1).select(
+        F.col("path").alias("ns_path"), F.col("name").alias("namespace")
+    )
+    j = inodes.join(
+        F.broadcast(ns),
+        (F.col("path") == F.col("ns_path"))
+        | F.col("path").startswith(F.concat("ns_path", F.lit("/"))),
+    )
+    return j.groupBy("namespace").agg(
+        F.count("*").alias("inodes"),
+        F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("files"),
+        F.sum(F.when(~F.col("is_dir"), F.col("length")).otherwise(0)).alias("bytes"),
+        F.sum(F.when(F.col("under_construction"), 1).otherwise(0)).alias("open_files"),
+    )
+
+
+@register(
+    "t5_block_report_upsert",
+    oracle="""
+SELECT r.datanode_id,
+       CAST(COUNT(*) AS BIGINT)                                      AS reported,
+       CAST(SUM(CASE WHEN r.state = 'FINALIZED' THEN 1 ELSE 0 END) AS BIGINT) AS finalized,
+       CAST(SUM(CASE WHEN r.state IN ('RBW','RWR') THEN 1 ELSE 0 END) AS BIGINT) AS under_construction,
+       CAST(SUM(b.num_bytes) AS BIGINT)                              AS reported_bytes
+FROM replicas r
+JOIN blocks b ON b.block_id = r.block_id
+WHERE r.on_disk
+GROUP BY r.datanode_id
+""",
+    doc="T5 block-report micro-batch (DataNode.offerService:819-947, "
+    "BlockListAsLongs packing): per-datanode report summary split by "
+    "finalized vs under-construction replica state — the per-report rollup "
+    "the NN ingests every 6 h; the continuous upsert lives in "
+    "streaming.replay.",
+)
+def t5_block_report_upsert(e) -> DataFrame:
+    r = e["replicas"].filter("on_disk")
+    j = r.join(e["blocks"].select("block_id", "num_bytes"), "block_id")
+    return j.groupBy("datanode_id").agg(
+        F.count("*").alias("reported"),
+        F.sum(F.when(F.col("state") == "FINALIZED", 1).otherwise(0)).alias("finalized"),
+        F.sum(F.when(F.col("state").isin("RBW", "RWR"), 1).otherwise(0)).alias(
+            "under_construction"
+        ),
+        F.sum("num_bytes").alias("reported_bytes"),
+    )

@@ -1,0 +1,73 @@
+"""Sources and sinks (SURVEY.md §2.1 S7/S8/S9): fsimage-snapshot load/save
+and the offline-viewer output formats.
+
+The reference's OfflineImageViewer renders a binary fsimage through visitor
+sinks — XML, ^A-delimited, indented text (XmlImageVisitor /
+DelimitedImageVisitor.java / IndentedImageVisitor.java); the Spark-native
+analogs are ``df.write`` formats:
+
+- snapshot (S7)     -> parquet directory (columnar fsimage; dictionary
+                       encoding subsumes NameCache, SURVEY §1.4)
+- edits log (S8)    -> parquet directory consumed by streaming.replay
+- XML sink (S9)     -> json-lines (the structured-record equivalent)
+- delimited (S9)    -> csv with the reference's ^A (\\x01) separator
+                       (DelimitedImageVisitor default)
+
+All writers partition by a namespace-prefix column so a 100 TB image lands
+as parallel, prunable files rather than one stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELIMITER = "\x01"  # DelimitedImageVisitor's default field separator
+
+
+def save_snapshot(inodes: DataFrame, path: str, partition_depth: int = 1) -> None:
+    """S7 saveNamespace: write the namespace as a partitioned parquet
+    snapshot (FSImageFormat.save:584-608 -> columnar). Partition key is the
+    top-level directory so subtree reads prune files."""
+    part = F.coalesce(
+        F.nullif(F.element_at(F.split("path", "/"), 2), F.lit("")), F.lit("_root")
+    )
+    inodes.withColumn("ns_top", part).write.mode("overwrite").partitionBy(
+        "ns_top"
+    ).parquet(path)
+
+
+def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """S7 image load (FSImageFormat.load:130): read the parquet snapshot;
+    partition pruning applies to any path-prefix query."""
+    return spark.read.parquet(path).drop("ns_top")
+
+
+def save_edits(edits: DataFrame, path: str) -> None:
+    """S8: persist the changelog, txid-sorted within files, for replay."""
+    edits.sortWithinPartitions("txid").write.mode("overwrite").parquet(path)
+
+
+def write_xml_sink(df: DataFrame, path: str) -> None:
+    """S9 XML visitor analog: structured-record lines (json-lines carries
+    the same nesting XmlImageVisitor emits)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_delimited_sink(df: DataFrame, path: str) -> None:
+    """S9 DelimitedImageVisitor analog: ^A-separated flat records."""
+    df.write.mode("overwrite").option("sep", DELIMITER).option(
+        "header", "false"
+    ).csv(path)
+
+
+def roundtrip_check(spark: SparkSession, inodes: DataFrame, tmp: str) -> bool:
+    """Snapshot save->load must be lossless (the TestOIVCanReadOldVersions
+    analog): same rows, same schema."""
+    save_snapshot(inodes, tmp)
+    back = load_snapshot(spark, tmp)
+    if set(back.columns) != set(inodes.columns):
+        return False
+    a = inodes.select(*sorted(inodes.columns))
+    b = back.select(*sorted(inodes.columns))
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
