@@ -20,8 +20,11 @@ handled by rewriting every path under the renamed prefix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
@@ -36,22 +39,52 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     state.createOrReplaceTempView("ns_state")
     # Deduplicate within the batch: last op per path wins, in txid order.
     batch.createOrReplaceTempView("ns_batch")
-    # 1. renames first: rewrite every state path under a renamed prefix.
-    renames = batch.filter(F.col("op") == "OP_RENAME").select("path", "dst", "txid")
-    if renames.limit(1).count() > 0:
-        renames.createOrReplaceTempView("ns_renames")
-        state = spark.sql(
-            """
-            SELECT CASE
-                     WHEN r.path IS NOT NULL AND s.path = r.path THEN r.dst
-                     WHEN r.path IS NOT NULL THEN r.dst || substr(s.path, length(r.path) + 1)
-                     ELSE s.path
-                   END AS path,
-                   s.exists, s.replication
-            FROM ns_state s
-            LEFT JOIN ns_renames r
-              ON s.path = r.path OR s.path LIKE r.path || '/%'
-            """
+    # 1. renames first, in strict txid order. A join-based rewrite would
+    #    fan out when two renames share a source (both would fire) and
+    #    would miss chains (/a->/d then /d->/e); composing one CASE per
+    #    rename in order gives exact sequential edit-log semantics. The
+    #    rename list is collected to the driver — an edit batch carries a
+    #    handful of renames, never data-scale (same justification as the
+    #    reference's single-threaded FSEditLogLoader op loop).
+    renames = [
+        (r["path"], r["dst"])
+        for r in batch.filter(F.col("op") == "OP_RENAME")
+        .select("path", "dst")
+        .orderBy("txid")
+        .collect()
+    ]
+    if renames:
+        # Sequential prefix-rewrite fold as an Arrow-batched pandas UDF.
+        # (Composing k CASE expressions instead nests the previous
+        # expression ~4x per level — an O(4^k) expression tree that OOMs
+        # the planner at ~100 renames/batch. Python pays O(k) per row.)
+        rules = list(renames)
+
+        @pandas_udf("string")
+        def rewrite(paths: pd.Series) -> pd.Series:
+            def f(p: str) -> str:
+                for s, d in rules:
+                    if p == s:
+                        p = d
+                    elif p.startswith(s + "/"):
+                        p = d + p[len(s):]
+                return p
+
+            return paths.map(f)
+
+        rewritten = state.withColumn("_new_path", rewrite(F.col("path"))).select(
+            F.col("_new_path").alias("path"),
+            "exists",
+            "replication",
+            (F.col("_new_path") != F.col("path")).alias("_renamed"),
+        )
+        # a rename landing on an existing path replaces it (the renamed row
+        # wins), so dedupe by path preferring renamed rows
+        w = Window.partitionBy("path").orderBy(F.col("_renamed").desc())
+        state = (
+            rewritten.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_renamed")
         )
         state.createOrReplaceTempView("ns_state")
     # 2. per-path fold: existence is decided by the LAST create/delete op,

@@ -45,8 +45,18 @@ LIVENESS_OUTPUT = StructType(
 LIVENESS_STATE = StructType([StructField("last_heartbeat_ms", LongType(), True)])
 
 
+def make_heartbeat_monitor(timeout_ms: int = HEARTBEAT_EXPIRY_MS):
+    def monitor(key, rows, state):
+        yield from heartbeat_monitor(key, rows, state, timeout_ms)
+
+    return monitor
+
+
 def heartbeat_monitor(
-    key: tuple[str], rows: Iterator[pd.DataFrame], state: GroupState
+    key: tuple[str],
+    rows: Iterator[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int = HEARTBEAT_EXPIRY_MS,
 ) -> Iterator[pd.DataFrame]:
     """T3 heartbeat tracker: one state cell per datanode holding the latest
     heartbeat; a processing-time timeout marks the node dead — the
@@ -64,17 +74,18 @@ def heartbeat_monitor(
         m = int(pdf["heartbeat_ms"].max())
         latest = m if latest is None else max(latest, m)
     state.update((latest,))
-    state.setTimeoutDuration(HEARTBEAT_EXPIRY_MS)
+    state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
         {"datanode_id": [datanode_id], "last_heartbeat_ms": [latest], "is_dead": [False]}
     )
 
 
-def heartbeat_liveness_stream(heartbeats):
+def heartbeat_liveness_stream(heartbeats, timeout_ms: int = HEARTBEAT_EXPIRY_MS):
     """Wire the T3 monitor over a streaming (datanode_id, heartbeat_ms)
-    frame. Returns the stateful DataFrame; caller attaches the sink."""
+    frame. Returns the stateful DataFrame; caller attaches the sink.
+    ``timeout_ms`` is the dead-node threshold (tests shrink it)."""
     return heartbeats.groupBy("datanode_id").applyInPandasWithState(
-        heartbeat_monitor,
+        make_heartbeat_monitor(timeout_ms),
         outputStructType=LIVENESS_OUTPUT,
         stateStructType=LIVENESS_STATE,
         outputMode="append",
