@@ -31,10 +31,14 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).count()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
     print(
@@ -45,6 +49,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

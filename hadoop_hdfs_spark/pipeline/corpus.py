@@ -1,0 +1,161 @@
+"""Corpus-level text statistics: skew-safe token counting, TF-IDF term
+profiles, and near-duplicate cluster assignment.
+
+- ``t_token_frequency_salted`` demonstrates the 100 TB skew pattern: the
+  fixture vocabulary is 31 words across millions of tokens — a worst-case
+  skewed groupBy key. The two-stage salted aggregate (random-ish salt from
+  doc_id, partial count per (token, salt), then final rollup) bounds any
+  single reducer's load at 1/SALT of the hottest key. The oracle is the
+  plain GROUP BY — salting must be semantically invisible.
+- ``t_tfidf_top_terms`` is the canonical corpus profile: integer-quantized
+  tf-idf so the aggregation stays order-independent across engines.
+- ``near_dup_clusters`` closes the dedup story: LSH pairs -> connected
+  components via iterative min-label propagation (a genuinely iterative
+  algorithm — library function with tests, rows-only in the driver gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+SALT_BUCKETS = 16
+
+
+@register(
+    "t_token_frequency_salted",
+    oracle="""
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY t
+""",
+    doc="Skew-safe token frequency: 31-word vocabulary over the whole corpus "
+    "is a pathologically hot groupBy key; the two-stage salted aggregate "
+    "(partial count per (token, doc_id%16), then rollup) caps any one "
+    "reducer at ~1/16 of the hottest key. Salting is a physical-plan choice "
+    "only — the oracle is the plain GROUP BY.",
+)
+def t_token_frequency_salted(e) -> DataFrame:
+    docs = e["documents"].repartition(32)
+    tok = docs.select(
+        (F.col("doc_id") % SALT_BUCKETS).alias("salt"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    partial = tok.groupBy("token", "salt").agg(F.count("*").alias("pn"))
+    return partial.groupBy("token").agg(F.sum("pn").alias("n"))
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+df_counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, t2 AS t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t2 FROM documents)
+  GROUP BY doc_id, t2
+),
+scored AS (
+  SELECT tf.doc_id, tf.t,
+         CAST(FLOOR(tf.tf * ln(n.n_docs * 1.0 / df_counts.df) * 1000000) AS BIGINT) AS tfidf_e6
+  FROM tf JOIN df_counts ON df_counts.t = tf.t CROSS JOIN n
+)
+SELECT doc_id, t AS term, tfidf_e6, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_e6 DESC, t) AS rk
+  FROM scored
+) x
+WHERE rk <= 3
+""",
+    doc="TF-IDF top-3 terms per document: document frequency from distinct "
+    "tokens, term frequency with multiplicity, idf = ln(N/df), score "
+    "integer-quantized (floor*1e6) so cross-engine float noise cannot reach "
+    "the comparator.",
+)
+def t_tfidf_top_terms(e) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = e["documents"]
+    toks = F.split("text", " ")
+    tok_distinct = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("t")
+    )
+    df_counts = tok_distinct.groupBy("t").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar; corpus row count, fine on the driver
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df_counts), "t").select(
+        "doc_id",
+        "t",
+        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000)
+        .cast("long")
+        .alias("tfidf_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_e6").desc(), "t")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tfidf_e6", F.col("rk").cast("int").alias("rank"))
+    )
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over the near-dup pair graph by iterative
+    min-label propagation: every doc adopts the smallest doc_id reachable
+    so far; iterate to fixpoint (or max_iter).
+
+    Returns (doc_id, cluster_id). Each iteration is one join + one
+    aggregate — the standard large-graph CC shape (label propagation, cf.
+    GraphFrames) with O(diameter) rounds; near-dup clusters are tiny, so
+    convergence is 2-3 rounds in practice.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -129,3 +129,27 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
 def test_decode_kernel_rejects_unknown_media():
     with pytest.raises(NotImplementedError):
         decode_kernel(b"xx", "hologram")
+
+
+def test_near_dup_clusters_transitive(spark):
+    """a~b and b~c must land in one cluster even without an a~c edge."""
+    from hadoop_hdfs_spark.pipeline.corpus import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a_id LONG, b_id LONG",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dup_clusters_on_lsh_output(spark, sf_dir):
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.pipeline.corpus import near_dup_clusters
+
+    pairs = registry.queries()["d_minhash_lsh"](spark, sf_dir)
+    labels = near_dup_clusters(pairs)
+    # every doc in a pair got a label; labels are the min of their component
+    n_docs = pairs.selectExpr("a_id AS d").union(pairs.selectExpr("b_id")).distinct().count()
+    assert labels.count() == n_docs
+    assert labels.filter("cluster_id > doc_id").count() == 0
