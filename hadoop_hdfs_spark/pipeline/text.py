@@ -169,7 +169,10 @@ GROUP BY doc_id
     "signature robust to local edits.",
 )
 def t_fingerprint(e) -> DataFrame:
-    d = e["documents"]
+    # pure array expressions — per-row compute, ZERO shuffles (the
+    # explode->window->groupBy formulation costs two shuffles for the same
+    # answer; at 100 TB this version is embarrassingly parallel)
+    d = e["documents"].repartition(32)
     toks = F.split("text", " ")
     sh = F.array_distinct(
         F.transform(
@@ -182,13 +185,9 @@ def t_fingerprint(e) -> DataFrame:
             ),
         )
     )
-    hashes = d.select("doc_id", F.explode(sh).alias("s")).select(
-        "doc_id", F.md5("s").alias("hv")
-    )
-    w = Window.partitionBy("doc_id").orderBy("hv")
-    top4 = hashes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4)
-    return top4.groupBy("doc_id").agg(
-        F.md5(F.array_join(F.sort_array(F.collect_list("hv")), "")).alias("fingerprint")
+    top4 = F.slice(F.sort_array(F.transform(sh, lambda s: F.md5(s))), 1, 4)
+    return d.select(
+        "doc_id", F.md5(F.array_join(top4, "")).alias("fingerprint")
     )
 
 
