@@ -282,6 +282,7 @@ def load_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     operators can reach them.
     """
     out = dict(register_base_tables(spark, sf_dir))
+    out["__sf_dir__"] = sf_dir
     for name, sql in ENTITY_SQL.items():
         # Entity tables are the *metadata* model (namespace/node-scale, not
         # data-scale) — the hot dimensions every query joins. Caching them

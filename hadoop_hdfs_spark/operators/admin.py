@@ -204,3 +204,23 @@ def t5_block_report_upsert(e) -> DataFrame:
         ),
         F.sum("num_bytes").alias("reported_bytes"),
     )
+
+
+@register(
+    "s1_binary_block_scan",
+    oracle=None,  # binaryFile is a Spark-only source; driver records rows-only
+    doc="S1 block read (BlockSender.java:46-182): scan raw files as binary "
+    "blocks via the binaryFile source; per-block length, 4-byte magic "
+    "sniff, and crc32 over the head chunk (the per-512B CRC analog). "
+    "Range reads = substring slicing on the content column.",
+)
+def s1_binary_block_scan(e) -> DataFrame:
+    spark = e["region"].sparkSession
+    sf_dir = e["__sf_dir__"]
+    blobs = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return blobs.select(
+        F.reverse(F.split(F.col("path"), "/"))[0].alias("file_name"),
+        F.col("length").alias("byte_len"),
+        F.substring(F.col("content"), 1, 4).cast("string").alias("magic"),
+        F.crc32(F.substring(F.col("content"), 1, 512)).alias("head_crc32"),
+    )

@@ -43,3 +43,27 @@ def test_edits_roundtrip_feeds_replay(spark, sf_dir, tmp_path):
     )
     back = spark.read.parquet(str(tmp_path / "edits"))
     assert back.count() == e["edits"].count()
+
+
+def test_snapshot_chain_feeds_queries(spark, sf_dir, tmp_path):
+    """Integration chain: derive entities -> save snapshot -> reload ->
+    run ContentSummary on the reloaded namespace -> identical to direct."""
+    from hadoop_hdfs_spark.operators.namespace import content_summary_all
+
+    e = load_entities(spark, sf_dir)
+    sources.save_snapshot(e["inodes"], str(tmp_path / "snap"))
+    reloaded = sources.load_snapshot(spark, str(tmp_path / "snap"))
+    direct = content_summary_all(e["inodes"])
+    via_snapshot = content_summary_all(reloaded)
+    assert direct.exceptAll(via_snapshot).isEmpty()
+    assert via_snapshot.exceptAll(direct).isEmpty()
+
+
+def test_s1_binary_scan_reads_parquet_magic(spark, sf_dir):
+    from hadoop_hdfs_spark import registry
+
+    df = registry.queries()["s1_binary_block_scan"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 10  # one per fixture table
+    assert all(r["magic"] == "PAR1" for r in rows)
+    assert all(r["byte_len"] > 0 for r in rows)
