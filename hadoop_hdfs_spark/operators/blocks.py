@@ -96,22 +96,8 @@ WHERE start_offset < 157286400 AND end_offset > 52428800
     "[50 MiB, 150 MiB) — the pread block-selection predicate.",
 )
 def s3_pread_range(e, off: int = 52428800, end: int = 157286400) -> DataFrame:
-    offs = w1_block_offsets_frame(e)
+    offs = w1_block_offsets(e)
     return offs.filter((F.col("start_offset") < end) & (F.col("end_offset") > off))
-
-
-def w1_block_offsets_frame(e) -> DataFrame:
-    w = Window.partitionBy("file_id").orderBy("seq").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    start = F.coalesce(F.sum("num_bytes").over(w), F.lit(0)).cast("long")
-    return e["blocks"].select(
-        "block_id",
-        "file_id",
-        "seq",
-        start.alias("start_offset"),
-        (start + F.col("num_bytes")).cast("long").alias("end_offset"),
-    )
 
 
 @register(

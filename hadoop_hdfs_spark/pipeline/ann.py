@@ -52,22 +52,13 @@ def _duck_sig_expr(vec: str) -> str:
 def _spark_sig(vcol) -> F.Column:
     sig = F.lit(0)
     for j, w in enumerate(_W):
-        dot = F.aggregate(
-            F.zip_with(vcol, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot(vcol, F.array(*[F.lit(x) for x in w]))
         sig = sig + F.when(dot > 0, 1 << j).otherwise(0)
     return sig.cast("int")
 
 
-_DUCK_VECS = """
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-"""
-_DUCK_DOT = "list_reduce(list_transform(range(1, 65), i -> a.v[i] * q.v[i]), (acc, x) -> acc + x)"
-_DUCK_NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {t}.v[i] * {t}.v[i]), (acc, x) -> acc + x))"
+# shared with the brute/IVF paths — the fold order must stay bit-identical
+from .similarity import _DUCK_DOT, _DUCK_NORM, _DUCK_VECS, _dot  # noqa: E402
 
 
 @register(
@@ -107,14 +98,8 @@ def s_knn_hyperplane_lsh(e) -> DataFrame:
         F.col("bucket").alias("qbucket"),
         F.col("v").alias("qv"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-    )
+    dot = _dot(F.col("v"), F.col("qv"))
+    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
     scored = (
         sig.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")))
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -132,6 +132,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -155,7 +156,16 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
+        # release the superseded iteration's cache (a long-lived session
+        # otherwise accumulates max_iter pinned frames per call)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
+    labels = labels.localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    edges.unpersist()
     return labels

@@ -52,17 +52,23 @@ def _shingles(docs: DataFrame) -> DataFrame:
     """
     docs = docs.repartition(32)
     toks = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    # guard: under 3 tokens F.sequence(1, size-2) DESCENDS ([1,0,-1]) and
+    # element_at(toks, 0) throws under ANSI mode (Spark 4 default); the
+    # DuckDB mirror's range() is empty there, so emit an empty array too
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", "lang", sh.alias("sh"))
 
 

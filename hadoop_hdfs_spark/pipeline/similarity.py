@@ -158,13 +158,18 @@ def s_knn_ivf(e) -> DataFrame:
 @register(
     "s_embedding_stats",
     oracle=f"""
-WITH e AS ({_DUCK_VECS})
+WITH e AS ({_DUCK_VECS}),
+pv AS (
+  SELECT label,
+         CAST(FLOOR({_DUCK_NORM.format(t='e')} * 1000000) AS BIGINT) AS norm_e6
+  FROM e
+)
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS vectors,
-       CAST(FLOOR(AVG({_DUCK_NORM.format(t='e')}) * 1000000) AS BIGINT) AS avg_norm_e6,
-       CAST(FLOOR(MIN({_DUCK_NORM.format(t='e')}) * 1000000) AS BIGINT) AS min_norm_e6,
-       CAST(FLOOR(MAX({_DUCK_NORM.format(t='e')}) * 1000000) AS BIGINT) AS max_norm_e6
-FROM e
+       CAST(FLOOR(AVG(norm_e6)) AS BIGINT) AS avg_norm_e6,
+       CAST(MIN(norm_e6) AS BIGINT) AS min_norm_e6,
+       CAST(MAX(norm_e6) AS BIGINT) AS max_norm_e6
+FROM pv
 GROUP BY label
 """,
     doc="Per-bucket embedding geometry stats (norm distribution) — the "
@@ -173,10 +178,14 @@ GROUP BY label
 def s_embedding_stats(e) -> DataFrame:
     vecs = _vecs(e)
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    per_vec = vecs.select("label", norm.alias("norm"))
+    # quantize per ROW, aggregate integers: averaging doubles first would
+    # make the result depend on float summation order across engines
+    per_vec = vecs.select(
+        "label", F.floor(norm * 1000000).cast("long").alias("norm_e6")
+    )
     return per_vec.groupBy("label").agg(
         F.count("*").alias("vectors"),
-        F.floor(F.avg("norm") * 1000000).cast("long").alias("avg_norm_e6"),
-        F.floor(F.min("norm") * 1000000).cast("long").alias("min_norm_e6"),
-        F.floor(F.max("norm") * 1000000).cast("long").alias("max_norm_e6"),
+        F.floor(F.avg("norm_e6")).cast("long").alias("avg_norm_e6"),
+        F.min("norm_e6").alias("min_norm_e6"),
+        F.max("norm_e6").alias("max_norm_e6"),
     )

@@ -174,17 +174,22 @@ def t_fingerprint(e) -> DataFrame:
     # answer; at 100 TB this version is embarrassingly parallel)
     d = e["documents"].repartition(32)
     toks = F.split("text", " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    # <3-token guard: sequence(1, size-2) descends and element_at(toks, 0)
+    # throws under ANSI mode; mirror DuckDB's empty range() with an empty array
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     top4 = F.slice(F.sort_array(F.transform(sh, lambda s: F.md5(s))), 1, 4)
     return d.select(
         "doc_id", F.md5(F.array_join(top4, "")).alias("fingerprint")

@@ -11,11 +11,28 @@ Spark-first restatement:
 - checkpoint/compaction = writing the merged snapshot back to parquet —
   exactly the SecondaryNameNode roll, as a batch job.
 
-The MERGE itself is idempotent (keyed by path, last-writer-wins by txid)
-so replaying a batch twice — Structured Streaming's at-least-once
-``foreachBatch`` contract — converges to the same state. The rename
-subtree-prefix rewrite (the T1 correctness trap flagged in SURVEY §7) is
-handled by rewriting every path under the renamed prefix.
+Batch-apply semantics (deterministic, documented — the set-parallel
+restatement of the reference's sequential op loop):
+
+1. **Renames** apply first, in txid order, to the incoming state — chains
+   (/a->/d then /d->/e) compose; when two renames collide on a destination
+   the LATER rename wins (txid authority); a renamed row replaces a
+   pre-existing row at the destination.
+2. **Creates/deletes/set-replication** then fold per path: existence is
+   decided by the last create/delete op on that path, replication by the
+   last replication-bearing op — each carrying its txid as authority.
+3. **Subtree deletes**: OP_DELETE kills every descendant row whose
+   existence authority predates the delete (HDFS delete is recursive).
+
+Within one micro-batch, a create interleaved BEFORE a rename of its parent
+is treated as if it happened after (renames-first); exact interleaving
+fidelity holds across micro-batches — feed one edit segment per trigger
+(``maxFilesPerTrigger=1``, the HDFS segment-per-roll layout,
+``sources.save_edits`` writes txid-range-ordered files) and the window of
+approximation is a single segment. The MERGE is idempotent (re-applying a
+batch converges — Structured Streaming's at-least-once ``foreachBatch``
+contract) and is property-tested against a model encoding exactly these
+rules (tests/test_replay_property.py).
 """
 
 from __future__ import annotations
@@ -27,75 +44,90 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
-    """Apply one txid-ordered micro-batch of edit ops to the namespace state.
+def _rename_rewriter(rules: list[tuple[int, str, str]]):
+    """pandas UDF: fold (txid, src, dst) prefix-rewrites over a path column
+    in txid order; returns 'newpath\\x00last_rule_txid' (the txid is the
+    row's rename authority for collision resolution, -1 if untouched).
 
-    State schema: (path, exists, replication). Supported ops follow the
-    FSEditLogOpCodes vocabulary: OP_ADD / OP_MKDIR create, OP_DELETE removes
-    (subtree), OP_RENAME moves a subtree (prefix rewrite), OP_CLOSE
-    finalizes (no-op on this projection), OP_SET_REPLICATION updates.
+    A join-based rewrite fans out on shared sources; composing k CASE
+    expressions grows the tree O(4^k) and OOMs the planner at ~100
+    renames/batch. The Arrow fold pays O(k) per row. Rule lists are
+    driver-collected — an edit segment carries a bounded op count (the
+    reference's loader is a single-threaded loop over the same list).
+    """
+
+    @pandas_udf("string")
+    def rewrite(paths: pd.Series) -> pd.Series:
+        def f(p: str) -> str:
+            last = -1
+            for txid, s, d in rules:
+                if p == s:
+                    p, last = d, txid
+                elif p.startswith(s + "/"):
+                    p, last = d + p[len(s):], txid
+            return f"{p}\x00{last}"
+
+        return paths.map(f)
+
+    return rewrite
+
+
+def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Apply one micro-batch of edit ops to the namespace state.
+
+    State schema: (path, exists, replication). Op vocabulary per
+    FSEditLogOpCodes: OP_ADD / OP_MKDIR create, OP_DELETE removes the
+    subtree, OP_RENAME moves a subtree, OP_SET_REPLICATION updates,
+    OP_CLOSE and the rest are no-ops on this projection. See module
+    docstring for the batch semantics contract.
     """
     spark = state.sparkSession
-    state.createOrReplaceTempView("ns_state")
-    # Deduplicate within the batch: last op per path wins, in txid order.
-    batch.createOrReplaceTempView("ns_batch")
-    # 1. renames first, in strict txid order. A join-based rewrite would
-    #    fan out when two renames share a source (both would fire) and
-    #    would miss chains (/a->/d then /d->/e); composing one CASE per
-    #    rename in order gives exact sequential edit-log semantics. The
-    #    rename list is collected to the driver — an edit batch carries a
-    #    handful of renames, never data-scale (same justification as the
-    #    reference's single-threaded FSEditLogLoader op loop).
+
     renames = [
-        (r["path"], r["dst"])
+        (r["txid"], r["path"], r["dst"])
         for r in batch.filter(F.col("op") == "OP_RENAME")
-        .select("path", "dst")
+        .select("txid", "path", "dst")
         .orderBy("txid")
         .collect()
     ]
+    deletes = [
+        (r["txid"], r["path"])
+        for r in batch.filter(F.col("op") == "OP_DELETE")
+        .select("txid", "path")
+        .orderBy("txid")
+        .collect()
+    ]
+
+    # -- 1. renames over the incoming state, txid-ordered, with authority --
     if renames:
-        # Sequential prefix-rewrite fold as an Arrow-batched pandas UDF.
-        # (Composing k CASE expressions instead nests the previous
-        # expression ~4x per level — an O(4^k) expression tree that OOMs
-        # the planner at ~100 renames/batch. Python pays O(k) per row.)
-        rules = list(renames)
-
-        @pandas_udf("string")
-        def rewrite(paths: pd.Series) -> pd.Series:
-            def f(p: str) -> str:
-                for s, d in rules:
-                    if p == s:
-                        p = d
-                    elif p.startswith(s + "/"):
-                        p = d + p[len(s):]
-                return p
-
-            return paths.map(f)
-
-        rewritten = state.withColumn("_new_path", rewrite(F.col("path"))).select(
-            F.col("_new_path").alias("path"),
+        rewrite = _rename_rewriter(renames)
+        tagged = state.withColumn("_rw", rewrite(F.col("path")))
+        split = F.split(F.col("_rw"), "\x00")
+        rewritten = tagged.select(
+            split.getItem(0).alias("path"),
             "exists",
             "replication",
-            (F.col("_new_path") != F.col("path")).alias("_renamed"),
+            split.getItem(1).cast("long").alias("_auth"),
         )
-        # a rename landing on an existing path replaces it (the renamed row
-        # wins), so dedupe by path preferring renamed rows
-        w = Window.partitionBy("path").orderBy(F.col("_renamed").desc())
+        # collisions: later rename wins; renamed rows replace originals
+        w = Window.partitionBy("path").orderBy(F.col("_auth").desc())
         state = (
             rewritten.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_renamed")
+            .drop("_rn", "_auth")
         )
-        state.createOrReplaceTempView("ns_state")
-    # 2. per-path fold: existence is decided by the LAST create/delete op,
-    #    replication by the LAST replication-bearing op — resolved
-    #    independently so OP_ADD followed by OP_SET_REPLICATION keeps both.
+
+    state.createOrReplaceTempView("ns_state")
+    batch.createOrReplaceTempView("ns_batch")
+
+    # -- 2. per-path fold: existence and replication resolved independently,
+    #       each keeping its txid as authority --
     merged = spark.sql(
         """
         WITH last_exist AS (
-          SELECT path, op <> 'OP_DELETE' AS exists_new
+          SELECT path, op <> 'OP_DELETE' AS exists_new, txid AS exist_txid
           FROM (
-            SELECT path, op,
+            SELECT path, op, txid,
                    ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid DESC) AS rn
             FROM ns_batch
             WHERE op IN ('OP_ADD', 'OP_MKDIR', 'OP_DELETE')
@@ -113,17 +145,44 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
           ) t WHERE rn = 1
         ),
         batch_paths AS (
-          SELECT COALESCE(e.path, r.path) AS path, e.exists_new, r.repl_new
+          SELECT COALESCE(e.path, r.path) AS path, e.exists_new,
+                 e.exist_txid, r.repl_new
           FROM last_exist e FULL OUTER JOIN last_repl r ON e.path = r.path
         )
         SELECT COALESCE(b.path, s.path) AS path,
                COALESCE(b.exists_new, s.exists, false) AS exists,
-               COALESCE(b.repl_new, s.replication) AS replication
+               COALESCE(b.repl_new, s.replication) AS replication,
+               COALESCE(b.exist_txid, CAST(0 AS BIGINT)) AS exist_txid
         FROM ns_state s
         FULL OUTER JOIN batch_paths b ON s.path = b.path
         """
     )
-    return merged
+
+    # -- 3. subtree deletes: kill descendants whose existence authority
+    #       predates the delete (exact paths were handled by the fold) --
+    if deletes:
+        del_rules = list(deletes)
+
+        @pandas_udf("boolean")
+        def killed(paths: pd.Series, txids: pd.Series) -> pd.Series:
+            def f(p: str, t: int) -> bool:
+                for dt, dp in del_rules:
+                    if dt > t and p.startswith(dp + "/"):
+                        return True
+                return False
+
+            return pd.Series(
+                [f(p, t) for p, t in zip(paths, txids)], dtype="boolean"
+            )
+
+        merged = merged.withColumn(
+            "exists",
+            F.when(killed(F.col("path"), F.col("exist_txid")), F.lit(False)).otherwise(
+                F.col("exists")
+            ),
+        )
+
+    return merged.drop("exist_txid")
 
 
 def replay_edits_stream(
@@ -136,9 +195,11 @@ def replay_edits_stream(
     """Continuous replay: stream the edits changelog, MERGE each micro-batch
     into the snapshot, rewrite the snapshot (the T2 checkpoint compaction).
 
-    Returns the StreamingQuery. Uses a file-source stream so the edits
-    directory IS the log; maxFilesPerTrigger is the group-commit batch knob
-    (FSEditLog.logSync analog).
+    Returns the StreamingQuery. The edits directory IS the log: one
+    txid-range file per segment (``sources.save_edits`` writes them range-
+    partitioned so file order == txid order, mirroring HDFS's
+    edits_<first>-<last> segment naming); ``maxFilesPerTrigger`` is the
+    group-commit batch knob (FSEditLog.logSync analog).
     """
     edits_schema = (
         "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT"

@@ -153,3 +153,17 @@ def test_near_dup_clusters_on_lsh_output(spark, sf_dir):
     n_docs = pairs.selectExpr("a_id AS d").union(pairs.selectExpr("b_id")).distinct().count()
     assert labels.count() == n_docs
     assert labels.filter("cluster_id > doc_id").count() == 0
+
+
+def test_shingles_short_docs_no_ansi_crash(spark):
+    """<3-token documents must yield empty shingle arrays, not an ANSI
+    element_at error (sequence(1, size-2) descends below 1)."""
+    from hadoop_hdfs_spark.pipeline.dedup import _shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one", "en"), (2, "two words", "en"), (3, "three word doc", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in _shingles(docs).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["three word doc"]
