@@ -266,6 +266,99 @@ def d_ngram_jaccard(e) -> DataFrame:
     )
 
 
+# ------------------------------------------------- embedding-cosine near-dup
+
+_EMB_THRESH_E6 = 300_000  # fixture embeddings are near-random (max within-
+# label cosine ~0.47), so the demo threshold sits at the distribution tail;
+# a production corpus with true duplicates would run the same plan at ~0.95.
+
+_DUCK_PAIR_DOT = "list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (acc, x) -> acc + x)"
+_DUCK_PAIR_NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {t}.v[i] * {t}.v[i]), (acc, x) -> acc + x))"
+
+
+@register(
+    "d_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(FLOOR({_DUCK_PAIR_DOT}
+              / ({_DUCK_PAIR_NORM.format(t='a')} * {_DUCK_PAIR_NORM.format(t='b')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT v.vec_id,
+       COALESCE(MIN(p.a_id), v.vec_id) AS keeper_id,
+       CAST(COUNT(p.a_id) AS BIGINT) AS dup_partners,
+       COALESCE(MAX(p.cos_e6), -1) AS best_cos_e6
+FROM e v LEFT JOIN pairs p
+  ON p.b_id = v.vec_id AND p.cos_e6 >= {_EMB_THRESH_E6}
+GROUP BY v.vec_id
+""",
+    doc="Embedding-cosine near-dup: pairwise cosine within the coarse "
+    "partition (label = IVF cell / LSH bucket stand-in), threshold at the "
+    "fixture distribution tail, then a min-id keeper assignment per vector "
+    "(one label-propagation hop; full transitive closure iterates this "
+    "step). The blocking key bounds the quadratic term — at 100 TB the "
+    "same plan runs with a hyperplane-LSH signature as the key.",
+)
+def d_embedding_cosine(e) -> DataFrame:
+    from .similarity import _cosine  # shared fold — bit-identical order
+
+    vecs = e["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).cache()
+    vecs.count()  # eager: self-join reads both branches
+    # left side repartitioned — one parquet file must not mean one task for
+    # the O(pairs-in-bucket) cosine work
+    a = vecs.repartition(32).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(_cosine(F.col("va"), F.col("vb")) * 1000000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= _EMB_THRESH_E6)
+    )
+    assigned = (
+        vecs.select("vec_id")
+        .join(pairs, pairs["b_id"] == F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(
+            F.min("a_id").alias("_min_a"),
+            F.count("a_id").alias("dup_partners"),
+            F.max("cos_e6").alias("_best"),
+        )
+    )
+    return assigned.select(
+        "vec_id",
+        F.coalesce(F.col("_min_a"), F.col("vec_id")).alias("keeper_id"),
+        "dup_partners",
+        F.coalesce(F.col("_best"), F.lit(-1)).cast("long").alias("best_cos_e6"),
+    )
+
+
 # SimHash: 16 bits; bit j votes with the MSB of hex digit j of md5(token).
 def _duck_simhash_sql() -> str:
     bit_terms = ",\n         ".join(

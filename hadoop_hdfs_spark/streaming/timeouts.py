@@ -17,7 +17,6 @@ carry the oracle-verified semantics.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 
