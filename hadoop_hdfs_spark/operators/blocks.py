@@ -522,16 +522,20 @@ def u3_excess_replicas(e) -> DataFrame:
         .join(F.broadcast(datanodes.select("datanode_id", "dfs_used")), "datanode_id")
         .join(counts.select("block_id", "file_id", "live"), "block_id")
         .join(inodes.select(F.col("id").alias("file_id"), "replication"), "file_id")
+        # pre-window filter: live/replication are per-block constants, so
+        # dropping non-over-replicated blocks BEFORE row_number leaves every
+        # surviving partition's ranks unchanged — the window then sorts only
+        # the excess blocks' replicas, not the whole replica table (Catalyst
+        # won't infer this push-down itself: the predicate isn't on the
+        # partition key)
+        .filter(F.col("live") > F.col("replication"))
     )
     w = Window.partitionBy("block_id").orderBy(
         F.col("dfs_used").desc(), F.col("datanode_id")
     )
     return (
         live_reps.withColumn("rk", F.row_number().over(w))
-        .filter(
-            (F.col("live") > F.col("replication"))
-            & (F.col("rk") <= F.col("live") - F.col("replication"))
-        )
+        .filter(F.col("rk") <= F.col("live") - F.col("replication"))
         .select("block_id", "datanode_id")
     )
 

@@ -221,48 +221,70 @@ def d_minhash_lsh(e) -> DataFrame:
 @register(
     "d_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_DUCK_SHINGLES})
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(FLOOR(len(list_intersect(a.sh, b.sh)) * 1000000.0
-            / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e6
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh)) * 1000000.0
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 800000
+WITH sh AS ({_DUCK_SHINGLES}),
+tok AS (SELECT doc_id, lang, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b
+    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id,
+       CAST(FLOOR(i.inter * 1000000.0
+            / (len(x.sh) + len(y.sh) - i.inter)) AS BIGINT) AS jaccard_e6
+FROM inter i
+JOIN sh x ON x.doc_id = i.a_id
+JOIN sh y ON y.doc_id = i.b_id
+WHERE i.inter * 1000000 >= 800000 * (len(x.sh) + len(y.sh) - i.inter)
 """,
-    doc="Exact n-gram Jaccard near-dup baseline: pairwise word-3-gram set "
-    "similarity >= 0.8, blocked by language (the blocking key bounds the "
-    "quadratic term; LSH replaces it at scale).",
+    doc="Exact n-gram Jaccard near-dup, inverted-index form: explode "
+    "shingles, equi-join postings on the shingle (within language), count "
+    "co-occurrences; J = inter / (|A| + |B| - inter) since shingle arrays "
+    "are sets. Result-identical to pairwise set intersection, but only "
+    "pairs that share a shingle are ever materialized — pair volume is "
+    "sum-over-shingles of C(postings,2), not C(corpus,2). The threshold "
+    "test is pure integer arithmetic; no float reaches the comparator.",
 )
 def d_ngram_jaccard(e) -> DataFrame:
-    # eager cache = materialization barrier: without it Catalyst inlines
-    # the shingle transform into BOTH sides of the self-join and
-    # re-evaluates the O(tokens^2) split chain per candidate pair.
+    # eager cache = materialization barrier: the shingle transform feeds the
+    # postings explode AND both size lookups; without it each branch
+    # re-evaluates the O(tokens) split chain.
     sh = _shingles(e["documents"]).cache()
     sh.count()
-    # Left side repartitioned: the corpus parquet is one split, and a
-    # broadcast join would otherwise evaluate every pairwise intersect in
-    # a single task. 1 file != 1 core's worth of work.
-    a = sh.repartition(64).select(
-        F.col("doc_id").alias("a_id"),
-        F.col("lang").alias("lang_a"),
-        F.col("sh").alias("sh_a"),
+    tok = sh.select("doc_id", "lang", F.explode("sh").alias("s"))
+    a = tok.select(
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"), "s"
     )
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b"))
-    # Size-ratio prefilter: J(A,B) <= min|.|/max|.|, so J >= 0.8 implies
-    # sizes within 4/5 of each other — prunes most pairs before the
-    # expensive array intersect, without changing the result set.
-    j = a.join(
-        b,
-        (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("a_id") < F.col("b_id"))
-        & (F.size("sh_a") * 5 >= F.size("sh_b") * 4)
-        & (F.size("sh_b") * 5 >= F.size("sh_a") * 4),
+    b = tok.select(
+        F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"),
+        F.col("s").alias("s_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jac = inter * 1000000.0 / union
-    return j.filter(jac >= 800000).select(
-        "a_id", "b_id", F.floor(jac).cast("long").alias("jaccard_e6")
+    inter = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    x = sh.select(F.col("doc_id").alias("a_id"), F.size("sh").alias("sz_a"))
+    y = sh.select(F.col("doc_id").alias("b_id"), F.size("sh").alias("sz_b"))
+    # no broadcast hint: the size side is corpus-cardinality (not a small
+    # dim) — AQE broadcasts it when it fits, shuffles when it doesn't
+    j = inter.join(x, "a_id").join(y, "b_id")
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        j.filter(F.col("inter") * 1000000 >= union * 800000)
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(F.col("inter") * 1000000.0 / union)
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
     )
 
 
