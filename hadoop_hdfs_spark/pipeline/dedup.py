@@ -141,12 +141,12 @@ cand AS (
 )
 SELECT c.a_id, c.b_id,
        CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 1000000.0
-            / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS jaccard_e6
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_e6
 FROM cand c
 JOIN sh x ON x.doc_id = c.a_id
 JOIN sh y ON y.doc_id = c.b_id
-WHERE len(list_intersect(x.sh, y.sh)) * 1000000.0
-      / len(list_distinct(list_concat(x.sh, y.sh))) >= 500000
+WHERE len(list_intersect(x.sh, y.sh)) * 2
+      >= len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
 """,
     doc="MinHash+LSH near-dedup: word-3-gram shingles -> 16 md5-keyed "
     "minhashes -> 4 bands of 4; pairs sharing any band are candidates; "
@@ -205,15 +205,17 @@ def d_minhash_lsh(e) -> DataFrame:
     x = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     joined = cand.join(x, "a_id").join(y, "b_id")
+    # shingle arrays are sets, so |A∪B| = |A|+|B|-|A∩B| — one intersect per
+    # pair instead of intersect + distinct-concat; threshold test is pure
+    # integer arithmetic (J >= 0.5 <=> 2*inter >= union)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jac = inter * 1000000.0 / union
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        joined.filter(jac >= 500000)
+        joined.filter(inter * 2 >= union)
         .select(
             "a_id",
             "b_id",
-            F.floor(jac).cast("long").alias("jaccard_e6"),
+            F.floor(inter * 1000000.0 / union).cast("long").alias("jaccard_e6"),
         )
     )
 
