@@ -138,6 +138,65 @@ def t6_replication_work(e) -> DataFrame:
     )
 
 
+# Session gap = the lease hard limit (FSConstants.java:41-42 — 3600 s): a
+# client silent for the hard limit has abandoned its session.
+SESSION_GAP_MS = 3_600_000
+
+
+@register(
+    "t10_edit_sessions",
+    oracle=f"""
+WITH ev AS (
+  SELECT txid, ts_ms, string_split(path, '/')[3] AS client FROM edits
+),
+g AS (
+  SELECT client, txid, ts_ms,
+         CASE WHEN LAG(ts_ms) OVER (PARTITION BY client ORDER BY ts_ms, txid) IS NULL
+                OR ts_ms - LAG(ts_ms) OVER (PARTITION BY client ORDER BY ts_ms, txid)
+                   > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+s AS (
+  SELECT client, txid, ts_ms,
+         SUM(new_session) OVER (PARTITION BY client ORDER BY ts_ms, txid) AS session_seq
+  FROM g
+)
+SELECT client, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
+       CAST(MAX(ts_ms) AS BIGINT) AS session_end_ms,
+       CAST(COUNT(*) AS BIGINT) AS ops
+FROM s
+GROUP BY client, session_seq
+""",
+    doc="Gap-based sessionization of the edit stream per client (the "
+    "lease-holder view, LeaseManager.java:63-83): a new session starts "
+    "when a client is silent beyond the hard lease limit (3600 s, "
+    "FSConstants.java:41-42). lag + running-sum window — the standard "
+    "scalable sessionization; one shuffle on client feeds both windows. "
+    "The strict > boundary matches Spark session_window semantics (an "
+    "event at exactly window-end still merges), so the streaming variant "
+    "(streaming/sessions.py) produces identical sessions.",
+)
+def t10_edit_sessions(e) -> DataFrame:
+    ev = e["edits"].select(
+        "txid", "ts_ms", F.element_at(F.split("path", "/"), 3).alias("client")
+    )
+    w = Window.partitionBy("client").orderBy("ts_ms", "txid")
+    prev = F.lag("ts_ms").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_ms") - prev > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    s = ev.withColumn("new_session", new_session).withColumn(
+        "session_seq", F.sum("new_session").over(w).cast("long")
+    )
+    return s.groupBy("client", "session_seq").agg(
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.count("*").alias("ops"),
+    )
+
+
 @register(
     "fed_namespace_rollup",
     oracle="""

@@ -20,6 +20,7 @@ from hadoop_hdfs_spark.streaming.replay import (
     edits_opcode_stream_stats,
     replay_edits_stream,
 )
+from hadoop_hdfs_spark.streaming.sessions import edit_sessions_stream
 
 
 def test_apply_edits_batch_semantics(spark):
@@ -102,6 +103,40 @@ def test_edits_opcode_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in e["edits"].groupBy("op").agg(F.count("*").alias("n")).collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_edit_sessions_stream_matches_batch(spark, sf_dir, tmp_path):
+    """session_window sessions == the batch lag/cumsum query, for every
+    session the watermark finalized (append mode emits a session once its
+    end — last event + gap — falls below the final watermark; tail
+    sessions stay in state)."""
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.operators.admin import SESSION_GAP_MS
+
+    e = load_entities(spark, sf_dir)
+    edits_dir = str(tmp_path / "edits_sessions")
+    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+        1
+    ).write.parquet(edits_dir)
+    q, table = edit_sessions_stream(spark, edits_dir, watermark="1 milliseconds")
+    q.awaitTermination(120)
+    streamed = {
+        (
+            r["client"],
+            int(r["session_window"]["start"].timestamp() * 1000),
+            r["ops"],
+        )
+        for r in table().collect()
+    }
+    batch_rows = registry.queries()["t10_edit_sessions"](spark, sf_dir).collect()
+    max_ts = max(r["session_end_ms"] for r in batch_rows)
+    finalized = {
+        (r["client"], r["session_start_ms"], r["ops"])
+        for r in batch_rows
+        if r["session_end_ms"] + SESSION_GAP_MS < max_ts - 1
+    }
+    assert streamed == finalized
+    assert len(streamed) > 0
 
 
 def test_multimodal_feature_extraction(spark, sf_dir):
