@@ -79,6 +79,60 @@ def t_quality_score(e) -> DataFrame:
     )
 
 
+# Small closed-class list — enough for a ratio signal; ASCII-only tokens so
+# Spark (Java regex) and DuckDB (RE2) agree on every boundary.
+_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "t_quality_signals",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(FLOOR((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+            * 1000000.0 / GREATEST(length(text), 1)) AS BIGINT) AS punct_e6,
+       CAST(FLOOR(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+            * 1000000.0 / GREATEST(len(string_split(text, ' ')), 1)) AS BIGINT)
+           AS stopword_e6,
+       CAST(FLOOR((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+            * 1000000.0 / GREATEST(length(text), 1)) AS BIGINT) AS upper_e6
+FROM documents
+""",
+    doc="Pretraining quality signals: BPE-ish regex token count (word runs "
+    "+ single non-alnum marks — the pre-merge unit a byte-pair tokenizer "
+    "starts from), punctuation ratio, stopword ratio, uppercase ratio. "
+    "Pure expression work — no shuffle at all; scales as a map over the "
+    "corpus.",
+)
+def t_quality_signals(e) -> DataFrame:
+    d = e["documents"]
+    text = F.col("text")
+    chars = F.greatest(F.length(text), F.lit(1))
+    toks = F.split(text, " ")
+    punct_chars = F.length(text) - F.length(
+        F.regexp_replace(text, "[^A-Za-z0-9 ]", "")
+    )
+    upper_chars = F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    stop_toks = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.floor(punct_chars * 1000000.0 / chars).cast("long").alias("punct_e6"),
+        F.floor(
+            stop_toks * 1000000.0 / F.greatest(F.size(toks), F.lit(1))
+        )
+        .cast("long")
+        .alias("stopword_e6"),
+        F.floor(upper_chars * 1000000.0 / chars).cast("long").alias("upper_e6"),
+    )
+
+
 @register(
     "t_lang_id",
     oracle="""
