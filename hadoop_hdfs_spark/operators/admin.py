@@ -182,10 +182,17 @@ def t10_edit_sessions(e) -> DataFrame:
     ev = e["edits"].select(
         "txid", "ts_ms", F.element_at(F.split("path", "/"), 3).alias("client")
     )
+    return sessionize(ev, gap_ms=SESSION_GAP_MS)
+
+
+def sessionize(ev: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Gap-based sessions over (client, ts_ms, txid) rows: lag + running
+    sum, one shuffle on client. New session iff the gap strictly exceeds
+    ``gap_ms`` (session_window-compatible boundary)."""
     w = Window.partitionBy("client").orderBy("ts_ms", "txid")
     prev = F.lag("ts_ms").over(w)
     new_session = F.when(
-        prev.isNull() | (F.col("ts_ms") - prev > SESSION_GAP_MS), 1
+        prev.isNull() | (F.col("ts_ms") - prev > gap_ms), 1
     ).otherwise(0)
     s = ev.withColumn("new_session", new_session).withColumn(
         "session_seq", F.sum("new_session").over(w).cast("long")

@@ -130,6 +130,68 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     return assets.mapInPandas(run, schema=schema)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("orig_bytes", LongType(), False),
+    ]
+)
+
+
+def resize_kernel(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """STUB resize — a real deployment calls PIL.Image.resize / ffmpeg scale
+    here (codecs absent in this container). The stand-in emits a payload of
+    exactly width*height bytes (repeat/truncate), deterministic so the
+    Spark-side contract — 1 row in, 1 smaller payload out, metadata updated
+    — is fully testable.
+    """
+    if media_type not in ("image", "video"):
+        raise NotImplementedError(f"resize undefined for media_type={media_type!r}")
+    data = payload or b"\x00"
+    target = width * height
+    return (data * (target // len(data) + 1))[:target]
+
+
+def resize_assets(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas resize stage: payload in, fixed-dimension payload out.
+
+    Audio rows pass through untouched (resize is image/video-only); the
+    stage keeps the binary column shape so it composes with
+    ``extract_features``/``frame_sample`` downstream.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                if m in ("image", "video"):
+                    out_payload.append(resize_kernel(p, m, width, height))
+                    out_w.append(width)
+                    out_h.append(height)
+                else:
+                    out_payload.append(p)
+                    out_w.append(0)
+                    out_h.append(0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "width": out_w,
+                    "height": out_h,
+                    "orig_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapt the fixture documents table into the asset schema (text bytes
     standing in for media payloads) — the test harness for the plumbing."""

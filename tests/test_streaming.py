@@ -161,6 +161,21 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
     assert (pdf.groupby("asset_id")["frame_idx"].min() == 0).all()
 
 
+def test_multimodal_resize_stage(spark, sf_dir):
+    from hadoop_hdfs_spark.pipeline.multimodal import resize_assets
+
+    e = load_entities(spark, sf_dir)
+    assets = documents_as_assets(e["documents"]).limit(50)
+    resized = resize_assets(assets, width=32, height=16).collect()
+    assert len(resized) == 50
+    for r in resized:
+        if r["media_type"] in ("image", "video"):
+            assert len(r["payload"]) == 32 * 16
+            assert (r["width"], r["height"]) == (32, 16)
+        else:  # audio passes through
+            assert r["width"] == 0 and len(r["payload"]) == r["orig_bytes"]
+
+
 def test_decode_kernel_rejects_unknown_media():
     with pytest.raises(NotImplementedError):
         decode_kernel(b"xx", "hologram")
