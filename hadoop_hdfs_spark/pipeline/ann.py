@@ -62,6 +62,90 @@ from .similarity import _DUCK_DOT, _DUCK_NORM, _DUCK_VECS, _dot  # noqa: E402
 
 
 @register(
+    "s_ivf_build",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i, CAST(FLOOR(AVG(xe[i])) AS BIGINT) AS c
+  FROM e, range(1, 65) t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label AS cell,
+         list(c ORDER BY i) AS ce
+  FROM dims GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, cent.cell,
+         CAST(list_reduce(list_transform(range(1, 65),
+              i -> (e.xe[i] - cent.ce[i]) * (e.xe[i] - cent.ce[i])),
+              (acc, x) -> acc + x) AS BIGINT) AS sq_dist
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id, label, cell AS assigned_cell, sq_dist,
+       cell <> label AS moved
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY sq_dist, cell) AS rk
+  FROM scored
+) t
+WHERE rk = 1
+""",
+    doc="IVF index build — one Lloyd's (k-means) iteration, fully "
+    "declarative: per-cell centroids from the current partition (label), "
+    "then nearest-centroid reassignment. Everything is integer arithmetic "
+    "(components quantized to e6 BEFORE averaging, so no float summation "
+    "order can leak into the argmin) and the centroid table is "
+    "cell-count-sized — broadcast at any corpus scale; the only shuffle "
+    "is the dimension-wise centroid aggregation.",
+)
+def s_ivf_build(e) -> DataFrame:
+    xe = e["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+        ).alias("xe"),
+    ).cache()
+    xe.count()  # eager: feeds both the centroid agg and the assignment join
+    dims = (
+        xe.select("label", F.posexplode("xe").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("x")).cast("long").alias("c"))
+    )
+    cent = dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("ce")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("xe", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = xe.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cell", sq_dist.alias("sq_dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("sq_dist", "cell")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").alias("assigned_cell"),
+            "sq_dist",
+            (F.col("cell") != F.col("label")).alias("moved"),
+        )
+    )
+
+
+@register(
     "s_knn_hyperplane_lsh",
     oracle=f"""
 WITH e AS ({_DUCK_VECS}),
