@@ -435,3 +435,40 @@ def d_simhash(e) -> DataFrame:
         term = F.col(f"bit{j}") * (1 << j)
         packed = term if packed is None else packed + term
     return bits.select("doc_id", packed.cast("long").alias("simhash16"))
+
+@register(
+    "d_normalized_dedup",
+    oracle="""
+SELECT md5(norm) AS norm_md5,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             '  +', ' ', 'g')) AS norm
+  FROM documents
+)
+GROUP BY norm
+""",
+    doc="Normalization-aware exact dedup: lowercase, strip non-alphanumerics, "
+    "collapse whitespace, THEN hash-groupBy — catches the case/punctuation/"
+    "spacing variants byte-exact dedup misses (the standard first pass before "
+    "MinHash in a pretraining dedup stack). Normalization is map-side "
+    "expression work; the shuffle still moves only 16-byte digests.",
+)
+def d_normalized_dedup(e) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return (
+        e["documents"]
+        .groupBy(F.md5(norm).alias("norm_md5"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

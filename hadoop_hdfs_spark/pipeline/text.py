@@ -275,3 +275,59 @@ def mm_binary_stats(e) -> DataFrame:
         F.md5(F.substring("text", 1, 64)).alias("head_digest"),
         F.col("source").alias("media_source"),
     )
+
+@register(
+    "t_top_bigrams",
+    oracle="""
+WITH bg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1])) AS bigram
+  FROM documents
+),
+cnt AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM bg GROUP BY lang, bigram
+)
+SELECT lang, bigram, n_occurrences, CAST(rk AS BIGINT) AS top_rank
+FROM (
+  SELECT lang, bigram, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_occurrences DESC, bigram) AS rk
+  FROM cnt
+)
+WHERE rk <= 5
+""",
+    doc="Top-k n-grams per corpus slice: bigram frequencies per language, "
+    "top 5 each (count desc, bigram asc tiebreak). The shuffle moves "
+    "(lang, bigram) partial counts — map-side combine collapses the corpus "
+    "to its vocabulary first, so exchange volume is vocabulary-bounded, "
+    "not corpus-bounded; the ranking window then runs over #langs tiny "
+    "groups. The per-language frequency table a tokenizer-training or "
+    "corpus-drift job reads.",
+)
+def t_top_bigrams(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    # <2-token guard mirrors DuckDB's empty range(); sequence() would descend
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_occurrences").desc(), "bigram")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "bigram", "n_occurrences", F.col("rk").cast("long").alias("top_rank"))
+    )
