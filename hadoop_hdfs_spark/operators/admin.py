@@ -290,3 +290,64 @@ def s1_binary_block_scan(e) -> DataFrame:
         F.substring(F.col("content"), 1, 4).cast("string").alias("magic"),
         F.crc32(F.substring(F.col("content"), 1, 512)).alias("head_crc32"),
     )
+
+@register(
+    "a14_size_percentiles",
+    oracle="""
+SELECT replication,
+       CAST(cnt AS BIGINT)                                   AS n_files,
+       CAST(FLOOR(q[1] * 1000000) AS BIGINT)                 AS p50_e6,
+       CAST(FLOOR(q[2] * 1000000) AS BIGINT)                 AS p90_e6,
+       CAST(FLOOR(q[3] * 1000000) AS BIGINT)                 AS p99_e6
+FROM (
+  SELECT replication, COUNT(*) AS cnt,
+         quantile_cont(length, [0.5, 0.9, 0.99]) AS q
+  FROM inodes WHERE NOT is_dir
+  GROUP BY replication
+)
+""",
+    doc="Exact interpolated size percentiles per replication class — the "
+    "precise form of the fsck size-distribution report (the reference only "
+    "bins into a fixed histogram, FsckServlet/NamenodeFsck). Both engines "
+    "use type-7 interpolation at index p*(n-1) (Spark `percentile`, DuckDB "
+    "`quantile_cont`), quantized to e6 BIGINTs. Exact percentiles need a "
+    "per-group sort — the right tool at metadata scale; for the 100 TB "
+    "data-scale path use a15_size_sketch instead.",
+)
+def a14_size_percentiles(e) -> DataFrame:
+    files = e["inodes"].filter(~F.col("is_dir"))
+    g = files.groupBy("replication").agg(
+        F.count("*").alias("n_files"),
+        F.percentile("length", [0.5, 0.9, 0.99]).alias("q"),
+    )
+    return g.select(
+        "replication",
+        "n_files",
+        F.floor(F.element_at("q", 1) * 1000000).cast("long").alias("p50_e6"),
+        F.floor(F.element_at("q", 2) * 1000000).cast("long").alias("p90_e6"),
+        F.floor(F.element_at("q", 3) * 1000000).cast("long").alias("p99_e6"),
+    )
+
+
+@register(
+    "a15_size_sketch",
+    oracle=None,  # approximate by design: HLL + GK sketches are not
+    # bit-reproducible across engines; tests/test_sketch.py bounds the error
+    # against the exact answers instead
+    doc="Sketch-based size profile — the 100 TB formulation of a14: "
+    "approx_count_distinct (HyperLogLog++, fixed ~KB state per group) and "
+    "percentile_approx (Greenwald-Khanna, bounded state) replace the "
+    "per-group sort. Both are mergeable partial aggregates: each partition "
+    "builds a constant-size sketch, the shuffle moves sketches not rows — "
+    "the only plan shape that survives a trillion-row group. Error is "
+    "bounded in tests against the exact a14 answers.",
+)
+def a15_size_sketch(e) -> DataFrame:
+    files = e["inodes"].filter(~F.col("is_dir"))
+    return files.groupBy("replication").agg(
+        F.count("*").alias("n_files"),
+        F.approx_count_distinct("length").alias("approx_distinct_sizes"),
+        F.percentile_approx("length", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+        .alias("approx_percentiles"),
+        F.approx_count_distinct("owner").alias("approx_distinct_owners"),
+    )

@@ -54,7 +54,7 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
-    from .operators import admin, blocks, cluster, namespace, relational  # noqa: F401
+    from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, corpus, dedup, privacy, similarity, text  # noqa: F401
 
 
