@@ -65,3 +65,33 @@ def test_no_cartesian_product(spark, sf_dir, name):
     # every intentional cross join is broadcast (BroadcastNestedLoopJoin);
     # a CartesianProduct means both sides shuffle-everywhere — never OK here
     assert "CartesianProduct" not in _plan(spark, sf_dir, name)
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    # redaction must be a pure scan->project map: any Exchange would mean
+    # we're shuffling the full corpus to do per-row regex work
+    assert "Exchange" not in _plan(spark, sf_dir, "p_pii_redact")
+
+
+def test_pread_scatter_plans_hash_join(spark, sf_dir):
+    # interval-overlap join: the equi key (file_id) must drive a hash join
+    # with the range test as residual — a nested-loop plan would be
+    # O(reads x blocks) at scale
+    plan = _plan(spark, sf_dir, "j9_pread_scatter")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_usage_rollup_single_pass(spark, sf_dir):
+    # ROLLUP compiles to Expand + one partial/final aggregate pair — all
+    # grouping levels in a single shuffle, not one scan per level
+    plan = _plan(spark, sf_dir, "a13_usage_rollup")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_event_rates_partial_aggregates_before_window(spark, sf_dir):
+    # the LAG window must run over the (minute, type) aggregate, never the
+    # raw event stream: partial agg -> exchange -> final agg -> window
+    plan = _plan(spark, sf_dir, "t11_event_rates")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
