@@ -217,3 +217,35 @@ def test_shingles_short_docs_no_ansi_crash(spark):
     rows = {r["doc_id"]: r["sh"] for r in _shingles(docs).collect()}
     assert rows[1] == [] and rows[2] == []
     assert rows[3] == ["three word doc"]
+
+def test_event_rates_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Tumbling-window streaming rates == the batch t11 aggregates, for
+    every window the watermark finalized (the window containing the last
+    event stays open in state)."""
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.streaming.rates import event_rates_stream
+
+    # FileStreamSource needs a directory; the fixture is a single file
+    e = load_entities(spark, sf_dir)
+    events_dir = str(tmp_path / "events_rates")
+    e["events"].coalesce(1).write.parquet(events_dir)
+    q, table = event_rates_stream(spark, events_dir, watermark="1 milliseconds")
+    q.awaitTermination(120)
+    streamed = {
+        (
+            int(r["window"]["start"].timestamp() * 1000),
+            r["event_type"],
+            r["n_events"],
+            r["value_cents"],
+        )
+        for r in table().collect()
+    }
+    batch_rows = registry.queries()["t11_event_rates"](spark, sf_dir).collect()
+    max_end = max(r["bucket_start_ms"] for r in batch_rows) + 60000
+    finalized = {
+        (r["bucket_start_ms"], r["event_type"], r["n_events"], r["value_cents"])
+        for r in batch_rows
+        if r["bucket_start_ms"] + 60000 < max_end  # last window stays open
+    }
+    assert streamed == finalized
+    assert len(streamed) > 0
