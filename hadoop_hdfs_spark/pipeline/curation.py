@@ -1,0 +1,224 @@
+"""Corpus curation operators — the sampling / splitting / packing /
+decontamination stages a pretraining data pipeline runs between "raw corpus"
+and "training shards".
+
+Everything is deterministic: splits and mixtures assign by an arithmetic
+hash of ``doc_id`` (an LCG step — identical 64-bit integer math in Spark and
+DuckDB; no engine RNG is ever consulted), so reruns are stable, membership
+is auditable, and both engines agree bit-for-bit. That property — sampling
+as a pure function of the key — is also what makes the operators
+shuffle-free: selection is a map-side filter at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# One LCG step (numerical-recipes constants), bucketed to [0, 100).
+# doc_id * 1103515245 stays far below 2^63 for any realistic corpus id.
+_HASH_SQL = "(doc_id * 1103515245 + 12345) % 2147483648"
+_BUCKET_SQL = f"({_HASH_SQL}) % 100"
+
+
+@register(
+    "c_split_assign",
+    oracle=f"""
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT)                                AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)       AS n_tokens
+FROM (
+  SELECT lang, text,
+         CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+              WHEN {_BUCKET_SQL} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY lang, split
+""",
+    doc="Deterministic train/val/test split (90/5/5): membership is a pure "
+    "function of doc_id (one LCG step mod 100), so the split is stable "
+    "across reruns and engines — no RNG, no sampleBy. Per-(lang, split) doc "
+    "and token counts audit stratification. Assignment is a map; the only "
+    "shuffle is the bounded audit aggregation.",
+)
+def c_split_assign(e) -> DataFrame:
+    bucket = F.expr(_BUCKET_SQL)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        e["documents"]
+        .select("lang", split.alias("split"), F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "c_source_mixture",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                                    AS n_total,
+       CAST(SUM(CASE WHEN {_BUCKET_SQL} <
+            10 + (CAST(substr(source, 4) AS BIGINT) * 8) % 70
+            THEN 1 ELSE 0 END) AS BIGINT)                          AS n_selected
+FROM documents
+GROUP BY source
+""",
+    doc="Source-mixture downsampling: each source gets a target inclusion "
+    "rate (10..80%, derived from the source id here; a real run feeds a "
+    "weights table), and documents are kept when their deterministic "
+    "doc_id bucket falls under the rate — the corpus-mixing step that "
+    "reweights web/books/code slices before training. Selection is a "
+    "map-side filter against a broadcast-size weights map; no sampling "
+    "shuffle ever happens.",
+)
+def c_source_mixture(e) -> DataFrame:
+    bucket = F.expr(_BUCKET_SQL)
+    rate = 10 + (F.substring("source", 4, 10).cast("long") * 8) % 70
+    return (
+        e["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(bucket < rate, 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+        )
+    )
+
+
+@register(
+    "c_token_packing",
+    oracle="""
+SELECT doc_id, source,
+       CAST(tok_start // 4096 AS BIGINT)        AS shard_id,
+       CAST(tok_start % 4096 AS BIGINT)         AS shard_offset,
+       CAST(n_tokens AS BIGINT)                 AS n_tokens
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         COALESCE(SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM documents
+)
+""",
+    doc="Token-budget shard packing: documents are laid out back-to-back in "
+    "doc_id order and cut into 4096-token shards (running token count / "
+    "floor-div — the sequence-packing address calculation). Packing is per "
+    "source partition, so the cumsum window parallelizes across sources "
+    "instead of collapsing to one global sort — the same partition-then-pack "
+    "layout a real shard writer uses (global packing would serialize the "
+    "corpus through one task).",
+)
+def c_token_packing(e) -> DataFrame:
+    nt = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = e["documents"].select(
+        "doc_id", "source", nt.cast("long").alias("n_tokens")
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        (start / 4096).cast("long").alias("shard_id"),
+        (start % 4096).cast("long").alias("shard_offset"),
+        "n_tokens",
+    )
+
+
+_SHINGLE3_SQL = """list_distinct(list_transform(
+  range(1, len(string_split(text, ' ')) - 1),
+  i -> md5(string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i+1] || ' ' ||
+           string_split(text, ' ')[i+2])))"""
+
+
+def _shingle3(col):
+    toks = F.split(col, " ")
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "c_decontaminate",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS h
+  FROM documents WHERE source = 'src0'
+),
+tr AS (
+  SELECT doc_id, unnest({_SHINGLE3_SQL}) AS h
+  FROM documents WHERE source <> 'src0'
+),
+hits AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM tr JOIN ev ON ev.h = tr.h
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap_shingles,
+       COALESCE(hits.n_overlap, 0) >= 5            AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits ON hits.doc_id = d.doc_id
+""",
+    doc="Benchmark decontamination: treat the src0 slice as the held-out "
+    "eval set, extract distinct 3-gram shingle hashes from both sides, and "
+    "flag training documents sharing >= 5 shingles with any eval document. "
+    "The eval shingle set is collected DISTINCT first and broadcast "
+    "(benchmarks are small; the corpus is not), so the corpus side never "
+    "shuffles — each task probes a broadcast hash set, and the only "
+    "exchange is the per-doc overlap count. (On the 40-word fixture "
+    "vocabulary most docs collide — the measured fact, not a bug; real "
+    "corpora share n-grams only on true contamination.)",
+)
+def c_decontaminate(e) -> DataFrame:
+    docs = e["documents"]
+    ev = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(_shingle3(F.col("text"))).alias("h"))
+        .distinct()
+    )
+    tr = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(_shingle3(F.col("text"))).alias("h")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap_shingles"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 5).alias("contaminated"),
+        )
+    )

@@ -55,7 +55,7 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
-    from .pipeline import ann, corpus, dedup, privacy, similarity, text  # noqa: F401
+    from .pipeline import ann, corpus, curation, dedup, privacy, similarity, text  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
