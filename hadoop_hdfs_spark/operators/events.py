@@ -72,3 +72,36 @@ def t11_event_rates(e) -> DataFrame:
         .cast("long")
         .alias("delta_events"),
     )
+
+@register(
+    "c9_json_props",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT)                               AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Semi-structured property extraction (beyond reference — the "
+    "reference stores opaque XML/JSON attribute blobs it never queries, "
+    "e.g. ListPathsServlet emissions): parse the JSON props column, "
+    "extract and type a field, aggregate by it. Spark evaluates "
+    "get_json_object JVM-side inside codegen — at 100 TB the parse is a "
+    "map; only (type, k_mod) partial counts shuffle. A hot production "
+    "variant would from_json into a struct column once at ingest and let "
+    "parquet store it columnar.",
+)
+def c9_json_props(e) -> DataFrame:
+    ev = e["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -308,7 +308,9 @@ WHERE rk <= 5
     "corpus-drift job reads.",
 )
 def t_top_bigrams(e) -> DataFrame:
-    d = e["documents"]
+    # single parquet file = single input partition; spread the CPU-heavy
+    # bigram explode across cores (a cluster reads many files and skips this)
+    d = e["documents"].repartition(32)
     toks = F.split("text", " ")
     # <2-token guard mirrors DuckDB's empty range(); sequence() would descend
     bigrams = F.when(
