@@ -189,3 +189,47 @@ def s_embedding_stats(e) -> DataFrame:
         F.min("norm_e6").alias("min_norm_e6"),
         F.max("norm_e6").alias("max_norm_e6"),
     )
+
+@register(
+    "s_quantize_int8",
+    oracle="""
+SELECT vec_id,
+       CAST(FLOOR(amax * 1000000) AS BIGINT) AS amax_e6,
+       CAST(list_sum(q) AS BIGINT)           AS q_sum,
+       md5(array_to_string(list_transform(q, x -> CAST(x AS STRING)), ',')) AS q_md5
+FROM (
+  SELECT vec_id, amax,
+         list_transform(v, x -> CAST(FLOOR(x * 127.0 / amax) AS BIGINT)) AS q
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           GREATEST(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 1e-30)           AS amax
+    FROM embeddings
+  )
+)
+""",
+    doc="Symmetric int8 vector quantization (beyond reference — embedding "
+    "storage for the 100 TB corpus): per-vector absmax scale to [-127, 127], "
+    "floor-quantized — 4x smaller than float32, dot products stay integer. "
+    "Emits the scale (e6-quantized), the quantized component sum, and the "
+    "digest of the full quantized vector so both engines certify identical "
+    "codes, element for element. Pure per-row array expressions — zero "
+    "shuffles; the quantize-and-rewrite job is a map over the corpus.",
+)
+def s_quantize_int8(e) -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    d = e["embeddings"].select("vec_id", v.alias("v"), amax.alias("amax"))
+    q = F.transform("v", lambda x: F.floor(x * 127.0 / F.col("amax")).cast("long"))
+    d = d.select("vec_id", "amax", q.alias("q"))
+    return d.select(
+        "vec_id",
+        F.floor(F.col("amax") * 1000000).cast("long").alias("amax_e6"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias(
+            "q_md5"
+        ),
+    )
