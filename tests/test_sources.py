@@ -67,3 +67,30 @@ def test_s1_binary_scan_reads_parquet_magic(spark, sf_dir):
     assert len(rows) == 10  # one per fixture table
     assert all(r["magic"] == "PAR1" for r in rows)
     assert all(r["byte_len"] > 0 for r in rows)
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed block<->replica join must be shuffle-free: the one-time
+    bucketed write prepays the exchange for every later join."""
+    e = load_entities(spark, sf_dir)
+    # external tables (explicit path option) — the static warehouse dir is
+    # only used for the metastore listing
+    sources.save_bucketed_block_map(e, str(tmp_path / "bkt"), n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # no hiding
+    try:
+        df = sources.bucketed_block_join(spark)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it computes the same thing as the straight join
+        straight = e["blocks"].join(
+            e["replicas"].select("block_id", "datanode_id", "state", "is_corrupt"),
+            "block_id",
+        )
+        assert df.count() == straight.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for nm in ("bkt_blocks", "bkt_replicas"):
+            spark.sql(f"DROP TABLE IF EXISTS {nm}")
