@@ -14,15 +14,13 @@ from __future__ import annotations
 import pytest
 
 from hadoop_hdfs_spark import registry
+from hadoop_hdfs_spark.plans import formatted_plan
 
 QUERIES = registry.queries()
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return formatted_plan(QUERIES[name](spark, sf_dir))
 
 
 def test_knn_broadcasts_query_side(spark, sf_dir):
@@ -95,3 +93,16 @@ def test_event_rates_partial_aggregates_before_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "t11_event_rates")
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+def test_plan_utilities(spark, sf_dir):
+    from hadoop_hdfs_spark.plans import (
+        exchange_count,
+        operator_counts,
+        read_schema_of_first_scan,
+    )
+
+    df = QUERIES["p_pii_redact"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    counts = operator_counts(QUERIES["d_exact_dedup"](spark, sf_dir))
+    assert counts.get("HashAggregate", 0) >= 2 and counts.get("Exchange", 0) == 1
+    assert "text" in read_schema_of_first_scan(df)
