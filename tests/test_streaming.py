@@ -249,3 +249,36 @@ def test_event_rates_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == finalized
     assert len(streamed) > 0
+
+def test_dedup_stream_keeps_one_per_digest(spark, sf_dir, tmp_path):
+    """Streaming dedup emits exactly one row per distinct digest, and it is
+    the first occurrence (lowest ingest timestamp = lowest doc_id here)."""
+    from hadoop_hdfs_spark.streaming.dedup import dedup_documents_stream
+
+    e = load_entities(spark, sf_dir)
+    docs_dir = str(tmp_path / "docs_dedup")
+    # inject guaranteed duplicates: the corpus plus a doc_id-shifted copy
+    base = e["documents"].select("doc_id", "text", "lang", "source", "n_chars")
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1000000)
+    # originals land in an earlier file (earlier micro-batch with
+    # maxFilesPerTrigger=1) — first-wins is the cross-batch contract;
+    # within one batch the kept occurrence is arbitrary
+    import glob as _glob
+    import os as _os
+
+    base.coalesce(1).write.parquet(docs_dir)
+    originals = set(_glob.glob(f"{docs_dir}/part-*.parquet"))
+    dup.coalesce(1).write.mode("append").parquet(docs_dir)
+    # FileStreamSource orders files by mtime; same-second writes tie and the
+    # tiebreak is arbitrary — push the original file decisively earlier
+    for p in originals:
+        _os.utime(p, (_os.path.getmtime(p) - 3600,) * 2)
+    q, table = dedup_documents_stream(
+        spark, docs_dir, watermark="365 days", max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    got = table().collect()
+    n_distinct = base.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
+    # first occurrence wins: every kept doc_id is from the original range
+    assert all(r["doc_id"] < 1000000 for r in got)
