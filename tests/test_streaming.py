@@ -282,3 +282,44 @@ def test_dedup_stream_keeps_one_per_digest(spark, sf_dir, tmp_path):
     assert len(got) == n_distinct
     # first occurrence wins: every kept doc_id is from the original range
     assert all(r["doc_id"] < 1000000 for r in got)
+
+def test_open_close_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the equivalent batch interval join
+    (inner joins emit every match once both sides arrive; no watermark
+    truncation of results, only of state)."""
+    from hadoop_hdfs_spark.streaming.joins import open_close_pairs_stream
+
+    e = load_entities(spark, sf_dir)
+    edits_dir = str(tmp_path / "edits_oc")
+    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+        2
+    ).write.parquet(edits_dir)
+    q, table = open_close_pairs_stream(spark, edits_dir, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    streamed = {
+        (r["path"], r["open_txid"], r["close_txid"], r["open_age_ms"])
+        for r in table().collect()
+    }
+    adds = e["edits"].filter(F.col("op") == "OP_ADD")
+    closes = e["edits"].filter(F.col("op") == "OP_CLOSE")
+    batch = (
+        closes.alias("c")
+        .join(
+            adds.alias("a"),
+            (F.col("a.path") == F.col("c.path"))
+            & (F.col("a.ts_ms") <= F.col("c.ts_ms"))
+            & (F.col("a.ts_ms") >= F.col("c.ts_ms") - 86400000),
+        )
+        .select(
+            F.col("c.path").alias("path"),
+            F.col("a.txid").alias("open_txid"),
+            F.col("c.txid").alias("close_txid"),
+            (F.col("c.ts_ms") - F.col("a.ts_ms")).alias("open_age_ms"),
+        )
+    )
+    expected = {
+        (r["path"], r["open_txid"], r["close_txid"], r["open_age_ms"])
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
