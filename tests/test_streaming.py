@@ -75,7 +75,7 @@ def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
         str(tmp_path / "snapshot"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     snap = spark.read.parquet(str(tmp_path / "snapshot"))
     assert snap.count() > 0
     # every OP_ADD/OP_MKDIR path with no later delete/rename-away exists
@@ -96,7 +96,7 @@ def test_edits_opcode_stream_matches_batch(spark, sf_dir, tmp_path):
         3
     ).write.parquet(edits_dir)
     q, table = edits_opcode_stream_stats(spark, edits_dir)
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     stream_counts = {r["op"]: r["count"] for r in table().collect()}
     batch_counts = {
         r["op"]: r["n"]
@@ -119,7 +119,7 @@ def test_edit_sessions_stream_matches_batch(spark, sf_dir, tmp_path):
         1
     ).write.parquet(edits_dir)
     q, table = edit_sessions_stream(spark, edits_dir, watermark="1 milliseconds")
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     streamed = {
         (
             r["client"],
@@ -230,7 +230,7 @@ def test_event_rates_stream_matches_batch(spark, sf_dir, tmp_path):
     events_dir = str(tmp_path / "events_rates")
     e["events"].coalesce(1).write.parquet(events_dir)
     q, table = event_rates_stream(spark, events_dir, watermark="1 milliseconds")
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     streamed = {
         (
             int(r["window"]["start"].timestamp() * 1000),
@@ -276,7 +276,7 @@ def test_dedup_stream_keeps_one_per_digest(spark, sf_dir, tmp_path):
     q, table = dedup_documents_stream(
         spark, docs_dir, watermark="365 days", max_files_per_trigger=1
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     got = table().collect()
     n_distinct = base.select(F.md5("text")).distinct().count()
     assert len(got) == n_distinct
@@ -295,7 +295,7 @@ def test_open_close_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
         2
     ).write.parquet(edits_dir)
     q, table = open_close_pairs_stream(spark, edits_dir, max_files_per_trigger=1)
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     streamed = {
         (r["path"], r["open_txid"], r["close_txid"], r["open_age_ms"])
         for r in table().collect()
