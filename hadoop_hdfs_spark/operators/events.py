@@ -105,3 +105,43 @@ def c9_json_props(e) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+_OPCODES = ["OP_ADD", "OP_MKDIR", "OP_CLOSE", "OP_RENAME", "OP_DELETE"]
+
+
+@register(
+    "t12_opcode_hour_pivot",
+    oracle="""
+SELECT ts_ms // 3600000 AS hour_bucket,
+       CAST(SUM(CASE WHEN op = 'OP_ADD'    THEN 1 ELSE 0 END) AS BIGINT) AS op_add,
+       CAST(SUM(CASE WHEN op = 'OP_MKDIR'  THEN 1 ELSE 0 END) AS BIGINT) AS op_mkdir,
+       CAST(SUM(CASE WHEN op = 'OP_CLOSE'  THEN 1 ELSE 0 END) AS BIGINT) AS op_close,
+       CAST(SUM(CASE WHEN op = 'OP_RENAME' THEN 1 ELSE 0 END) AS BIGINT) AS op_rename,
+       CAST(SUM(CASE WHEN op = 'OP_DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS op_delete
+FROM edits
+GROUP BY 1
+""",
+    doc="Pivot (beyond reference — the web UI renders opcode counters as a "
+    "wide table, NamenodeJspHelper; here as a first-class operator): hourly "
+    "edit-rate matrix, one column per opcode. The pivot value list is "
+    "EXPLICIT, so Spark skips the distinct-values pre-scan a bare pivot() "
+    "needs and compiles straight to conditional partial aggregates — one "
+    "shuffle of (hour, 5 counters) regardless of stream size; the DuckDB "
+    "oracle states the identical conditional-sum form.",
+)
+def t12_opcode_hour_pivot(e) -> DataFrame:
+    edits = e["edits"]
+    p = (
+        edits.groupBy((F.col("ts_ms") / 3600000).cast("long").alias("hour_bucket"))
+        .pivot("op", _OPCODES)
+        .count()
+    )
+    # pivot leaves NULL where a (bucket, op) pair never occurred; the oracle's
+    # conditional sums produce 0 — align, and fix column names/types
+    return p.select(
+        "hour_bucket",
+        *[
+            F.coalesce(F.col(op), F.lit(0)).cast("long").alias(op.lower())
+            for op in _OPCODES
+        ],
+    )
