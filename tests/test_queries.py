@@ -21,3 +21,32 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     n = assert_query_matches_oracle(spark, QUERIES[name], ORACLES[name], sf_dir)
     assert n > 0, f"{name} returned no rows — trivial result proves nothing"
+
+def test_pivot_unpivot_roundtrip(spark, sf_dir):
+    """Unpivot (melt) is pivot's inverse: melting the opcode matrix back to
+    long form must reproduce the plain groupBy counts exactly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark import registry
+
+    wide = registry.queries()["t12_opcode_hour_pivot"](spark, sf_dir)
+    long = (
+        wide.unpivot(
+            "hour_bucket",
+            ["op_add", "op_mkdir", "op_close", "op_rename", "op_delete"],
+            "op",
+            "n",
+        )
+        .filter(F.col("n") > 0)
+        .select("hour_bucket", F.upper("op").alias("op"), "n")
+    )
+    e = registry._entities(spark, sf_dir)
+    direct = (
+        e["edits"]
+        .groupBy(
+            (F.col("ts_ms") / 3600000).cast("long").alias("hour_bucket"), "op"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    assert long.exceptAll(direct).count() == 0
+    assert direct.exceptAll(long).count() == 0
