@@ -62,6 +62,8 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(times),
+                "mean_query_seconds": round(total / max(len(times), 1), 3),
                 "queries": times,
                 "sf": sf,
                 **({"errors": errors} if errors else {}),
