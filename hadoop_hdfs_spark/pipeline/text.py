@@ -333,3 +333,55 @@ def t_top_bigrams(e) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "bigram", "n_occurrences", F.col("rk").cast("long").alias("top_rank"))
     )
+
+@register(
+    "t_ols_tokens_chars",
+    oracle="""
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(FLOOR((n * sxy - sx * sy) * 1000000.0 / (n * sxx - sx * sx)) AS BIGINT)
+           AS slope_e6,
+       CAST(FLOOR((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+            * 1000000.0 / n) AS BIGINT) AS intercept_e6
+FROM (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT)                              AS n,
+         CAST(SUM(length(text)) AS BIGINT)                     AS sx,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)     AS sy,
+         CAST(SUM(length(text) * len(string_split(text, ' '))) AS BIGINT) AS sxy,
+         CAST(SUM(length(text) * length(text)) AS BIGINT)      AS sxx
+  FROM documents
+  GROUP BY lang
+)
+""",
+    doc="Grouped OLS fit (beyond reference — corpus analytics): per-language "
+    "least-squares line of token count vs char count (the chars-per-token "
+    "calibration a budget planner uses). Computed from the five sufficient "
+    "statistics (n, Sx, Sy, Sxy, Sxx) — all INTEGER-valued, so partial "
+    "aggregation is EXACT and order-independent (float sums are not); the "
+    "single double division happens once per group after the shuffle. One "
+    "partial-agg pass at any scale — the sufficient-statistics pattern is "
+    "how any moment-based model fits on 100 TB.",
+)
+def t_ols_tokens_chars(e) -> DataFrame:
+    d = e["documents"]
+    x = F.length("text").cast("long")
+    y = F.size(F.split("text", " ")).cast("long")
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num * 1.0 / den
+    return g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.floor(num * 1000000.0 / den).cast("long").alias("slope_e6"),
+        F.floor((F.col("sy") - slope * F.col("sx")) * 1000000.0 / F.col("n"))
+        .cast("long")
+        .alias("intercept_e6"),
+    )
