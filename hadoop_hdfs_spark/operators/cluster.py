@@ -371,3 +371,32 @@ def w4_datanode_ranking(e) -> DataFrame:
         .cast("long")
         .alias("used_rank"),
     )
+
+@register(
+    "w7_storage_tiers",
+    oracle="""
+SELECT datanode_id,
+       CAST(FLOOR(dfs_used * 1000000.0 / capacity) AS BIGINT)        AS utilization_e6,
+       CAST(NTILE(4) OVER (ORDER BY dfs_used * 1.0 / capacity DESC,
+                           datanode_id) AS BIGINT)                   AS tier
+FROM datanodes
+""",
+    doc="W7 utilization quartile tiers (beyond reference — the balancer's "
+    "4-way threshold classification, Balancer.java:800-861, restated as "
+    "equal-population NTILE tiers): which quarter of the fleet each node's "
+    "utilization falls in. The window is global but runs over the datanode "
+    "dimension — cluster-node cardinality, not data scale (same contract "
+    "as W3/W4); tier assignments feed the same source->target pairing.",
+)
+def w7_storage_tiers(e) -> DataFrame:
+    d = e["datanodes"]
+    w = Window.orderBy(
+        (F.col("dfs_used") * 1.0 / F.col("capacity")).desc(), "datanode_id"
+    )
+    return d.select(
+        "datanode_id",
+        F.floor(F.col("dfs_used") * 1000000.0 / F.col("capacity"))
+        .cast("long")
+        .alias("utilization_e6"),
+        F.ntile(4).over(w).cast("long").alias("tier"),
+    )
