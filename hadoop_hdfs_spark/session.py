@@ -27,6 +27,17 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Executor Python workers inherit PYTHONPATH from the JVM's environment,
+    # not the driver's sys.path — without this, anything that ships Python
+    # to executors (the hftp DataSource, mapInPandas kernels) breaks when
+    # the caller runs from outside the repo. On a cluster the equivalent is
+    # --py-files with the packaged wheel.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
