@@ -43,3 +43,30 @@ def test_bare_driver_session_runs_contract():
         timeout=420,
     )
     assert "BARE-DRIVER-OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+
+def test_nn_throughput_harness_runs():
+    """The NNThroughputBenchmark analog must emit positive ops/sec for every
+    verb the reference harness defines."""
+    import json
+    import os
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        NN_OPS="2000",
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/nn_throughput.py"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert set(out["ops"]) == {
+        "create", "open", "fileStatus", "delete", "rename", "blockReport"
+    }
+    assert all(v > 0 for v in out["ops"].values()), out
