@@ -19,3 +19,20 @@ query API over inodes/blocks/replicas/datanodes plus an edit-log changelog
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Executor Python workers inherit PYTHONPATH from the JVM's process
+# environment, not the driver's sys.path. Export the repo root at package
+# import — before any SparkSession (and its JVM) can be created by a caller
+# that imports this library first — so Python-shipping paths (the hftp
+# DataSource, mapInPandas kernels) resolve from any cwd. A JVM started
+# before this import keeps its old environment; the cluster-grade fix is
+# shipping the package via --py-files. get_spark() repeats this defensively.
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_existing = _os.environ.get("PYTHONPATH", "")
+if _repo_root not in _existing.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + (_os.pathsep + _existing if _existing else "")
+    )
+del _os, _repo_root, _existing

@@ -130,11 +130,13 @@ def l2_norm(v: Column | str) -> Column:
 
 # -- text shingles (pipeline/curation.py, t_fingerprint conventions)
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct md5-hashed n-gram shingles of a whitespace-tokenized text.
+def ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct raw word n-grams of a whitespace-tokenized text.
 
-    Guarded for <n tokens (returns empty array; a bare sequence() would
-    descend and element_at would fault under ANSI mode).
+    The ONE guarded implementation every shingle consumer builds on
+    (pipeline/dedup, pipeline/curation, t_fingerprint): under n tokens a
+    bare sequence() would DESCEND and element_at would fault under ANSI
+    mode — return an empty array instead, mirroring DuckDB's empty range().
     """
     toks = F.split(_c(text), " ")
     return F.when(
@@ -142,11 +144,14 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at(toks, i + j) for j in range(n)]
-                    )
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
                 ),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct md5-hashed n-gram shingles (the join/compare-ready form)."""
+    return F.transform(ngrams(text, n), lambda s: F.md5(s))

@@ -295,10 +295,10 @@ def s1_binary_block_scan(e) -> DataFrame:
     "a14_size_percentiles",
     oracle="""
 SELECT replication,
-       CAST(cnt AS BIGINT)                                   AS n_files,
-       CAST(FLOOR(q[1] * 1000000) AS BIGINT)                 AS p50_e6,
-       CAST(FLOOR(q[2] * 1000000) AS BIGINT)                 AS p90_e6,
-       CAST(FLOOR(q[3] * 1000000) AS BIGINT)                 AS p99_e6
+       CAST(cnt AS BIGINT)                                       AS n_files,
+       CAST(FLOOR(q[1] * 100.0 / 1048576 + 0.5) AS BIGINT)       AS p50_mib_e2,
+       CAST(FLOOR(q[2] * 100.0 / 1048576 + 0.5) AS BIGINT)       AS p90_mib_e2,
+       CAST(FLOOR(q[3] * 100.0 / 1048576 + 0.5) AS BIGINT)       AS p99_mib_e2
 FROM (
   SELECT replication, COUNT(*) AS cnt,
          quantile_cont(length, [0.5, 0.9, 0.99]) AS q
@@ -310,8 +310,12 @@ FROM (
     "precise form of the fsck size-distribution report (the reference only "
     "bins into a fixed histogram, FsckServlet/NamenodeFsck). Both engines "
     "use type-7 interpolation at index p*(n-1) (Spark `percentile`, DuckDB "
-    "`quantile_cont`), quantized to e6 BIGINTs. Exact percentiles need a "
-    "per-group sort — the right tool at metadata scale; for the 100 TB "
+    "`quantile_cont`) — two different implementations, so quantization must "
+    "be ulp-immune: lengths are exact MiB multiples (entity model) and the "
+    "interpolation fractions are hundredths, so q*100/MiB is integral in "
+    "exact arithmetic and floor(x+0.5) lands both engines on it despite "
+    "last-bit float disagreement (centi-MiB units). Exact percentiles need "
+    "a per-group sort — the right tool at metadata scale; for the 100 TB "
     "data-scale path use a15_size_sketch instead.",
 )
 def a14_size_percentiles(e) -> DataFrame:
@@ -320,12 +324,17 @@ def a14_size_percentiles(e) -> DataFrame:
         F.count("*").alias("n_files"),
         F.percentile("length", [0.5, 0.9, 0.99]).alias("q"),
     )
+    def mib_e2(i: int):
+        return F.floor(
+            F.element_at("q", i) * 100.0 / 1048576 + 0.5
+        ).cast("long")
+
     return g.select(
         "replication",
         "n_files",
-        F.floor(F.element_at("q", 1) * 1000000).cast("long").alias("p50_e6"),
-        F.floor(F.element_at("q", 2) * 1000000).cast("long").alias("p90_e6"),
-        F.floor(F.element_at("q", 3) * 1000000).cast("long").alias("p99_e6"),
+        mib_e2(1).alias("p50_mib_e2"),
+        mib_e2(2).alias("p90_mib_e2"),
+        mib_e2(3).alias("p99_mib_e2"),
     )
 
 

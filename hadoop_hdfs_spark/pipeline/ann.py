@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import eager_cache, register
 
 N_PLANES = 8
 DIM = 64
@@ -111,8 +111,8 @@ def s_ivf_build(e) -> DataFrame:
         F.transform(
             "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
         ).alias("xe"),
-    ).cache()
-    xe.count()  # eager: feeds both the centroid agg and the assignment join
+    )
+    xe = eager_cache(e, "ivf_xe", xe)  # eager: feeds centroid agg + assignment join
     dims = (
         xe.select("label", F.posexplode("xe").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -175,8 +175,9 @@ def s_knn_hyperplane_lsh(e) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    sig = vecs.withColumn("bucket", _spark_sig(F.col("v"))).cache()
-    sig.count()  # eager: both join sides read it
+    sig = eager_cache(
+        e, "hyperplane_sig", vecs.withColumn("bucket", _spark_sig(F.col("v")))
+    )  # eager: both join sides read it
     q = sig.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("qbucket"),

@@ -146,23 +146,10 @@ _SHINGLE3_SQL = """list_distinct(list_transform(
 
 
 def _shingle3(col):
-    toks = F.split(col, " ")
-    return F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                    )
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # the one guarded shingle implementation lives in functions.shingles
+    from ..functions import shingles
+
+    return shingles(col, 3)
 
 
 @register(

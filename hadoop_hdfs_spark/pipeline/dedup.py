@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import eager_cache, register
 
 N_HASH = 16
 N_BANDS = 4
@@ -44,32 +44,18 @@ _DUCK_SHINGLES = """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, sh: distinct word-3-gram shingle array.
+    """doc_id, lang, sh: distinct word-3-gram shingle array (raw strings —
+    minhash hashes them itself with per-lane rotation).
 
     Repartitioned first: the corpus arrives as one parquet split, and the
     shingle transform is the CPU-heavy stage — fan it out before computing,
-    not after.
+    not after. The <3-token ANSI-mode guard lives in functions.ngrams, the
+    one shared implementation.
     """
+    from ..functions import ngrams
+
     docs = docs.repartition(32)
-    toks = F.split(F.col("text"), " ")
-    # guard: under 3 tokens F.sequence(1, size-2) DESCENDS ([1,0,-1]) and
-    # element_at(toks, 0) throws under ANSI mode (Spark 4 default); the
-    # DuckDB mirror's range() is empty there, so emit an empty array too
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", "lang", sh.alias("sh"))
+    return docs.select("doc_id", "lang", ngrams(F.col("text"), 3).alias("sh"))
 
 
 @register(
@@ -157,8 +143,7 @@ def d_minhash_lsh(e) -> DataFrame:
     # eager count: a lazy cache is useless against the multi-branch DAG
     # below — concurrent branches race past the unpopulated cache and each
     # recompute the shingle transform
-    sh = _shingles(e["documents"]).cache()
-    sh.count()
+    sh = eager_cache(e, "shingles", _shingles(e["documents"]))
     tok = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
@@ -182,8 +167,7 @@ def d_minhash_lsh(e) -> DataFrame:
     # eager cache: the band fan-out (4 union branches) and the candidate
     # self-join would otherwise recompute the whole signature aggregation
     # once per branch per side (8x)
-    bands = sig.select("doc_id", *band_cols).cache()
-    bands.count()
+    bands = eager_cache(e, "minhash_bands", sig.select("doc_id", *band_cols))
     bl = None
     for b in range(N_BANDS):
         part = bands.select(
@@ -252,8 +236,7 @@ def d_ngram_jaccard(e) -> DataFrame:
     # eager cache = materialization barrier: the shingle transform feeds the
     # postings explode AND both size lookups; without it each branch
     # re-evaluates the O(tokens) split chain.
-    sh = _shingles(e["documents"]).cache()
-    sh.count()
+    sh = eager_cache(e, "shingles", _shingles(e["documents"]))
     tok = sh.select("doc_id", "lang", F.explode("sh").alias("s"))
     a = tok.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"), "s"
@@ -337,8 +320,8 @@ def d_embedding_cosine(e) -> DataFrame:
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).cache()
-    vecs.count()  # eager: self-join reads both branches
+    )
+    vecs = eager_cache(e, "cosine_vecs", vecs)  # eager: self-join reads both branches
     # left side repartitioned — one parquet file must not mean one task for
     # the O(pairs-in-bucket) cosine work
     a = vecs.repartition(32).select(

@@ -220,7 +220,9 @@ GROUP BY doc_id
 """,
     doc="Document fingerprint (winnowing-style): the 4 smallest md5 shingle "
     "hashes, concatenated in order and re-hashed — a compact stable "
-    "signature robust to local edits.",
+    "signature robust to local edits. Documents with fewer than 3 tokens "
+    "have no shingles and thus no fingerprint — they are DROPPED, exactly "
+    "as the oracle's unnest of an empty shingle list drops them.",
 )
 def t_fingerprint(e) -> DataFrame:
     # pure array expressions — per-row compute, ZERO shuffles (the
@@ -228,22 +230,22 @@ def t_fingerprint(e) -> DataFrame:
     # answer; at 100 TB this version is embarrassingly parallel)
     d = e["documents"].repartition(32)
     toks = F.split("text", " ")
-    # <3-token guard: sequence(1, size-2) descends and element_at(toks, 0)
-    # throws under ANSI mode; mirror DuckDB's empty range() with an empty array
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # <3-token docs are filtered BEFORE the sequence() (which would descend
+    # and fault element_at under ANSI mode) — and filtering, not an empty
+    # array, is what matches the oracle: its unnest of an empty shingle
+    # list produces no row for the document at all
+    d = d.filter(F.size(toks) >= 3)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
     top4 = F.slice(F.sort_array(F.transform(sh, lambda s: F.md5(s))), 1, 4)
     return d.select(
         "doc_id", F.md5(F.array_join(top4, "")).alias("fingerprint")

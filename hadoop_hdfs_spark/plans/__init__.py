@@ -42,7 +42,9 @@ def read_schema_of_first_scan(df: DataFrame) -> str:
     table must show a 2-field struct.
     """
     plan = formatted_plan(df)
-    scan = next(
-        seg for seg in plan.split("(1) ")[1:] if seg.startswith("Scan parquet")
+    line = next(
+        (line for line in plan.splitlines() if "ReadSchema" in line), None
     )
-    return next(line for line in scan.splitlines() if "ReadSchema" in line)
+    if line is None:
+        raise ValueError("plan contains no file scan with a ReadSchema")
+    return line

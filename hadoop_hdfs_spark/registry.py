@@ -52,6 +52,28 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _loaded[key]
 
 
+# Operator-level eager caches, memoized per (session, sf_dir, tag): lazy
+# cache() loses the race in multi-branch DAGs within one action (the eager
+# count() is required), but an un-memoized eager cache leaks one pinned
+# frame PER INVOCATION in a long-lived session. Memoizing bounds the cached
+# state to one entry per operator per scale factor — and lets operators
+# sharing an intermediate (e.g. the shingle table) reuse each other's work.
+_CACHED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        str(e.get("__sf_dir__", "?")),
+        tag,
+    )
+    if key not in _CACHED:
+        c = df.cache()
+        c.count()
+        _CACHED[key] = c
+    return _CACHED[key]
+
+
 def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401

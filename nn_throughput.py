@@ -47,11 +47,14 @@ def main() -> None:
     ops: dict[str, float] = {}
 
     # op=create (NNThroughputBenchmark.java:483-485): add N new file rows
+    # ids offset past every existing inode id (file ids are 10M + orderkey
+    # in the entity model) and path/name derived from the SAME offset id
+    new_id = F.col("id") + 1_000_000_000
     new_files = spark.range(n).select(
-        (F.col("id") + 10_000_000).alias("id"),
+        new_id.alias("id"),
         F.lit(1).alias("parent_id"),
-        F.concat(F.lit("/bench/f"), F.col("id")).alias("path"),
-        F.concat(F.lit("f"), F.col("id")).alias("name"),
+        F.concat(F.lit("/bench/f"), new_id).alias("path"),
+        F.concat(F.lit("f"), new_id).alias("name"),
         F.lit(False).alias("is_dir"),
     )
     ops["create"] = _timed(n, new_files)

@@ -38,6 +38,6 @@ def test_sketch_tracks_exact(spark, sf_dir):
         # GK percentile_approx returns an OBSERVED value; the exact side
         # interpolates between observations, so in small groups the two can
         # differ by one size-step — allow a 10% relative band.
-        for i, key in enumerate(["p50_e6", "p90_e6", "p99_e6"]):
-            approx_e6 = r["approx_percentiles"][i] * 1_000_000
-            assert abs(approx_e6 - ex[key]) <= 0.10 * max(ex[key], 1_000_000)
+        for i, key in enumerate(["p50_mib_e2", "p90_mib_e2", "p99_mib_e2"]):
+            approx_mib_e2 = r["approx_percentiles"][i] * 100.0 / 1048576
+            assert abs(approx_mib_e2 - ex[key]) <= 0.10 * max(ex[key], 100)

@@ -78,10 +78,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # no hiding
     try:
+        from hadoop_hdfs_spark.plans import formatted_plan
+
         df = sources.bucketed_block_join(spark)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(df)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
         # and it computes the same thing as the straight join
