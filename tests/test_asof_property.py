@@ -75,3 +75,44 @@ def test_asof_matches_sequential_model(spark, rows):
         for r in j8_asof_open_close({"edits": edits}).collect()
     }
     assert got == _model(rows)
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for doc_id in range(n):
+        src = draw(st.sampled_from(["srcA", "srcB"]))
+        n_tok = draw(st.integers(min_value=1, max_value=6000))
+        rows.append((doc_id, src, n_tok))
+    return rows
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(corpora())
+def test_token_packing_matches_sequential_model(spark, rows):
+    """Shard addresses must equal the greedy sequential layout per source:
+    shard_id*4096 + shard_offset == running token count before the doc."""
+    from hadoop_hdfs_spark.pipeline.curation import c_token_packing
+
+    docs = spark.createDataFrame(
+        [(i, s, "w " * (t - 1) + "w") for i, s, t in rows],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["shard_id"], r["shard_offset"], r["n_tokens"])
+        for r in c_token_packing({"documents": docs}).collect()
+    }
+    running: dict = {}
+    for doc_id, src, n_tok in rows:  # doc_id ascending by construction
+        start = running.get(src, 0)
+        assert got[doc_id] == (start // 4096, start % 4096, n_tok), (
+            doc_id,
+            got[doc_id],
+            start,
+        )
+        running[src] = start + n_tok
