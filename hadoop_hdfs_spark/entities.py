@@ -108,13 +108,15 @@ FROM (
 
 # Replica fan-out: each block gets (block_id % 6) replicas (0..5 — so missing,
 # under- and over-replicated blocks all exist vs expected replication 1..4).
-# Datanode assignment stride 17 guarantees distinct nodes per block.
+# Datanode assignment stride 17 guarantees distinct nodes per block; the
+# 1 + (expr % N) form lands on dn1..dnN exactly — the datanode ids that
+# exist (s_suppkey is 1-based), so no replica dangles on a phantom dn0.
 # on_disk/in_memory model the DirectoryScanner disk<->memory diff
 # (DirectoryScanner.java:332-396); is_corrupt models CorruptReplicasMap.
 _REPLICAS_SQL = """
 SELECT
   b.block_id                                                   AS block_id,
-  'dn' || CAST((b.block_id * 31 + r.r * 17)
+  'dn' || CAST(1 + (b.block_id * 31 + r.r * 17)
                % (SELECT COUNT(*) FROM supplier) AS STRING)    AS datanode_id,
   CASE WHEN (b.block_id + r.r) % 20 = 0 THEN 'RBW'
        WHEN (b.block_id + r.r) % 20 = 1 THEN 'RWR'
@@ -187,7 +189,7 @@ SELECT CAST(10000000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT),
        'f' || CAST(o_orderkey % 97 AS STRING), false,
        CAST(1 + (o_orderkey % 4) AS INT),
        CAST(67108864 AS BIGINT),
-       COALESCE(bl.len, CAST(0 AS BIGINT)),
+       CAST(COALESCE(bl.len, 0) AS BIGINT), -- outer CAST: DuckDB SUM(BIGINT) is HUGEINT, which would render as float64
        CAST(1700000000000 + o_orderkey * 1000 AS BIGINT),
        CAST(1700000000000 + o_orderkey * 500 AS BIGINT),
        CASE WHEN o_orderkey % 3 = 0 THEN 'rw-r--r--'

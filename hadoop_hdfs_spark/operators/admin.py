@@ -349,14 +349,31 @@ def a14_size_percentiles(e) -> DataFrame:
     "per-group sort. Both are mergeable partial aggregates: each partition "
     "builds a constant-size sketch, the shuffle moves sketches not rows — "
     "the only plan shape that survives a trillion-row group. Error is "
-    "bounded in tests against the exact a14 answers.",
+    "bounded in tests against the exact a14 answers. Percentiles surface "
+    "as scalar centi-MiB columns (a14's quantization): scalar rows keep "
+    "the result canonicalizable by any harness (array cells are not "
+    "hashable) and ulp-immune.",
 )
 def a15_size_sketch(e) -> DataFrame:
     files = e["inodes"].filter(~F.col("is_dir"))
-    return files.groupBy("replication").agg(
+    g = files.groupBy("replication").agg(
         F.count("*").alias("n_files"),
         F.approx_count_distinct("length").alias("approx_distinct_sizes"),
-        F.percentile_approx("length", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
-        .alias("approx_percentiles"),
+        F.percentile_approx(
+            "length", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+        ).alias("q"),
         F.approx_count_distinct("owner").alias("approx_distinct_owners"),
+    )
+
+    def mib_e2(i: int):
+        return F.floor(F.element_at("q", i) * 100.0 / 1048576 + 0.5).cast("long")
+
+    return g.select(
+        "replication",
+        "n_files",
+        "approx_distinct_sizes",
+        mib_e2(1).alias("p50_approx_mib_e2"),
+        mib_e2(2).alias("p90_approx_mib_e2"),
+        mib_e2(3).alias("p99_approx_mib_e2"),
+        "approx_distinct_owners",
     )

@@ -80,10 +80,50 @@ def _import_operator_modules() -> None:
     from .pipeline import ann, corpus, curation, dedup, privacy, similarity, text  # noqa: F401
 
 
+# Driver-verification ordering. CORRECTNESS_r01.json shows the driver checks
+# queries in dict order and stopped after the first 50 — the 31 relational +
+# pipeline queries registered last never received a row. The catalog is
+# therefore emitted with never-driver-verified queries FIRST (registration
+# order within each tier), then queries whose semantics changed since their
+# last green row, then the long-stable tail. Keys, builders, and oracles are
+# unchanged — only dict order.
+_R01_GREEN = frozenset({
+    "c3_c8_scalar_functions", "c5_permission_codec", "t10_edit_sessions",
+    "fed_namespace_rollup", "t5_block_report_upsert", "a14_size_percentiles",
+    "w1_block_offsets", "s3_pread_range", "s10_file_tail",
+    "f6_block_id_projection", "f7_block_name_codec", "j1_block_locations",
+    "j2_report_diff", "j3_scanner_stats", "f5_corrupt_files", "j5_fsck_blocks",
+    "a3_fsck_result", "u3_excess_replicas", "a9_file_checksum", "a10_safemode",
+    "w5_balancer_block_cursor", "w6_salvage_runs", "a11_verification_staleness",
+    "f4_datanode_report", "a7_cluster_stats", "a8_utilization",
+    "w3_balancer_classes", "j4_balancer_pairing", "j6_host_datanodes",
+    "j7_lease_paths", "t4_lease_expiry", "w4_datanode_ranking",
+    "w7_storage_tiers", "t11_event_rates", "c9_json_props",
+    "c1_path_functions", "a1_content_summary", "a2_quota_check",
+    "a4_file_size_histogram", "a5_name_frequency", "u1_concat_renumber",
+})
+# Green in r01 but semantically changed this round (w2 gained priority 3 and
+# t6 consumes it; the edits opcode vocabulary widened, feeding a6/t12):
+# re-verify these before the stable tail.
+_RECHECK = ("w2_replication_priority", "t6_replication_work",
+            "a6_edits_opcode_stats", "t12_opcode_hour_pivot")
+
+
+def _driver_order(names) -> list[str]:
+    def tier(n: str) -> int:
+        if n in _RECHECK:
+            return 1
+        return 2 if n in _R01_GREEN else 0
+
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (tier(n), idx[n]))
+
+
 def queries() -> dict[str, QueryFn]:
     _import_operator_modules()
     out: dict[str, QueryFn] = {}
-    for name, q in _REGISTRY.items():
+    for name in _driver_order(list(_REGISTRY)):
+        q = _REGISTRY[name]
 
         def make(q: Query) -> QueryFn:
             def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +140,8 @@ def oracle_sql() -> dict[str, str]:
     _import_operator_modules()
     prelude = oracle_prelude()
     out = {}
-    for name, q in _REGISTRY.items():
+    for name in _driver_order(list(_REGISTRY)):
+        q = _REGISTRY[name]
         if q.oracle is None:
             continue
         sql = q.oracle.strip()

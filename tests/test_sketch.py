@@ -38,6 +38,9 @@ def test_sketch_tracks_exact(spark, sf_dir):
         # GK percentile_approx returns an OBSERVED value; the exact side
         # interpolates between observations, so in small groups the two can
         # differ by one size-step — allow a 10% relative band.
-        for i, key in enumerate(["p50_mib_e2", "p90_mib_e2", "p99_mib_e2"]):
-            approx_mib_e2 = r["approx_percentiles"][i] * 100.0 / 1048576
-            assert abs(approx_mib_e2 - ex[key]) <= 0.10 * max(ex[key], 100)
+        for exact_key, approx_key in [
+            ("p50_mib_e2", "p50_approx_mib_e2"),
+            ("p90_mib_e2", "p90_approx_mib_e2"),
+            ("p99_mib_e2", "p99_approx_mib_e2"),
+        ]:
+            assert abs(r[approx_key] - ex[exact_key]) <= 0.10 * max(ex[exact_key], 100)
