@@ -432,6 +432,7 @@ def a3_fsck_result(e) -> DataFrame:
 SELECT c.block_id, c.live, i.replication AS expected,
        CAST(CASE WHEN c.live = 0 AND c.decom_live > 0 THEN 0
             WHEN c.live = 0                           THEN 4
+            WHEN c.live >= i.replication              THEN 3
             WHEN c.live = 1                           THEN 0
             WHEN c.live * 3 < i.replication           THEN 1
             ELSE 2 END AS INT)                        AS priority
@@ -439,7 +440,9 @@ FROM (
   SELECT b.block_id, b.file_id,
          CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
          CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
-                  THEN 1 ELSE 0 END) AS BIGINT)                            AS decom_live
+                  THEN 1 ELSE 0 END) AS BIGINT)                            AS decom_live,
+         CAST(COUNT(DISTINCT CASE WHEN NOT r.is_corrupt
+                             THEN d.rack END) AS BIGINT)                   AS racks
   FROM blocks b
   LEFT JOIN replicas r ON r.block_id = b.block_id
   LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
@@ -447,10 +450,15 @@ FROM (
 ) c
 JOIN inodes i ON i.id = c.file_id
 WHERE c.live < i.replication
+   OR (c.live >= i.replication AND i.replication > 1 AND c.racks < 2)
 """,
     doc="W2 UnderReplicatedBlocks 5-level priority "
     "(UnderReplicatedBlocks.getPriority:85-107): CASE priority column over "
-    "under-replicated blocks; queue drain = ORDER BY priority.",
+    "blocks needing replication work; queue drain = ORDER BY priority. "
+    "Priority 3 is the rack-deficit queue (UnderReplicatedBlocks.java:90-92: "
+    "enough replicas but all on one rack, replication > 1) — reachable only "
+    "via the widened filter, since those blocks are NOT under-replicated "
+    "by count.",
 )
 def w2_replication_priority(e) -> DataFrame:
     blocks, replicas, datanodes, inodes = (
@@ -462,7 +470,7 @@ def w2_replication_priority(e) -> DataFrame:
     counts = (
         blocks.join(replicas, "block_id", "left")
         .join(
-            F.broadcast(datanodes.select("datanode_id", "admin_state")),
+            F.broadcast(datanodes.select("datanode_id", "admin_state", "rack")),
             "datanode_id",
             "left",
         )
@@ -472,14 +480,25 @@ def w2_replication_priority(e) -> DataFrame:
             F.sum(
                 F.when(~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1).otherwise(0)
             ).alias("decom_live"),
+            F.count_distinct(
+                F.when(~F.col("is_corrupt"), F.col("rack"))
+            ).alias("racks"),
         )
     )
     j = counts.join(
         inodes.select(F.col("id").alias("file_id"), "replication"), "file_id"
-    ).filter(F.col("live") < F.col("replication"))
+    ).filter(
+        (F.col("live") < F.col("replication"))
+        | (
+            (F.col("live") >= F.col("replication"))
+            & (F.col("replication") > 1)
+            & (F.col("racks") < 2)
+        )
+    )
     priority = (
         F.when((F.col("live") == 0) & (F.col("decom_live") > 0), 0)
         .when(F.col("live") == 0, 4)
+        .when(F.col("live") >= F.col("replication"), 3)
         .when(F.col("live") == 1, 0)
         .when(F.col("live") * 3 < F.col("replication"), 1)
         .otherwise(2)
