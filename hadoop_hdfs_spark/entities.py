@@ -209,26 +209,54 @@ LEFT JOIN (
 ) bl ON bl.l_orderkey = o_orderkey
 """
 
-# Edit-log changelog from the events stream (FSEditLogOpCodes.java:31-60).
+# Edit-log changelog from the events stream. Opcode vocabulary per
+# FSEditLogOpCodes.java:31-60: each event_type family subdivides by
+# event_id arithmetic so the attribute ops (OP_SET_PERMISSIONS/OWNER/
+# TIMES/QUOTA), OP_SYMLINK, and OP_CONCAT_DELETE all occur. Payload
+# columns carry what the reference op carries (FSEditLogLoader.java
+# op switch :181-479): replication for add/setReplication, perm for
+# setPermissions, owner for setOwner; times payloads ride ts_ms.
 _EDITS_SQL = """
 SELECT
   CAST(event_id AS BIGINT)                                     AS txid,
-  CASE event_type
-       WHEN 'click'    THEN 'OP_ADD'
-       WHEN 'view'     THEN 'OP_MKDIR'
-       WHEN 'purchase' THEN 'OP_CLOSE'
-       WHEN 'signup'   THEN 'OP_RENAME'
+  CASE WHEN event_type = 'click'    AND event_id % 5 = 0 THEN 'OP_SET_REPLICATION'
+       WHEN event_type = 'click'                         THEN 'OP_ADD'
+       WHEN event_type = 'view'     AND event_id % 7 = 0 THEN 'OP_SET_PERMISSIONS'
+       WHEN event_type = 'view'     AND event_id % 7 = 1 THEN 'OP_SET_OWNER'
+       WHEN event_type = 'view'                          THEN 'OP_MKDIR'
+       WHEN event_type = 'purchase' AND event_id % 5 = 0 THEN 'OP_TIMES'
+       WHEN event_type = 'purchase' AND event_id % 5 = 1 THEN 'OP_SET_QUOTA'
+       WHEN event_type = 'purchase'                      THEN 'OP_CLOSE'
+       WHEN event_type = 'signup'   AND event_id % 9 = 0 THEN 'OP_SYMLINK'
+       WHEN event_type = 'signup'                        THEN 'OP_RENAME'
+       WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup')
+            AND event_id % 6 = 0                         THEN 'OP_CONCAT_DELETE'
        ELSE 'OP_DELETE' END                                    AS op,
   CAST(1704067200000 + event_id * 60000 AS BIGINT)             AS ts_ms,
   '/ev/u' || CAST(user_id AS STRING) || '/f'
            || CAST(event_id % 100 AS STRING)                   AS path,
-  CASE WHEN event_type = 'signup'
+  CASE WHEN event_type = 'signup' AND event_id % 9 = 0
+       THEN '/ev/u' || CAST(user_id AS STRING) || '/t'
+            || CAST(event_id % 100 AS STRING)
+       WHEN event_type = 'signup'
        THEN '/ev/u' || CAST(user_id AS STRING) || '/g'
             || CAST(event_id % 100 AS STRING)
+       WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup')
+            AND event_id % 6 = 0
+       THEN '/ev/u' || CAST(user_id AS STRING) || '/f'
+            || CAST((event_id + 1) % 100 AS STRING)
        ELSE CAST(NULL AS STRING) END                           AS dst,
   CASE WHEN event_type = 'click'
        THEN CAST(1 + (event_id % 4) AS INT)
-       ELSE CAST(NULL AS INT) END                              AS replication
+       ELSE CAST(NULL AS INT) END                              AS replication,
+  CASE WHEN event_type = 'view' AND event_id % 7 = 0
+       THEN CASE WHEN event_id % 3 = 0 THEN 'rwxr-xr-x'
+                 WHEN event_id % 3 = 1 THEN 'rw-r--r--'
+                 ELSE 'rwx------' END
+       ELSE CAST(NULL AS STRING) END                           AS perm,
+  CASE WHEN event_type = 'view' AND event_id % 7 = 1
+       THEN 'user' || CAST(event_id % 5 AS STRING)
+       ELSE CAST(NULL AS STRING) END                           AS owner
 FROM events
 """
 

@@ -106,18 +106,25 @@ def c9_json_props(e) -> DataFrame:
         )
     )
 
-_OPCODES = ["OP_ADD", "OP_MKDIR", "OP_CLOSE", "OP_RENAME", "OP_DELETE"]
+# Full replayed vocabulary (FSEditLogOpCodes.java:31-60 minus the
+# delegation-token/transport ops the entity model has no analog events for).
+_OPCODES = [
+    "OP_ADD", "OP_MKDIR", "OP_CLOSE", "OP_RENAME", "OP_DELETE",
+    "OP_SET_REPLICATION", "OP_SET_PERMISSIONS", "OP_SET_OWNER",
+    "OP_TIMES", "OP_SET_QUOTA", "OP_SYMLINK", "OP_CONCAT_DELETE",
+]
+
+_PIVOT_SQL = ",\n".join(
+    f"       CAST(SUM(CASE WHEN op = '{op}' THEN 1 ELSE 0 END) AS BIGINT) AS {op.lower()}"
+    for op in _OPCODES
+)
 
 
 @register(
     "t12_opcode_hour_pivot",
-    oracle="""
+    oracle=f"""
 SELECT ts_ms // 3600000 AS hour_bucket,
-       CAST(SUM(CASE WHEN op = 'OP_ADD'    THEN 1 ELSE 0 END) AS BIGINT) AS op_add,
-       CAST(SUM(CASE WHEN op = 'OP_MKDIR'  THEN 1 ELSE 0 END) AS BIGINT) AS op_mkdir,
-       CAST(SUM(CASE WHEN op = 'OP_CLOSE'  THEN 1 ELSE 0 END) AS BIGINT) AS op_close,
-       CAST(SUM(CASE WHEN op = 'OP_RENAME' THEN 1 ELSE 0 END) AS BIGINT) AS op_rename,
-       CAST(SUM(CASE WHEN op = 'OP_DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS op_delete
+{_PIVOT_SQL}
 FROM edits
 GROUP BY 1
 """,

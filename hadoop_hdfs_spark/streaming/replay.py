@@ -43,6 +43,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# The full changelog record (matches the edits entity, entities._EDITS_SQL).
+EDITS_SCHEMA = (
+    "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+    "replication INT, perm STRING, owner STRING"
+)
+EDITS_COLUMNS = ("txid", "op", "ts_ms", "path", "dst", "replication", "perm", "owner")
+
 
 def _rename_rewriter(rules: list[tuple[int, str, str]]):
     """pandas UDF: fold (txid, src, dst) prefix-rewrites over a path column
@@ -72,16 +79,58 @@ def _rename_rewriter(rules: list[tuple[int, str, str]]):
     return rewrite
 
 
+# The replayed projection of the namespace: existence + the attribute
+# columns the widened op vocabulary can set (FSEditLogLoader op switch
+# :181-479). Attribute rule, uniform: per path, the LAST op (txid order)
+# carrying a NON-NULL payload for a column wins; ops without that payload
+# leave it untouched.
+STATE_COLUMNS = ("exists", "replication", "perm", "owner", "mtime_ms")
+_STATE_TYPES = {
+    "exists": "boolean",
+    "replication": "int",
+    "perm": "string",
+    "owner": "string",
+    "mtime_ms": "long",
+}
+_CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
+_REMOVE_OPS = ("OP_DELETE", "OP_CONCAT_DELETE")  # concat deletes its srcs
+_MTIME_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK", "OP_CLOSE", "OP_TIMES")
+
+
+def _with_missing_nulls(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    for c, t in cols.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df
+
+
 def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     """Apply one micro-batch of edit ops to the namespace state.
 
-    State schema: (path, exists, replication). Op vocabulary per
-    FSEditLogOpCodes: OP_ADD / OP_MKDIR create, OP_DELETE removes the
-    subtree, OP_RENAME moves a subtree, OP_SET_REPLICATION updates,
-    OP_CLOSE and the rest are no-ops on this projection. See module
-    docstring for the batch semantics contract.
+    State schema: (path, exists, replication, perm, owner, mtime_ms) —
+    missing columns on either input are treated as all-NULL, so callers
+    carrying the old (path, exists, replication) projection keep working.
+    Op vocabulary per FSEditLogOpCodes.java:31-60 /
+    FSEditLogLoader.java:181-479:
+
+    - OP_ADD / OP_MKDIR / OP_SYMLINK create (add carries replication,
+      creates stamp mtime);
+    - OP_DELETE removes the subtree; OP_CONCAT_DELETE removes exactly its
+      source path (concat sources are files) and touches the target's
+      mtime;
+    - OP_RENAME moves a subtree;
+    - OP_SET_REPLICATION / OP_SET_PERMISSIONS / OP_SET_OWNER / OP_TIMES
+      upsert one attribute each (last non-null payload per path wins);
+    - OP_CLOSE stamps mtime (the reference's close finalizes with a new
+      modification time); OP_SET_QUOTA and the rest are no-ops on this
+      projection (quotas live on the inodes entity, A2).
+
+    See module docstring for the batch-ordering contract.
     """
-    spark = state.sparkSession
+    state = _with_missing_nulls(state, _STATE_TYPES)
+    batch = _with_missing_nulls(
+        batch, {"perm": "string", "owner": "string", "ts_ms": "long"}
+    )
 
     renames = [
         (r["txid"], r["path"], r["dst"])
@@ -105,8 +154,7 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
         split = F.split(F.col("_rw"), "\x00")
         rewritten = tagged.select(
             split.getItem(0).alias("path"),
-            "exists",
-            "replication",
+            *STATE_COLUMNS,
             split.getItem(1).cast("long").alias("_auth"),
         )
         # collisions: later rename wins; renamed rows replace originals
@@ -117,45 +165,66 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
             .drop("_rn", "_auth")
         )
 
-    state.createOrReplaceTempView("ns_state")
-    batch.createOrReplaceTempView("ns_batch")
-
-    # -- 2. per-path fold: existence and replication resolved independently,
-    #       each keeping its txid as authority --
-    merged = spark.sql(
-        """
-        WITH last_exist AS (
-          SELECT path, op <> 'OP_DELETE' AS exists_new, txid AS exist_txid
-          FROM (
-            SELECT path, op, txid,
-                   ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid DESC) AS rn
-            FROM ns_batch
-            WHERE op IN ('OP_ADD', 'OP_MKDIR', 'OP_DELETE')
-          ) t WHERE rn = 1
-        ),
-        last_repl AS (
-          SELECT path, repl_new
-          FROM (
-            SELECT path,
-                   CASE WHEN op = 'OP_SET_REPLICATION' THEN replication
-                        ELSE COALESCE(replication, 3) END AS repl_new,
-                   ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid DESC) AS rn
-            FROM ns_batch
-            WHERE op = 'OP_SET_REPLICATION' OR op = 'OP_ADD'
-          ) t WHERE rn = 1
-        ),
-        batch_paths AS (
-          SELECT COALESCE(e.path, r.path) AS path, e.exists_new,
-                 e.exist_txid, r.repl_new
-          FROM last_exist e FULL OUTER JOIN last_repl r ON e.path = r.path
+    # -- 2. normalize ops to per-attribute payloads; a concat-delete also
+    #       touches its target's mtime, emitted as a synthetic OP_TIMES --
+    op = F.col("op")
+    payload = batch.select(
+        "txid",
+        "op",
+        "path",
+        F.when(op == "OP_SET_REPLICATION", F.col("replication"))
+        .when(op == "OP_ADD", F.coalesce(F.col("replication"), F.lit(3)))
+        .alias("p_replication"),
+        F.when(op == "OP_SET_PERMISSIONS", F.col("perm")).alias("p_perm"),
+        F.when(op == "OP_SET_OWNER", F.col("owner")).alias("p_owner"),
+        F.when(op.isin(*_MTIME_OPS), F.col("ts_ms")).alias("p_mtime_ms"),
+    )
+    concat_touch = (
+        batch.filter((op == "OP_CONCAT_DELETE") & F.col("dst").isNotNull())
+        .select(
+            "txid",
+            F.lit("OP_TIMES").alias("op"),
+            F.col("dst").alias("path"),
+            F.lit(None).cast("int").alias("p_replication"),
+            F.lit(None).cast("string").alias("p_perm"),
+            F.lit(None).cast("string").alias("p_owner"),
+            F.col("ts_ms").alias("p_mtime_ms"),
         )
-        SELECT COALESCE(b.path, s.path) AS path,
-               COALESCE(b.exists_new, s.exists, false) AS exists,
-               COALESCE(b.repl_new, s.replication) AS replication,
-               COALESCE(b.exist_txid, CAST(0 AS BIGINT)) AS exist_txid
-        FROM ns_state s
-        FULL OUTER JOIN batch_paths b ON s.path = b.path
-        """
+    )
+    norm = payload.unionByName(concat_touch)
+
+    # -- 3. per-path fold: existence and each attribute resolved
+    #       independently, each keeping its txid as authority --
+    w_last = Window.partitionBy("path").orderBy(F.col("txid").desc())
+
+    last_exist = (
+        norm.filter(op.isin(*_CREATE_OPS, *_REMOVE_OPS))
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "path",
+            op.isin(*_CREATE_OPS).alias("exists_new"),
+            F.col("txid").alias("exist_txid"),
+        )
+    )
+    batch_paths = last_exist
+    for attr in ("replication", "perm", "owner", "mtime_ms"):
+        last_attr = (
+            norm.filter(F.col(f"p_{attr}").isNotNull())
+            .withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .select("path", F.col(f"p_{attr}").alias(f"{attr}_new"))
+        )
+        batch_paths = batch_paths.join(last_attr, ["path"], "full")
+
+    merged = state.join(batch_paths, ["path"], "full").select(
+        "path",
+        F.coalesce("exists_new", "exists", F.lit(False)).alias("exists"),
+        *[
+            F.coalesce(f"{attr}_new", attr).alias(attr)
+            for attr in ("replication", "perm", "owner", "mtime_ms")
+        ],
+        F.coalesce("exist_txid", F.lit(0).cast("long")).alias("exist_txid"),
     )
 
     # -- 3. subtree deletes: kill descendants whose existence authority
@@ -201,11 +270,8 @@ def replay_edits_stream(
     edits_<first>-<last> segment naming); ``maxFilesPerTrigger`` is the
     group-commit batch knob (FSEditLog.logSync analog).
     """
-    edits_schema = (
-        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT"
-    )
     stream = (
-        spark.readStream.schema(edits_schema)
+        spark.readStream.schema(EDITS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(edits_parquet_dir)
     )
@@ -236,11 +302,8 @@ def replay_edits_stream(
 def edits_opcode_stream_stats(spark: SparkSession, edits_parquet_dir: str):
     """A6 as a streaming aggregation (StatisticsEditsVisitor, complete mode):
     returns (query, get_table) where get_table() reads the in-memory sink."""
-    edits_schema = (
-        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT"
-    )
     stream = (
-        spark.readStream.schema(edits_schema)
+        spark.readStream.schema(EDITS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(edits_parquet_dir)
     )

@@ -29,11 +29,13 @@ def test_pivot_unpivot_roundtrip(spark, sf_dir):
 
     from hadoop_hdfs_spark import registry
 
+    from hadoop_hdfs_spark.operators.events import _OPCODES
+
     wide = registry.queries()["t12_opcode_hour_pivot"](spark, sf_dir)
     long = (
         wide.unpivot(
             "hour_bucket",
-            ["op_add", "op_mkdir", "op_close", "op_rename", "op_delete"],
+            [op.lower() for op in _OPCODES],
             "op",
             "n",
         )

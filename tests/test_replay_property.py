@@ -2,8 +2,13 @@
 analog, TestLoadGenerator): random op sequences over an overlapping path
 universe must drive apply_edits_batch to the same final state as a Python
 model encoding the documented batch contract (replay.py module docstring):
-renames first in txid order with collision authority, per-path create/delete/
-set-replication fold, then subtree deletes by txid authority.
+renames first in txid order with collision authority, per-path fold where
+existence and each attribute (replication/perm/owner/mtime) are resolved
+independently by last-non-null-payload txid order, then subtree deletes by
+txid authority. Covers the widened vocabulary: OP_SYMLINK creates,
+OP_CONCAT_DELETE removes exactly its source and touches its target's mtime,
+OP_SET_PERMISSIONS / OP_SET_OWNER / OP_TIMES upsert attributes, OP_CLOSE
+stamps mtime, OP_SET_QUOTA is a no-op on this projection.
 
 Pools deliberately overlap (rename destinations are also sources/targets of
 other ops; nested paths) so chains, collisions, delete-under-rename, and
@@ -18,12 +23,27 @@ from hadoop_hdfs_spark.streaming.replay import apply_edits_batch
 
 PATHS = ["/a", "/a/x", "/b", "/b/z", "/d", "/d/x"]
 DESTS = ["/d", "/b", "/e", "/a"]
+OPS = [
+    "OP_ADD",
+    "OP_MKDIR",
+    "OP_DELETE",
+    "OP_SET_REPLICATION",
+    "OP_RENAME",
+    "OP_SYMLINK",
+    "OP_CONCAT_DELETE",
+    "OP_SET_PERMISSIONS",
+    "OP_SET_OWNER",
+    "OP_TIMES",
+    "OP_CLOSE",
+    "OP_SET_QUOTA",
+]
+CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
+REMOVE_OPS = ("OP_DELETE", "OP_CONCAT_DELETE")
+MTIME_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK", "OP_CLOSE", "OP_TIMES")
 
 ops = st.lists(
     st.tuples(
-        st.sampled_from(
-            ["OP_ADD", "OP_MKDIR", "OP_DELETE", "OP_SET_REPLICATION", "OP_RENAME"]
-        ),
+        st.sampled_from(OPS),
         st.sampled_from(PATHS),
         st.sampled_from(DESTS),
         st.integers(min_value=1, max_value=5),
@@ -34,48 +54,74 @@ ops = st.lists(
 
 
 def model(initial_state: dict, edits: list) -> dict:
-    """The documented batch contract, interpreted sequentially in Python."""
-    # state: path -> (exists, replication, authority_txid)
-    state = {p: (ex, rp, 0) for p, (ex, rp) in initial_state.items()}
+    """The documented batch contract, interpreted sequentially in Python.
+
+    edits rows: (txid, op, path, dst, repl, perm, owner, ts_ms).
+    state values: (exists, repl, perm, owner, mtime).
+    """
+    # path -> [exists, repl, perm, owner, mtime, authority_txid]
+    state = {p: [ex, rp, pm, ow, mt, 0] for p, (ex, rp, pm, ow, mt) in initial_state.items()}
 
     # 1. renames in txid order; later authority wins collisions
-    for txid, op, path, dst, _repl in edits:
+    for txid, op, path, dst, _r, _p, _o, _t in edits:
         if op != "OP_RENAME":
             continue
         moved = {}
         for p in list(state):
             if p == path or p.startswith(path + "/"):
-                ex, rp, _ = state.pop(p)
-                moved[dst + p[len(path):]] = (ex, rp, txid)
+                rec = state.pop(p)
+                moved[dst + p[len(path):]] = rec[:5] + [txid]
         state.update(moved)
 
-    # 2. per-path fold with txid authority
-    last_exist: dict[str, tuple[bool, int]] = {}
-    last_repl: dict[str, int] = {}
-    for txid, op, path, _dst, repl in edits:
-        if op in ("OP_ADD", "OP_MKDIR"):
-            last_exist[path] = (True, txid)
-            if op == "OP_ADD":
-                last_repl[path] = repl if repl is not None else 3
-        elif op == "OP_DELETE":
-            last_exist[path] = (False, txid)
-        elif op == "OP_SET_REPLICATION":
-            last_repl[path] = repl
-    out = {}
-    for p in set(state) | set(last_exist) | set(last_repl):
-        old_ex, old_rp, _ = state.get(p, (False, None, 0))
-        ex, auth = last_exist.get(p, (old_ex, 0))
-        rp = last_repl.get(p, old_rp)
-        out[p] = [ex, rp, auth]
+    # 2. normalize: concat-delete = exact delete of src + mtime touch on dst
+    norm = []
+    for txid, op, path, dst, repl, perm, owner, ts in edits:
+        norm.append((txid, op, path, repl, perm, owner, ts))
+        if op == "OP_CONCAT_DELETE" and dst is not None:
+            norm.append((txid, "OP_TIMES", dst, None, None, None, ts))
 
-    # 3. subtree deletes by authority
-    for txid, op, path, _dst, _repl in edits:
+    # 3. per-path fold with txid authority, each attribute independent
+    last_exist: dict[str, tuple[bool, int]] = {}
+    last = {"repl": {}, "perm": {}, "owner": {}, "mtime": {}}
+    for txid, op, path, repl, perm, owner, ts in norm:
+        if op in CREATE_OPS:
+            last_exist[path] = (True, txid)
+        elif op in REMOVE_OPS:
+            last_exist[path] = (False, txid)
+        if op == "OP_SET_REPLICATION" and repl is not None:
+            last["repl"][path] = repl
+        elif op == "OP_ADD":
+            last["repl"][path] = repl if repl is not None else 3
+        if op == "OP_SET_PERMISSIONS" and perm is not None:
+            last["perm"][path] = perm
+        if op == "OP_SET_OWNER" and owner is not None:
+            last["owner"][path] = owner
+        if op in MTIME_OPS and ts is not None:
+            last["mtime"][path] = ts
+    out = {}
+    touched = set(state) | set(last_exist)
+    for d in last.values():
+        touched |= set(d)
+    for p in touched:
+        old = state.get(p, [False, None, None, None, None, 0])
+        ex, auth = last_exist.get(p, (old[0], 0))
+        out[p] = [
+            ex,
+            last["repl"].get(p, old[1]),
+            last["perm"].get(p, old[2]),
+            last["owner"].get(p, old[3]),
+            last["mtime"].get(p, old[4]),
+            auth,
+        ]
+
+    # 4. subtree deletes (OP_DELETE only) by authority
+    for txid, op, path, _dst, _r, _p, _o, _t in edits:
         if op != "OP_DELETE":
             continue
         for p, rec in out.items():
-            if rec[2] < txid and p.startswith(path + "/"):
+            if rec[5] < txid and p.startswith(path + "/"):
                 rec[0] = False
-    return {p: (ex, rp) for p, (ex, rp, _a) in out.items()}
+    return {p: tuple(rec[:5]) for p, rec in out.items()}
 
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
@@ -88,29 +134,37 @@ def model(initial_state: dict, edits: list) -> dict:
     ),
 )
 def test_replay_matches_model(spark, ops, initial):
-    initial_state = {p: (True, rp) for p, rp in initial}
-    state_rows = [(p, True, rp) for p, rp in initial]
-    state = spark.createDataFrame(
-        state_rows, "path STRING, exists BOOLEAN, replication INT"
-    ) if state_rows else spark.createDataFrame(
-        [], "path STRING, exists BOOLEAN, replication INT"
+    initial_state = {p: (True, rp, "rwxr-xr-x", "hdfs", 0) for p, rp in initial}
+    schema = (
+        "path STRING, exists BOOLEAN, replication INT, perm STRING, "
+        "owner STRING, mtime_ms LONG"
     )
-    edits = [
-        (
-            i + 1,
-            op,
-            path,
-            dst if op == "OP_RENAME" else None,
-            repl if op in ("OP_ADD", "OP_SET_REPLICATION") else None,
+    state_rows = [(p, True, rp, "rwxr-xr-x", "hdfs", 0) for p, rp in initial]
+    state = spark.createDataFrame(state_rows, schema) if state_rows else (
+        spark.createDataFrame([], schema)
+    )
+    edits = []
+    for i, (op, path, dst, repl) in enumerate(ops):
+        txid = i + 1
+        edits.append(
+            (
+                txid,
+                op,
+                path,
+                dst if op in ("OP_RENAME", "OP_SYMLINK", "OP_CONCAT_DELETE") else None,
+                repl if op in ("OP_ADD", "OP_SET_REPLICATION") else None,
+                f"perm{repl}" if op == "OP_SET_PERMISSIONS" else None,
+                f"user{repl}" if op == "OP_SET_OWNER" else None,
+                txid * 1000,
+            )
         )
-        for i, (op, path, dst, repl) in enumerate(ops)
-    ]
     batch = spark.createDataFrame(
-        [(t, o, 0, p, d, r) for t, o, p, d, r in edits],
-        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+        [(t, o, ts, p, d, r, pm, ow) for t, o, p, d, r, pm, ow, ts in edits],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT, perm STRING, owner STRING",
     )
     got = {
-        r["path"]: (r["exists"], r["replication"])
+        r["path"]: (r["exists"], r["replication"], r["perm"], r["owner"], r["mtime_ms"])
         for r in apply_edits_batch(state, batch).collect()
     }
     want = model(initial_state, edits)

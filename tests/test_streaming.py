@@ -16,6 +16,7 @@ from hadoop_hdfs_spark.pipeline.multimodal import (
     frame_sample,
 )
 from hadoop_hdfs_spark.streaming.replay import (
+    EDITS_COLUMNS,
     apply_edits_batch,
     edits_opcode_stream_stats,
     replay_edits_stream,
@@ -65,7 +66,7 @@ def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
     check the final snapshot agrees with a batch replay."""
     e = load_entities(spark, sf_dir)
     edits_dir = str(tmp_path / "edits")
-    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+    e["edits"].select(*EDITS_COLUMNS).coalesce(
         2
     ).write.parquet(edits_dir)
     q = replay_edits_stream(
@@ -81,7 +82,7 @@ def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
     # every OP_ADD/OP_MKDIR path with no later delete/rename-away exists
     batch_applied = apply_edits_batch(
         spark.createDataFrame([], "path STRING, exists BOOLEAN, replication INT"),
-        e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").orderBy("txid"),
+        e["edits"].select(*EDITS_COLUMNS).orderBy("txid"),
     )
     # streamed (multiple micro-batches) vs one-shot batch replay converge
     lhs = {(r["path"], r["exists"]) for r in snap.collect()}
@@ -92,7 +93,7 @@ def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
 def test_edits_opcode_stream_matches_batch(spark, sf_dir, tmp_path):
     e = load_entities(spark, sf_dir)
     edits_dir = str(tmp_path / "edits2")
-    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+    e["edits"].select(*EDITS_COLUMNS).coalesce(
         3
     ).write.parquet(edits_dir)
     q, table = edits_opcode_stream_stats(spark, edits_dir)
@@ -115,7 +116,7 @@ def test_edit_sessions_stream_matches_batch(spark, sf_dir, tmp_path):
 
     e = load_entities(spark, sf_dir)
     edits_dir = str(tmp_path / "edits_sessions")
-    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+    e["edits"].select(*EDITS_COLUMNS).coalesce(
         1
     ).write.parquet(edits_dir)
     q, table = edit_sessions_stream(spark, edits_dir, watermark="1 milliseconds")
@@ -291,7 +292,7 @@ def test_open_close_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
 
     e = load_entities(spark, sf_dir)
     edits_dir = str(tmp_path / "edits_oc")
-    e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication").coalesce(
+    e["edits"].select(*EDITS_COLUMNS).coalesce(
         2
     ).write.parquet(edits_dir)
     q, table = open_close_pairs_stream(spark, edits_dir, max_files_per_trigger=1)
