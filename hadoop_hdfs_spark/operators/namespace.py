@@ -59,6 +59,80 @@ def f1_path_lookup(e) -> DataFrame:
 
 
 @register(
+    "f1b_symlink_resolve",
+    oracle="""
+SELECT s.path AS link_path, s.symlink AS target_path,
+       t.path IS NOT NULL AS resolved,
+       t.length, t.is_dir, t.replication, t.mtime_ms, t.perm, t.owner, t.grp
+FROM inodes s
+LEFT JOIN inodes t ON t.path = s.symlink
+WHERE s.symlink IS NOT NULL
+""",
+    doc="F1b symlink-aware lookup (FSDirectory.java:1191-1203 resolves "
+    "through links; ClientProtocol.getLinkTarget:855): dereference every "
+    "symlink inode to its target's HdfsFileStatus in one hop — the client's "
+    "UnresolvedLinkException retry, done set-at-a-time. The symlink set is "
+    "a sliver of the namespace: first a broadcast semi-reduction shrinks "
+    "the inodes scan to just the referenced targets (the big side never "
+    "shuffles — a plain outer join keyed on target_path would funnel every "
+    "link through the one hot target key), then the link->target outer join "
+    "runs broadcast-to-broadcast. Dangling links surface as "
+    "resolved = false. Multi-hop chains: resolve_symlinks() below (bounded "
+    "iterative broadcast joins).",
+)
+def f1b_symlink_resolve(e) -> DataFrame:
+    inodes = e["inodes"]
+    links = inodes.filter(F.col("symlink").isNotNull()).select(
+        F.col("path").alias("link_path"), F.col("symlink").alias("target_path")
+    )
+    referenced = links.select("target_path").distinct()
+    targets = inodes.select(
+        F.col("path").alias("target_path"),
+        "length", "is_dir", "replication", "mtime_ms", "perm", "owner", "grp",
+    ).join(F.broadcast(referenced), "target_path")
+    return links.join(F.broadcast(targets), "target_path", "left").select(
+        "link_path",
+        "target_path",
+        F.col("is_dir").isNotNull().alias("resolved"),
+        "length", "is_dir", "replication", "mtime_ms", "perm", "owner", "grp",
+    )
+
+
+def resolve_symlinks(inodes: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Resolve symlink chains to their final target path.
+
+    Returns (link_path, final_path, hops). Each iteration dereferences one
+    link level via a broadcast self-join of the (small) symlink set — the
+    reference client re-resolves one UnresolvedLinkException per hop the
+    same way (FSClient createSymlink/getLinkTarget). Chains longer than
+    ``max_hops`` (cycles included) stop where they stand, mirroring the
+    reference's bounded link depth.
+    """
+    syms = inodes.filter(F.col("symlink").isNotNull()).select(
+        F.col("path").alias("cur"), F.col("symlink").alias("nxt")
+    )
+    state = syms.select(
+        F.col("cur").alias("link_path"),
+        F.col("nxt").alias("final_path"),
+        F.lit(1).alias("hops"),
+    )
+    for _ in range(max_hops - 1):
+        state = (
+            state.join(
+                F.broadcast(syms.withColumnRenamed("cur", "final_path")),
+                "final_path",
+                "left",
+            )
+            .select(
+                "link_path",
+                F.coalesce("nxt", "final_path").alias("final_path"),
+                (F.col("hops") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias("hops"),
+            )
+        )
+    return state
+
+
+@register(
     "f2_listing_page",
     oracle="""
 SELECT path, name, length, is_dir, replication, mtime_ms, perm, owner, grp,
@@ -77,7 +151,12 @@ WHERE rn <= 5
     doc="F2 paginated getListing (FSDirectory.java:1153-1183): children of a "
     "directory sorted by name, start-after cursor, page cap (lsLimit, "
     "DFSConfigKeys.java:110), remainingEntries pagination counter "
-    "(protocol/DirectoryListing.java).",
+    "(protocol/DirectoryListing.java). The page is orderBy().limit() — "
+    "Spark compiles that to TakeOrderedAndProject, a distributed top-k "
+    "(per-partition heaps, k rows to the driver); remaining_entries is a "
+    "scalar aggregate broadcast back over the page. No global window: the "
+    "pathological 100M-child directory HDFS pagination exists for never "
+    "funnels through one task (plan-asserted in tests/test_plans.py).",
 )
 def f2_listing_page(e, dir_path: str = "/r0/n0", start_after: str = "c1", limit: int = 5) -> DataFrame:
     inodes = e["inodes"]
@@ -87,18 +166,12 @@ def f2_listing_page(e, dir_path: str = "/r0/n0", start_after: str = "c1", limit:
     children = inodes.join(F.broadcast(parent), "parent_id").filter(
         F.col("name") > start_after
     )
-    w = Window.orderBy("name")
-    page = (
-        children.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "remaining_entries",
-            F.greatest(F.count("*").over(Window.partitionBy()) - limit, F.lit(0)).cast("long"),
-        )
-        .filter(F.col("rn") <= limit)
-    )
-    return page.select(
+    total = children.agg(F.count("*").alias("_total"))
+    page = children.orderBy("name").limit(limit)
+    return page.crossJoin(F.broadcast(total)).select(
         "path", "name", "length", "is_dir", "replication", "mtime_ms",
-        "perm", "owner", "grp", "remaining_entries",
+        "perm", "owner", "grp",
+        F.greatest(F.col("_total") - limit, F.lit(0)).cast("long").alias("remaining_entries"),
     )
 
 

@@ -94,6 +94,51 @@ def test_event_rates_partial_aggregates_before_window(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
 
+def test_listing_page_is_distributed_topk(spark, sf_dir):
+    # the page must be TakeOrderedAndProject (per-partition heaps, k rows to
+    # the driver), never a global row_number window: a 100M-child directory
+    # must not funnel through one task
+    from hadoop_hdfs_spark.plans import operator_counts
+
+    counts = operator_counts(QUERIES["f2_listing_page"](spark, sf_dir))
+    assert counts.get("TakeOrderedAndProject", 0) >= 1
+    assert counts.get("Window", 0) == 0
+
+
+def test_symlink_resolve_broadcasts_both_joins(spark, sf_dir):
+    # the big inodes side must never shuffle: the referenced-target
+    # semi-reduction and the link->target join are both broadcast
+    plan = _plan(spark, sf_dir, "f1b_symlink_resolve")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_symlink_chain_resolution(spark):
+    from hadoop_hdfs_spark.operators.namespace import resolve_symlinks
+
+    inodes = spark.createDataFrame(
+        [
+            ("/a", "/b"),      # chain head: /a -> /b -> /c -> /real
+            ("/b", "/c"),
+            ("/c", "/real"),
+            ("/real", None),
+            ("/loop1", "/loop2"),  # cycle: must terminate at max_hops
+            ("/loop2", "/loop1"),
+            ("/solo", "/real"),
+        ],
+        "path STRING, symlink STRING",
+    )
+    got = {
+        r["link_path"]: (r["final_path"], r["hops"])
+        for r in resolve_symlinks(inodes, max_hops=8).collect()
+    }
+    assert got["/a"] == ("/real", 3)
+    assert got["/b"] == ("/real", 2)
+    assert got["/c"] == ("/real", 1)
+    assert got["/solo"] == ("/real", 1)
+    assert got["/loop1"][1] == 8  # capped, not infinite
+
+
 def test_plan_utilities(spark, sf_dir):
     from hadoop_hdfs_spark.plans import (
         exchange_count,
