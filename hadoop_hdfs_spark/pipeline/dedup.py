@@ -230,14 +230,33 @@ WHERE i.inter * 1000000 >= 800000 * (len(x.sh) + len(y.sh) - i.inter)
     "are sets. Result-identical to pairwise set intersection, but only "
     "pairs that share a shingle are ever materialized — pair volume is "
     "sum-over-shingles of C(postings,2), not C(corpus,2). The threshold "
-    "test is pure integer arithmetic; no float reaches the comparator.",
+    "test is pure integer arithmetic; no float reaches the comparator. "
+    "Production scale passes max_doc_freq (stop-shingle cap): one "
+    "boilerplate shingle with 1M postings would otherwise create 5e11 "
+    "candidate pairs. Registered (oracle-checked) form runs uncapped.",
 )
-def d_ngram_jaccard(e) -> DataFrame:
+def d_ngram_jaccard(e, max_doc_freq: int | None = None) -> DataFrame:
     # eager cache = materialization barrier: the shingle transform feeds the
     # postings explode AND both size lookups; without it each branch
     # re-evaluates the O(tokens) split chain.
     sh = eager_cache(e, "shingles", _shingles(e["documents"]))
     tok = sh.select("doc_id", "lang", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        # Stop-shingle guard for skewed corpora: a shingle appearing in more
+        # than max_doc_freq documents contributes C(df,2) candidate pairs —
+        # quadratic in the hottest key — while carrying ~zero signal for the
+        # >=0.8 threshold (boilerplate). Drop those postings BEFORE the
+        # self-join. Hot set is tiny by construction, so the anti-join
+        # broadcasts; union sizes stay full-set (standard stop-word
+        # approximation: J is underestimated only for pairs whose overlap
+        # was mostly boilerplate).
+        hot = (
+            tok.groupBy("lang", "s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("lang", "s")
+        )
+        tok = tok.join(F.broadcast(hot), ["lang", "s"], "left_anti")
     a = tok.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"), "s"
     )

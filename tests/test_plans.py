@@ -139,6 +139,24 @@ def test_symlink_chain_resolution(spark):
     assert got["/loop1"][1] == 8  # capped, not infinite
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark, sf_dir):
+    """The df-capped variant must (a) equal the exact result when the cap
+    exceeds every shingle's document frequency, and (b) never invent pairs
+    when capping (it can only drop boilerplate-driven ones)."""
+    from hadoop_hdfs_spark.operators import namespace  # noqa: F401 (registry import)
+    from hadoop_hdfs_spark.pipeline.dedup import d_ngram_jaccard
+    from hadoop_hdfs_spark.registry import _entities
+
+    e = _entities(spark, sf_dir)
+    exact = {tuple(r) for r in d_ngram_jaccard(e).collect()}
+    loose = {tuple(r) for r in d_ngram_jaccard(e, max_doc_freq=10**9).collect()}
+    assert loose == exact
+    tight = {
+        (r["a_id"], r["b_id"]) for r in d_ngram_jaccard(e, max_doc_freq=2).collect()
+    }
+    assert tight <= {(a, b) for a, b, _ in exact}
+
+
 def test_plan_utilities(spark, sf_dir):
     from hadoop_hdfs_spark.plans import (
         exchange_count,
