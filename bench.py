@@ -56,6 +56,23 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
+    # Full per-query detail goes to a file; stdout's LAST line is a compact
+    # summary (top-10 slowest only) — an 80+-entry "queries" map once
+    # overflowed the driver's line-capture window and parsed as null.
+    top10 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "mean_query_seconds": round(total / max(len(times), 1), 3),
+        "queries": times,
+        "sf": sf,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
@@ -64,7 +81,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(times),
                 "mean_query_seconds": round(total / max(len(times), 1), 3),
-                "queries": times,
+                "queries": top10,
                 "sf": sf,
                 **({"errors": errors} if errors else {}),
             }
