@@ -92,6 +92,23 @@ def main() -> None:
                          ["block_id", "datanode_id"], "full_outer")
     ops["blockReport"] = _timed(n_rep, diff)
 
+    # op=replication (ReplicationStats, :1043-1090): one pass of the
+    # replication monitor — compute and assign the pending-replication work
+    # queue (the T6 scheduler plan); ops = work items scheduled
+    from hadoop_hdfs_spark import registry
+
+    work = registry.queries()["t6_replication_work"](spark, sf_dir)
+    n_work = max(work.count(), 1)
+    ops["replication"] = _timed(n_work, work)
+
+    # op=clean (CleanAllStats, :421-434): delete the benchmark subtree —
+    # filter every /bench inode out of the namespace (subtree delete is a
+    # map-side prefix predicate, no shuffle)
+    with_bench = inodes.select("id", "path").unionByName(
+        new_files.select("id", "path")
+    )
+    ops["clean"] = _timed(n, with_bench.filter(~F.col("path").startswith("/bench")))
+
     print(
         json.dumps(
             {

@@ -67,6 +67,7 @@ def test_nn_throughput_harness_runs():
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert set(out["ops"]) == {
-        "create", "open", "fileStatus", "delete", "rename", "blockReport"
+        "create", "open", "fileStatus", "delete", "rename", "blockReport",
+        "replication", "clean",
     }
     assert all(v > 0 for v in out["ops"].values()), out
