@@ -187,4 +187,13 @@ def range_read(url: str, offset: int, length: int) -> bytes:
         url, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
     )
     with urllib.request.urlopen(req) as resp:
+        # A server that ignores Range replies 200 with the FULL body — reading
+        # `length` bytes would silently return data from offset 0. The
+        # reference fails hard on a non-partial response for a nonzero offset
+        # (ByteRangeInputStream.openInputStream: "HTTP_PARTIAL expected").
+        if offset > 0 and resp.status != 206:
+            raise IOError(
+                f"server ignored Range header: HTTP {resp.status}, "
+                f"expected 206 Partial Content for offset {offset}"
+            )
         return resp.read(length)

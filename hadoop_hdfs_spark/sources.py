@@ -43,9 +43,22 @@ def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("ns_top")
 
 
-def save_edits(edits: DataFrame, path: str) -> None:
-    """S8: persist the changelog, txid-sorted within files, for replay."""
-    edits.sortWithinPartitions("txid").write.mode("overwrite").parquet(path)
+def save_edits(edits: DataFrame, path: str, n_segments: int = 8) -> None:
+    """S8: persist the changelog as txid-RANGE-partitioned segments.
+
+    ``repartitionByRange`` makes file order == txid order (segment i holds
+    strictly lower txids than segment i+1, like the reference's
+    ``edits_<first>-<last>`` roll naming) — streaming.replay depends on this
+    so that ``maxFilesPerTrigger=1`` applies segments in log order. A plain
+    sortWithinPartitions would interleave txid ranges across files and let a
+    later micro-batch carry earlier txids (ordering tested in
+    tests/test_sources.py)."""
+    (
+        edits.repartitionByRange(n_segments, "txid")
+        .sortWithinPartitions("txid")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def write_xml_sink(df: DataFrame, path: str) -> None:

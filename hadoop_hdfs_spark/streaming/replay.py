@@ -28,11 +28,14 @@ Within one micro-batch, a create interleaved BEFORE a rename of its parent
 is treated as if it happened after (renames-first); exact interleaving
 fidelity holds across micro-batches — feed one edit segment per trigger
 (``maxFilesPerTrigger=1``, the HDFS segment-per-roll layout,
-``sources.save_edits`` writes txid-range-ordered files) and the window of
-approximation is a single segment. The MERGE is idempotent (re-applying a
-batch converges — Structured Streaming's at-least-once ``foreachBatch``
-contract) and is property-tested against a model encoding exactly these
-rules (tests/test_replay_property.py).
+``sources.save_edits`` range-partitions on txid so file order == txid
+order) and the window of approximation is a single segment. Existence
+authority (``exist_txid``) is PERSISTED in the snapshot, so even a segment
+replayed out of order cannot regress newer state: a create/delete applies
+only with txid >= the path's recorded authority. The MERGE is idempotent
+(re-applying a batch converges — Structured Streaming's at-least-once
+``foreachBatch`` contract) and is property-tested against a model encoding
+exactly these rules (tests/test_replay_property.py).
 """
 
 from __future__ import annotations
@@ -84,13 +87,18 @@ def _rename_rewriter(rules: list[tuple[int, str, str]]):
 # :181-479). Attribute rule, uniform: per path, the LAST op (txid order)
 # carrying a NON-NULL payload for a column wins; ops without that payload
 # leave it untouched.
-STATE_COLUMNS = ("exists", "replication", "perm", "owner", "mtime_ms")
+STATE_COLUMNS = ("exists", "replication", "perm", "owner", "mtime_ms", "exist_txid")
 _STATE_TYPES = {
     "exists": "boolean",
     "replication": "int",
     "perm": "string",
     "owner": "string",
     "mtime_ms": "long",
+    # Existence authority, PERSISTED across batches (snapshot carries it):
+    # a micro-batch's create/delete wins only if its txid >= the state's
+    # recorded authority, so an out-of-order segment replaying older txids
+    # cannot override newer state.
+    "exist_txid": "long",
 }
 _CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
 _REMOVE_OPS = ("OP_DELETE", "OP_CONCAT_DELETE")  # concat deletes its srcs
@@ -217,14 +225,26 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
         )
         batch_paths = batch_paths.join(last_attr, ["path"], "full")
 
-    merged = state.join(batch_paths, ["path"], "full").select(
-        "path",
-        F.coalesce("exists_new", "exists", F.lit(False)).alias("exists"),
-        *[
-            F.coalesce(f"{attr}_new", attr).alias(attr)
-            for attr in ("replication", "perm", "owner", "mtime_ms")
-        ],
-        F.coalesce("exist_txid", F.lit(0).cast("long")).alias("exist_txid"),
+    # Existence: the batch's last create/delete wins only with txid
+    # authority >= the state's persisted authority (fresh state rows carry
+    # authority 0, so within one log any batch op wins; an out-of-order
+    # older segment loses to newer persisted state).
+    s_auth = F.coalesce("_s_auth", F.lit(0).cast("long"))
+    b_wins = F.col("exist_txid").isNotNull() & (F.col("exist_txid") >= s_auth)
+    merged = (
+        state.withColumnRenamed("exist_txid", "_s_auth")
+        .join(batch_paths, ["path"], "full")
+        .select(
+            "path",
+            F.when(b_wins, F.col("exists_new"))
+            .otherwise(F.coalesce("exists", F.lit(False)))
+            .alias("exists"),
+            *[
+                F.coalesce(f"{attr}_new", attr).alias(attr)
+                for attr in ("replication", "perm", "owner", "mtime_ms")
+            ],
+            F.when(b_wins, F.col("exist_txid")).otherwise(s_auth).alias("exist_txid"),
+        )
     )
 
     # -- 3. subtree deletes: kill descendants whose existence authority
@@ -251,7 +271,36 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
             ),
         )
 
-    return merged.drop("exist_txid")
+    # exist_txid stays in the output: the snapshot persists it, so authority
+    # survives across micro-batches (re-applying a batch converges — the
+    # >= comparison makes the merge idempotent).
+    return merged
+
+
+def _latest_snapshot_path(snapshot_dir: str) -> str | None:
+    """Highest COMMITTED snapshot version (``<dir>_v<batchId>`` with a
+    ``_SUCCESS`` marker). A torn write has no marker and is ignored —
+    it can never be mistaken for 'no snapshot yet'. Local-FS scan; a
+    cluster deployment would list through the Hadoop FileSystem API."""
+    import glob
+    import os
+    import re
+
+    versions = []
+    for p in glob.glob(snapshot_dir + "_v*"):
+        m = re.search(r"_v(\d+)$", p)
+        if m and os.path.exists(os.path.join(p, "_SUCCESS")):
+            versions.append((int(m.group(1)), p))
+    return max(versions)[1] if versions else None
+
+
+def load_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read the latest committed namespace snapshot written by
+    ``replay_edits_stream``."""
+    p = _latest_snapshot_path(snapshot_dir)
+    if p is None:
+        raise FileNotFoundError(f"no committed snapshot under {snapshot_dir}_v*")
+    return spark.read.parquet(p)
 
 
 def replay_edits_stream(
@@ -277,19 +326,22 @@ def replay_edits_stream(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        # Versioned-snapshot commit: each batch writes snapshot_v{batch_id}
+        # (its own directory — never overwriting live state) and readers
+        # take the highest version with a _SUCCESS marker. A crash mid-write
+        # leaves an uncommitted directory that is simply ignored; the old
+        # scheme (overwrite live dir from _next) could tear and then be
+        # silently read back as an EMPTY namespace via a bare except.
         spark_ = batch.sparkSession
-        try:
-            state = spark_.read.parquet(snapshot_dir)
-        except Exception:
+        latest = _latest_snapshot_path(snapshot_dir)
+        if latest is not None:
+            state = spark_.read.parquet(latest)
+        else:
             state = spark_.createDataFrame(
                 [], "path STRING, exists BOOLEAN, replication INT"
             )
         new_state = apply_edits_batch(state, batch.orderBy("txid"))
-        # write-new-then-swap would be storage-layer; parquet overwrite here
-        new_state.write.mode("overwrite").parquet(snapshot_dir + "_next")
-        spark_.read.parquet(snapshot_dir + "_next").write.mode("overwrite").parquet(
-            snapshot_dir
-        )
+        new_state.write.mode("overwrite").parquet(f"{snapshot_dir}_v{batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -45,6 +45,29 @@ def test_edits_roundtrip_feeds_replay(spark, sf_dir, tmp_path):
     assert back.count() == e["edits"].count()
 
 
+def test_save_edits_segments_are_txid_ordered(spark, sf_dir, tmp_path):
+    """Replay depends on file order == txid order (maxFilesPerTrigger=1
+    applies segments in log order): segments must hold disjoint, increasing
+    txid ranges in filename order."""
+    e = load_entities(spark, sf_dir)
+    sources.save_edits(
+        e["edits"].select("txid", "op", "ts_ms", "path", "dst", "replication"),
+        str(tmp_path / "edits_seg"),
+        n_segments=4,
+    )
+    files = sorted(glob.glob(str(tmp_path / "edits_seg" / "part-*")))
+    assert len(files) > 1, "need multiple segments to test ordering"
+    ranges = []
+    for f in files:
+        stats = spark.read.parquet(f).selectExpr(
+            "min(txid) AS lo", "max(txid) AS hi"
+        ).collect()[0]
+        if stats["lo"] is not None:
+            ranges.append((stats["lo"], stats["hi"]))
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, f"txid ranges interleave: {ranges}"
+
+
 def test_snapshot_chain_feeds_queries(spark, sf_dir, tmp_path):
     """Integration chain: derive entities -> save snapshot -> reload ->
     run ContentSummary on the reloaded namespace -> identical to direct."""

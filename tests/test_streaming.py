@@ -19,6 +19,7 @@ from hadoop_hdfs_spark.streaming.replay import (
     EDITS_COLUMNS,
     apply_edits_batch,
     edits_opcode_stream_stats,
+    load_latest_snapshot,
     replay_edits_stream,
 )
 from hadoop_hdfs_spark.streaming.sessions import edit_sessions_stream
@@ -61,6 +62,31 @@ def test_apply_edits_batch_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_apply_edits_cross_batch_authority(spark):
+    """Persisted exist_txid: an out-of-order later segment carrying OLDER
+    txids must not override newer state (the documented cross-batch
+    guarantee — a stale OP_DELETE cannot kill a newer create)."""
+    empty = spark.createDataFrame([], "path STRING, exists BOOLEAN, replication INT")
+    seg2 = spark.createDataFrame(
+        [(10, "OP_ADD", 10000, "/f", None, 2)],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    seg1 = spark.createDataFrame(
+        [(5, "OP_DELETE", 5000, "/f", None, None)],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    state = apply_edits_batch(empty, seg2)  # newer segment applied first
+    out = {r["path"]: r["exists"] for r in apply_edits_batch(state, seg1).collect()}
+    assert out["/f"] is True  # stale delete (txid 5 < authority 10) ignored
+    # and the delete DOES apply when it is genuinely newer
+    seg3 = spark.createDataFrame(
+        [(11, "OP_DELETE", 11000, "/f", None, None)],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    out3 = {r["path"]: r["exists"] for r in apply_edits_batch(state, seg3).collect()}
+    assert out3["/f"] is False
+
+
 def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
     """Stream the derived edits changelog through foreachBatch MERGE and
     check the final snapshot agrees with a batch replay."""
@@ -77,7 +103,7 @@ def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
         max_files_per_trigger=1,
     )
     assert q.awaitTermination(240), "stream did not drain in time"
-    snap = spark.read.parquet(str(tmp_path / "snapshot"))
+    snap = load_latest_snapshot(spark, str(tmp_path / "snapshot"))
     assert snap.count() > 0
     # every OP_ADD/OP_MKDIR path with no later delete/rename-away exists
     batch_applied = apply_edits_batch(
