@@ -90,6 +90,7 @@ FROM (
     SELECT c.block_id,
            CAST(CASE WHEN c.live = 0 AND c.decom_live > 0 THEN 0
                 WHEN c.live = 0 THEN 4
+                WHEN c.live >= i.replication THEN 3
                 WHEN c.live = 1 THEN 0
                 WHEN c.live * 3 < i.replication THEN 1
                 ELSE 2 END AS INT) AS priority
@@ -97,14 +98,18 @@ FROM (
       SELECT b.block_id, b.file_id,
              CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
              CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
-                      THEN 1 ELSE 0 END) AS BIGINT) AS decom_live
+                      THEN 1 ELSE 0 END) AS BIGINT) AS decom_live,
+             CAST(COUNT(DISTINCT CASE WHEN NOT r.is_corrupt
+                                 THEN d.rack END) AS BIGINT) AS racks
       FROM blocks b
       LEFT JOIN replicas r ON r.block_id = b.block_id
       LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
       GROUP BY b.block_id, b.file_id
     ) c
     JOIN inodes i ON i.id = c.file_id
-    WHERE c.live < i.replication AND c.live > 0
+    WHERE (c.live < i.replication
+           OR (c.live >= i.replication AND i.replication > 1 AND c.racks < 2))
+      AND c.live > 0
   ) w
   JOIN (
     SELECT block_id, MIN(datanode_id) AS source_datanode
@@ -115,9 +120,11 @@ WHERE rk <= 2
 """,
     doc="T6 replication work scheduler (FSNamesystem.computeDatanodeWork:"
     "3075-3111, BlockManager.computeReplicationWork:686-905): drain the W2 "
-    "priority queues, pick a live source replica per block, cap 2 transfers "
-    "per source node per round (the per-heartbeat work cap) — priority "
-    "ordering + per-node rank window.",
+    "priority queues — including the priority-3 rack-deficit queue, which "
+    "the reference's neededReplications iterator also yields — pick a live "
+    "source replica per block, cap 2 transfers per source node per round "
+    "(the per-heartbeat work cap) — priority ordering + per-node rank "
+    "window.",
 )
 def t6_replication_work(e) -> DataFrame:
     from .blocks import w2_replication_priority
