@@ -99,8 +99,8 @@ FROM (
              CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
              CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
                       THEN 1 ELSE 0 END) AS BIGINT) AS decom_live,
-             CAST(COUNT(DISTINCT CASE WHEN NOT r.is_corrupt
-                                 THEN d.rack END) AS BIGINT) AS racks
+             MIN(CASE WHEN NOT r.is_corrupt THEN d.rack END) AS rack_lo,
+             MAX(CASE WHEN NOT r.is_corrupt THEN d.rack END) AS rack_hi
       FROM blocks b
       LEFT JOIN replicas r ON r.block_id = b.block_id
       LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
@@ -108,7 +108,8 @@ FROM (
     ) c
     JOIN inodes i ON i.id = c.file_id
     WHERE (c.live < i.replication
-           OR (c.live >= i.replication AND i.replication > 1 AND c.racks < 2))
+           OR (c.live >= i.replication AND i.replication > 1
+               AND c.rack_lo = c.rack_hi))
       AND c.live > 0
   ) w
   JOIN (

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import eager_cache, register
 
 # Shared DuckDB fragment: per-block replica rollup.
 _BLOCK_REPL = """
@@ -441,8 +441,8 @@ FROM (
          CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
          CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
                   THEN 1 ELSE 0 END) AS BIGINT)                            AS decom_live,
-         CAST(COUNT(DISTINCT CASE WHEN NOT r.is_corrupt
-                             THEN d.rack END) AS BIGINT)                   AS racks
+         MIN(CASE WHEN NOT r.is_corrupt THEN d.rack END)                   AS rack_lo,
+         MAX(CASE WHEN NOT r.is_corrupt THEN d.rack END)                   AS rack_hi
   FROM blocks b
   LEFT JOIN replicas r ON r.block_id = b.block_id
   LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
@@ -450,7 +450,7 @@ FROM (
 ) c
 JOIN inodes i ON i.id = c.file_id
 WHERE c.live < i.replication
-   OR (c.live >= i.replication AND i.replication > 1 AND c.racks < 2)
+   OR (c.live >= i.replication AND i.replication > 1 AND c.rack_lo = c.rack_hi)
 """,
     doc="W2 UnderReplicatedBlocks 5-level priority "
     "(UnderReplicatedBlocks.getPriority:85-107): CASE priority column over "
@@ -458,7 +458,9 @@ WHERE c.live < i.replication
     "Priority 3 is the rack-deficit queue (UnderReplicatedBlocks.java:90-92: "
     "enough replicas but all on one rack, replication > 1) — reachable only "
     "via the widened filter, since those blocks are NOT under-replicated "
-    "by count.",
+    "by count. 'All on one rack' is min(rack)==max(rack), a plain min/max "
+    "aggregate — a COUNT(DISTINCT rack) would add a distinct-expand shuffle "
+    "on the hottest join for a predicate that only needs 'fewer than 2'.",
 )
 def w2_replication_priority(e) -> DataFrame:
     blocks, replicas, datanodes, inodes = (
@@ -480,9 +482,8 @@ def w2_replication_priority(e) -> DataFrame:
             F.sum(
                 F.when(~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1).otherwise(0)
             ).alias("decom_live"),
-            F.count_distinct(
-                F.when(~F.col("is_corrupt"), F.col("rack"))
-            ).alias("racks"),
+            F.min(F.when(~F.col("is_corrupt"), F.col("rack"))).alias("rack_lo"),
+            F.max(F.when(~F.col("is_corrupt"), F.col("rack"))).alias("rack_hi"),
         )
     )
     j = counts.join(
@@ -492,7 +493,7 @@ def w2_replication_priority(e) -> DataFrame:
         | (
             (F.col("live") >= F.col("replication"))
             & (F.col("replication") > 1)
-            & (F.col("racks") < 2)
+            & (F.col("rack_lo") == F.col("rack_hi"))
         )
     )
     priority = (
@@ -503,12 +504,18 @@ def w2_replication_priority(e) -> DataFrame:
         .when(F.col("live") * 3 < F.col("replication"), 1)
         .otherwise(2)
     )
-    return j.select(
+    out = j.select(
         "block_id",
         "live",
         F.col("replication").alias("expected"),
         priority.cast("int").alias("priority"),
     )
+    # The reference keeps this queue as a maintained in-memory structure
+    # (UnderReplicatedBlocks inside BlockManager), not a per-call scan;
+    # caching the (block-count-bounded, metadata-scale) queue is the
+    # faithful analog and lets T6's scheduler drain it without re-running
+    # the three-way join.
+    return eager_cache(e, "w2_queue", out)
 
 
 @register(
