@@ -10,8 +10,9 @@ profiles, and near-duplicate cluster assignment.
 - ``t_tfidf_top_terms`` is the canonical corpus profile: integer-quantized
   tf-idf so the aggregation stays order-independent across engines.
 - ``near_dup_clusters`` closes the dedup story: LSH pairs -> connected
-  components via iterative min-label propagation (a genuinely iterative
-  algorithm — library function with tests, rows-only in the driver gate).
+  components via iterative min-label propagation; registered as
+  ``d_near_dup_clusters`` with a recursive-CTE DuckDB oracle, so even the
+  iterative algorithm is hash-checked, not rows-only.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .dedup import _duck_lsh_pairs_ctes, d_minhash_lsh
 
 SALT_BUCKETS = 16
 
@@ -109,6 +111,35 @@ def t_tfidf_top_terms(e) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("t").alias("term"), "tfidf_e6", F.col("rk").cast("int").alias("rank"))
     )
+
+
+@register(
+    "d_near_dup_clusters",
+    oracle=_duck_lsh_pairs_ctes() + """,
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM lsh_pairs
+  UNION SELECT b_id, a_id FROM lsh_pairs
+  UNION SELECT a_id, a_id FROM lsh_pairs
+  UNION SELECT b_id, b_id FROM lsh_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""",
+    doc="Connected components over the verified MinHash-LSH near-dup pairs: "
+    "cluster_id = min doc_id reachable in the pair graph. Spark side is "
+    "iterative min-label propagation (O(diameter) rounds of join+agg — the "
+    "standard large-graph CC shape, caches released per round); the DuckDB "
+    "oracle states the same fixpoint as a recursive transitive closure, so "
+    "the genuinely iterative algorithm still gets a full hash-checked "
+    "oracle row instead of a rows-only check.",
+)
+def d_near_dup_clusters(e) -> DataFrame:
+    return near_dup_clusters(d_minhash_lsh(e))
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:

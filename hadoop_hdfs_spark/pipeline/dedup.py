@@ -98,9 +98,11 @@ def _duck_band_exprs() -> str:
     )
 
 
-@register(
-    "d_minhash_lsh",
-    oracle=f"""
+# Shared CTE chain: shingles -> minhash signatures -> LSH bands -> verified
+# pairs. d_minhash_lsh projects the pairs; d_near_dup_clusters (corpus.py)
+# chains a recursive transitive closure on top of the same text.
+def _duck_lsh_pairs_ctes() -> str:
+    return f"""
 WITH sh AS ({_DUCK_SHINGLES}),
 tok AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
 sig AS (
@@ -124,15 +126,23 @@ cand AS (
   FROM bl a JOIN bl b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
-)
-SELECT c.a_id, c.b_id,
-       CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 1000000.0
-            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_e6
-FROM cand c
-JOIN sh x ON x.doc_id = c.a_id
-JOIN sh y ON y.doc_id = c.b_id
-WHERE len(list_intersect(x.sh, y.sh)) * 2
-      >= len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+),
+lsh_pairs AS (
+  SELECT c.a_id, c.b_id,
+         CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 1000000.0
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_e6
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id
+  WHERE len(list_intersect(x.sh, y.sh)) * 2
+        >= len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+)"""
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=_duck_lsh_pairs_ctes() + """
+SELECT a_id, b_id, jaccard_e6 FROM lsh_pairs
 """,
     doc="MinHash+LSH near-dedup: word-3-gram shingles -> 16 md5-keyed "
     "minhashes -> 4 bands of 4; pairs sharing any band are candidates; "

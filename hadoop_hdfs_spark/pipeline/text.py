@@ -79,6 +79,69 @@ def t_quality_score(e) -> DataFrame:
     )
 
 
+@register(
+    "t_repetition",
+    oracle="""
+SELECT doc_id, n_bigrams, distinct_bigrams, dup_bigram_e6,
+       (n_bigrams >= 20 AND dup_bigram_e6 >= 200000) AS repetitive
+FROM (
+  SELECT doc_id,
+         CAST(nb AS BIGINT) AS n_bigrams,
+         CAST(nd AS BIGINT) AS distinct_bigrams,
+         CAST(CASE WHEN nb > 0
+              THEN FLOOR((nb - nd) * 1000000.0 / nb)
+              ELSE 0 END AS BIGINT) AS dup_bigram_e6
+  FROM (
+    SELECT doc_id, len(bg) AS nb, len(list_distinct(bg)) AS nd
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1]) AS bg
+      FROM documents
+    ) t
+  ) s
+) q
+""",
+    doc="Intra-document repetition (the Gopher/C4 duplicate-n-gram rule): "
+    "fraction of bigram occurrences that are repeats of an earlier bigram "
+    "in the SAME document — boilerplate and looping generations score "
+    "high. Bigrams keep multiplicity (unlike the dedup shingles); the "
+    "whole signal is array expressions inside whole-stage codegen — a "
+    "pure map over the corpus, zero shuffles at any scale. The flag "
+    "thresholds at >=20% repeated bigrams over >=20 bigrams.",
+)
+def t_repetition(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    # multiplicity-preserving bigrams, with the same <n-token guard as
+    # functions.ngrams (a bare descending sequence() faults under ANSI)
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bg).cast("long")
+    nd = F.size(F.array_distinct(bg)).cast("long")
+    # flag compares the GUARDED integer, never the raw ratio: 0/0 is NaN,
+    # and Spark orders NaN above every number (DuckDB doesn't) — the raw
+    # comparison would diverge on bigram-less docs
+    dup_e6 = (
+        F.when(nb > 0, F.floor((nb - nd) * 1000000.0 / nb)).otherwise(0).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        nb.alias("n_bigrams"),
+        nd.alias("distinct_bigrams"),
+        dup_e6.alias("dup_bigram_e6"),
+        ((nb >= 20) & (dup_e6 >= 200000)).alias("repetitive"),
+    )
+
+
 # Small closed-class list — enough for a ratio signal; ASCII-only tokens so
 # Spark (Java regex) and DuckDB (RE2) agree on every boundary.
 _STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")

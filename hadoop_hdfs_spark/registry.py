@@ -138,7 +138,11 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _import_operator_modules()
-    prelude = oracle_prelude()
+    # RECURSIVE on the merged WITH: harmless for the non-recursive entity
+    # CTEs, and lets an operator oracle (d_near_dup_clusters' transitive
+    # closure) declare a recursive CTE after the merge below strips its own
+    # WITH keyword.
+    prelude = oracle_prelude().replace("WITH ", "WITH RECURSIVE ", 1)
     out = {}
     for name in _driver_order(list(_REGISTRY)):
         q = _REGISTRY[name]
