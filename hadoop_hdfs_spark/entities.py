@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # "now" for liveness checks: 2024-01-02T00:00:00Z.
 NOW_MS = 1_704_153_600_000
@@ -282,11 +283,37 @@ ENTITY_SQL: dict[str, str] = {
 }
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Surface ``events.ts`` as BIGINT nanoseconds since the epoch, whatever
+    the physical parquet type of the fixture generation in use.
+
+    Fixture generations have stored ``ts`` as TIMESTAMP(NANOS) (read as
+    BIGINT under ``nanosAsLong``) and as timestamp[us] (read as
+    TIMESTAMP_NTZ).  All downstream bucketing is integer nanosecond math
+    (``ts div 60e9``) and the DuckDB oracles use ``epoch_ns(ts)``, which
+    treats a naive timestamp as UTC wall-clock — so the NTZ value is cast
+    under a UTC session timezone (set in :func:`register_base_tables`) to
+    make the two engines agree on the instant.  Works on both batch and
+    streaming frames (pure column expressions, no actions).
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in (None, "bigint"):
+        return df
+    col = F.col("ts")
+    if dtype == "timestamp_ntz":
+        # identity on the instant under a UTC session timezone
+        col = col.cast("timestamp")
+    return df.withColumn("ts", (F.unix_micros(col) * F.lit(1000)).cast("long"))
+
+
 def register_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the fixture parquet tables as temp views; return them."""
-    # events.parquet stores TIMESTAMP(NANOS), unreadable by Spark 4 without
-    # this (runtime-settable) flag; `ts` surfaces as BIGINT nanoseconds.
+    # Older fixture generations store events.ts as TIMESTAMP(NANOS), which
+    # Spark 4 only reads under this (runtime-settable) flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ timestamps are interpreted as UTC wall-clock (what DuckDB's
+    # epoch_ns does) when normalize_event_ts casts them to an instant.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The driver may hand us a default-config session (200 shuffle
     # partitions — 6x task overhead for metadata-scale frames on a 32-core
     # box). These are runtime-settable; a cluster deployment would size
@@ -298,6 +325,8 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     out = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_event_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -8,10 +8,12 @@ linearly with SF like lineitem); everything here aggregates FIRST — the
 shuffle moves (bucket, type) partial counts, never events — and only then
 applies windows over the bounded (minutes x types) aggregate.
 
-``events.ts`` is parquet TIMESTAMP(NANOS): Spark 4 surfaces it as BIGINT
-nanoseconds (``nanosAsLong``), DuckDB as a TIMESTAMP — both sides bucket by
-INTEGER nanosecond division (``div`` / ``//``); double math would lose
-precision above 2^53 ns and is avoided.
+``events.ts`` is surfaced as BIGINT nanoseconds by
+``entities.normalize_event_ts`` whatever the fixture's physical parquet
+type (TIMESTAMP(NANOS) or timestamp[us]); DuckDB sees a TIMESTAMP and
+buckets via ``epoch_ns`` — both sides use INTEGER nanosecond division
+(``div`` / ``//``); double math would lose precision above 2^53 ns and is
+avoided.
 """
 
 from __future__ import annotations

@@ -7,16 +7,20 @@ Scale shape: state is one partial aggregate per open (window, type) pair —
 bounded by watermark horizon x type cardinality, independent of event
 volume. The shuffle each micro-batch moves per-partition partial counts.
 
-``events.parquet`` stores TIMESTAMP(NANOS), which Spark 4 surfaces as
-BIGINT nanoseconds; ``timestamp_millis(ts div 1e6)`` truncates to the same
-minute bucket the batch query derives with ``ts div 60e9`` — integer math
-throughout (double division loses precision above 2^53 ns).
+``events.ts`` is normalized to BIGINT nanoseconds by
+``entities.normalize_event_ts`` (fixture generations vary between
+TIMESTAMP(NANOS) and timestamp[us] physical types);
+``timestamp_millis(ts div 1e6)`` truncates to the same minute bucket the
+batch query derives with ``ts div 60e9`` — integer math throughout (double
+division loses precision above 2^53 ns).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..entities import normalize_event_ts
 
 
 def event_rates_stream(
@@ -33,11 +37,12 @@ def event_rates_stream(
     windows still open within the watermark delay of the stream tail stay
     in state (same contract as ``edit_sessions_stream``).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_parquet_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(events_parquet_dir)
+    src = normalize_event_ts(reader.parquet(events_parquet_dir))
     ev = src.select(
         F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
         "event_type",

@@ -56,3 +56,36 @@ def test_entity_invariants(spark, sf_dir, entities):
         .count()
     )
     assert dup == 0
+
+
+def test_normalize_event_ts_bigint_passthrough(spark):
+    from hadoop_hdfs_spark.entities import normalize_event_ts
+
+    df = spark.range(3).selectExpr("id", "id * 1000000000 AS ts")
+    out = normalize_event_ts(df)
+    assert dict(out.dtypes)["ts"] == "bigint"
+    assert [r.ts for r in out.orderBy("id").collect()] == [0, 1000000000, 2000000000]
+
+
+def test_normalize_event_ts_ntz_to_utc_nanos(spark):
+    """timestamp[us] fixtures read as TIMESTAMP_NTZ; the normalizer must
+    interpret the wall-clock as UTC (DuckDB epoch_ns semantics) and emit
+    BIGINT nanoseconds."""
+    from hadoop_hdfs_spark.entities import normalize_event_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '1970-01-01 00:01:00' AS ts"
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = normalize_event_ts(df)
+    assert dict(out.dtypes)["ts"] == "bigint"
+    assert out.collect()[0].ts == 60_000_000_000
+
+
+def test_events_ts_surfaces_as_nanos(spark, sf_dir, entities):
+    """Whatever the fixture's physical parquet type, the registered events
+    view exposes BIGINT nanoseconds (all downstream bucketing is integer
+    nanosecond math)."""
+    ev = spark.table("events")
+    assert dict(ev.dtypes)["ts"] == "bigint"
