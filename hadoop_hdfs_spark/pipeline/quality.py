@@ -1,0 +1,151 @@
+"""Corpus-relative quality signals over the documents table.
+
+Two operators a pretraining filter stack needs beyond the per-document
+heuristics in ``text.py``:
+
+- character-distribution profiling (``t_char_entropy``): Shannon entropy
+  plus an integer concentration index over a fixed alphabet — the cheap
+  gibberish/boilerplate detector. Per-char counts come from
+  ``length(text) - length(replace(text, ch, ''))`` over a FIXED 27-symbol
+  alphabet, so the whole signal is a pure expression map inside
+  whole-stage codegen: zero shuffles, zero explodes, at any corpus size.
+- corpus-relative ranking (``t_quality_cdf``): each document's quality
+  percentile within its language. The naive form is a global rank window
+  per language — a one-task funnel over each language's full corpus at
+  100 TB. Because the score is a bounded small integer, the exact CDF is
+  computed on the (lang, score) AGGREGATE (cardinality = languages x
+  score range, thousands of rows at any corpus size) and joined back
+  broadcast — the corpus itself never shuffles.
+
+Both emit integer (or integer-quantized) columns only, so cross-engine
+hashes cannot drift on float rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# Fixed profiling alphabet: 26 lowercase letters + space. Chars outside it
+# are ignored (n_alpha counts profiled chars only, keeping Spark and the
+# oracle trivially consistent).
+_ALPHA = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+_NAMES = _ALPHA + ["sp"]
+_LITS = {**{a: f"'{a}'" for a in _ALPHA}, "sp": "' '"}
+
+_COUNT_EXPRS = ", ".join(
+    f"CAST(length(text) - length(replace(text, {_LITS[n]}, '')) AS BIGINT) AS c_{n}"
+    for n in _NAMES
+)
+_N_EXPR = " + ".join(f"c_{n}" for n in _NAMES)
+_SSQ_EXPR = " + ".join(f"c_{n} * c_{n}" for n in _NAMES)
+# Σ c·log2(c) summed in fixed textual order — both engines fold the same
+# chain left-to-right, so the only cross-engine noise is last-bit log2
+# disagreement, absorbed by the e3 quantization.
+_PLOG_EXPR = " + ".join(
+    f"CASE WHEN c_{n} > 0 THEN c_{n} * log2(c_{n}) ELSE 0.0 END" for n in _NAMES
+)
+
+_ENTROPY_BODY = f"""
+WITH ch AS (
+  SELECT doc_id, {_COUNT_EXPRS}
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         {_N_EXPR} AS n,
+         {_SSQ_EXPR} AS ssq,
+         {_PLOG_EXPR} AS plog
+  FROM ch
+)
+SELECT doc_id,
+       CAST(n AS BIGINT)                  AS n_alpha,
+       CAST(27 * ssq - n * n AS BIGINT)   AS concentration_x27,
+       CAST(CASE WHEN n > 0
+                 THEN FLOOR((log2(n) - plog / n) * 1000)
+                 ELSE 0 END AS BIGINT)    AS entropy_e3
+FROM s
+"""
+
+
+@register(
+    "t_char_entropy",
+    oracle=_ENTROPY_BODY,
+    doc="Character-distribution quality signal (beyond reference — the "
+    "standard low-entropy/gibberish pretraining filter): per-document "
+    "Shannon entropy over a fixed 27-symbol alphabet plus the pure-integer "
+    "concentration index 27*Σc²-n² (0 iff uniform; scale-free). Counting "
+    "via length(replace()) over a FIXED alphabet keeps the operator a "
+    "zero-shuffle expression map — no per-char explode, which at 100 TB "
+    "would be a 27x row blowup through the exchange. Spark and DuckDB "
+    "evaluate the IDENTICAL expression text (single source of truth), so "
+    "the engines can only disagree by libm last-bits, absorbed by "
+    "floor(x*1000).",
+)
+def t_char_entropy(e) -> DataFrame:
+    d = e["documents"]
+    spark = d.sparkSession
+    # Same text both engines: the body references only the `documents`
+    # view, registered by the entity loader.
+    return spark.sql(_ENTROPY_BODY)
+
+
+@register(
+    "t_quality_cdf",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+  FROM documents
+),
+g AS (SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2),
+c AS (
+  SELECT lang, score,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY score) AS BIGINT) AS cum_le
+  FROM g
+),
+t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total FROM s GROUP BY 1)
+SELECT s.doc_id, s.lang, s.score,
+       CAST((c.cum_le * 1000) // t.total AS BIGINT) AS cume_permille
+FROM s
+JOIN c ON s.lang = c.lang AND s.score = c.score
+JOIN t ON s.lang = t.lang
+""",
+    doc="Corpus-relative quality percentile per document within its "
+    "language (beyond reference — the 'keep the top X% per language' "
+    "curation step). Exact CUME_DIST, but NOT via a rank window over the "
+    "corpus (a per-language one-task funnel at scale): the score is a "
+    "bounded small integer (distinct-token count), so the CDF is computed "
+    "on the (lang, score) aggregate — cardinality languages x score "
+    "range, regardless of corpus size — and joined back broadcast. The "
+    "corpus is touched by one partial-agg shuffle and one broadcast map; "
+    "permille is integer division end to end.",
+)
+def t_quality_cdf(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(toks)).cast("long").alias("score"),
+    )
+    g = scored.groupBy("lang", "score").agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = g.select(
+        "lang", "score", F.sum("cnt").over(w).cast("long").alias("cum_le")
+    )
+    tot = scored.groupBy("lang").agg(F.count("*").cast("long").alias("total"))
+    dist = cdf.join(tot, "lang").select(
+        "lang",
+        "score",
+        F.expr("CAST((cum_le * 1000) DIV total AS BIGINT)").alias("cume_permille"),
+    )
+    return scored.join(F.broadcast(dist), ["lang", "score"]).select(
+        "doc_id", "lang", "score", "cume_permille"
+    )

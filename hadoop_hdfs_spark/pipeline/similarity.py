@@ -233,3 +233,85 @@ def s_quantize_int8(e) -> DataFrame:
             "q_md5"
         ),
     )
+
+
+@register(
+    "s_knn_recall",
+    oracle=f"""
+WITH e AS ({_DUCK_VECS}),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+bs AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM q JOIN e a ON a.vec_id <> q.vec_id
+),
+b5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_e6 DESC, neighbor_id) AS rk
+    FROM bs
+  ) t WHERE rk <= 5
+),
+ivs AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM q JOIN e a ON a.label = q.label AND a.vec_id <> q.vec_id
+),
+i5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_e6 DESC, neighbor_id) AS rk
+    FROM ivs
+  ) t WHERE rk <= 5
+)
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k_exact,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_common,
+       CAST((SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS recall_permille
+FROM b5 b
+LEFT JOIN i5 i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+""",
+    doc="ANN quality measurement (beyond reference — the acceptance gate "
+    "any approximate index needs): recall@5 of the IVF bucketed path "
+    "against the exact brute-force baseline, per query. Both rankings use "
+    "the same e6-quantized score and (cos desc, neighbor_id) tiebreak, so "
+    "overlap counting is exact integer work. The comparison joins two "
+    "query-count-sized top-k frames — negligible next to the scans that "
+    "produced them; at 100 TB this runs over a SAMPLE of queries and the "
+    "resulting recall number decides whether the bucketed index ships. On "
+    "this fixture the number it measures is genuinely low: the embeddings "
+    "are structureless random vectors and the coarse key is the fixture's "
+    "label, so one-bucket probing cannot beat the bucket-size/N random "
+    "baseline — which is precisely the signal that tells an operator to "
+    "re-cluster (s_ivf_build) before trusting the index.",
+)
+def s_knn_recall(e) -> DataFrame:
+    b5 = (
+        s_knn_bruteforce(e)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    i5 = s_knn_ivf(e).filter(F.col("rank") <= 5).select("query_id", "neighbor_id")
+    common = (
+        b5.join(i5, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    base = b5.groupBy("query_id").agg(F.count("*").cast("long").alias("k_exact"))
+    return (
+        base.join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "recall_permille",
+            F.expr("CAST((n_common * 1000) DIV k_exact AS BIGINT)"),
+        )
+    )

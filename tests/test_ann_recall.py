@@ -1,0 +1,46 @@
+"""ANN recall measurement: the s_knn_recall harness must (a) report the
+honest low recall of one-bucket probing on the structureless fixture
+vectors, and (b) report high recall when the coarse key actually encodes
+geometry — proving the operator composition, not just the plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_hdfs_spark.pipeline.similarity import s_knn_recall
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """300 vectors in 3 tight, well-separated 8-d clusters; label == cluster.
+    Every true neighbor shares the query's label, so bucketed top-5 must
+    equal exact top-5."""
+    rows = []
+    for i in range(300):
+        c = i % 3
+        base = [10.0 * (1 if d == c else 0) for d in range(8)]
+        # deterministic small jitter, unique per vector
+        jit = [((i * 31 + d * 17) % 13 - 6) / 100.0 for d in range(8)]
+        rows.append((i, [b + j for b, j in zip(base, jit)], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return {"embeddings": df}
+
+
+def test_recall_is_perfect_on_clustered_data(clustered):
+    rec = s_knn_recall(clustered)
+    agg = rec.agg(
+        F.min("recall_permille").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    assert agg.n == 3  # vec_id % 100 == 0 -> queries 0, 100, 200
+    assert agg.mn == 1000, rec.orderBy("query_id").collect()
+
+
+def test_recall_reports_random_baseline_on_fixture(spark, sf_dir):
+    from hadoop_hdfs_spark import registry
+
+    rec = registry.queries()["s_knn_recall"](spark, sf_dir)
+    avg = rec.agg(F.avg("recall_permille").alias("a")).collect()[0].a
+    # structureless vectors + label buckets: recall must sit far below a
+    # real index's bar — the gate's whole point is surfacing this
+    assert avg < 500
