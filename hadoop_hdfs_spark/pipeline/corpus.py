@@ -166,24 +166,26 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(labels.select("doc_id", "cluster_id"), edges.dst == F.col("doc_id"))
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the old label alongside the new one so change detection is
+        # a filter on THIS frame — no second join against the old labels
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            labels.select("doc_id", "cluster_id")
+            .join(neighbor_min, F.col("doc_id") == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("prev_cluster_id"),
             )
             .cache()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("prev_cluster_id"))
             .limit(1)
             .count()
         )
@@ -195,7 +197,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.select("doc_id", "cluster_id").localCheckpoint(eager=True)
     if prev_cached is not None:
         prev_cached.unpersist()
     edges.unpersist()
