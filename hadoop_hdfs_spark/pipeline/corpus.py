@@ -147,10 +147,16 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     min-label propagation: every doc adopts the smallest doc_id reachable
     so far; iterate to fixpoint (or max_iter).
 
-    Returns (doc_id, cluster_id). Each iteration is one join + one
-    aggregate — the standard large-graph CC shape (label propagation, cf.
-    GraphFrames) with O(diameter) rounds; near-dup clusters are tiny, so
-    convergence is 2-3 rounds in practice.
+    Returns (doc_id, cluster_id). Each round is ONE equi-join (pull every
+    neighbor's current label) + ONE union-groupBy-min — the standard
+    large-graph CC shape (label propagation, cf. GraphFrames) with
+    O(diameter) rounds. Round 1 needs no join at all: with identity
+    labels, the neighbor pull IS the edge list. Convergence is detected
+    from the same action that materializes the round's cache: the label
+    sum strictly decreases every non-fixpoint round (labels only ever
+    shrink), so an unchanged (count, sum) pair is the fixpoint — no
+    prev-label carry, no second probe job. Near-dup clusters are tiny, so
+    2-3 rounds converge in practice.
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -158,47 +164,53 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .cache()
     )
+    # Round 1 fused into initialization: identity labels make the neighbor
+    # pull the edge list itself, so the first propagation is join-free.
+    # (This action also eagerly materializes the edge cache — every later
+    # round re-reads it; lazy would recompute the LSH pipeline.)
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    prev_cached = None
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels.select("doc_id", "cluster_id"), edges.dst == F.col("doc_id"))
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+        .unionAll(
+            edges.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
         )
-        # carry the old label alongside the new one so change detection is
-        # a filter on THIS frame — no second join against the old labels
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .cache()
+    )
+
+    def _sig(df: DataFrame):
+        # one job: materializes every cached partition AND returns the
+        # fixpoint signature (a partial probe like limit(1) would leave
+        # partitions uncached, to be recomputed through the accumulated
+        # lineage — back to the LSH pipeline)
+        row = df.agg(
+            F.count("*").alias("n"), F.sum("cluster_id").alias("s")
+        ).collect()[0]
+        return row.n, row.s
+
+    sig = _sig(labels)
+    prev_cached = labels
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
         new_labels = (
             labels.select("doc_id", "cluster_id")
-            .join(neighbor_min, F.col("doc_id") == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                F.col("cluster_id").alias("prev_cluster_id"),
-            )
+            .unionAll(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .cache()
         )
-        changed = (
-            new_labels.filter(F.col("cluster_id") != F.col("prev_cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sig = _sig(new_labels)
         # release the superseded iteration's cache (a long-lived session
         # otherwise accumulates max_iter pinned frames per call)
-        if prev_cached is not None:
-            prev_cached.unpersist()
+        prev_cached.unpersist()
         prev_cached = new_labels
         labels = new_labels
-        if changed == 0:
+        if new_sig == sig:  # sum strictly decreases until fixpoint
             break
+        sig = new_sig
     labels = labels.select("doc_id", "cluster_id").localCheckpoint(eager=True)
-    if prev_cached is not None:
-        prev_cached.unpersist()
+    prev_cached.unpersist()
     edges.unpersist()
     return labels
