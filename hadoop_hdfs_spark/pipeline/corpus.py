@@ -175,21 +175,23 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.min("cluster_id").alias("cluster_id"))
-        .cache()
     )
 
     def _sig(df: DataFrame):
-        # one job: materializes every cached partition AND returns the
-        # fixpoint signature (a partial probe like limit(1) would leave
-        # partitions uncached, to be recomputed through the accumulated
-        # lineage — back to the LSH pipeline)
         row = df.agg(
             F.count("*").alias("n"), F.sum("cluster_id").alias("s")
         ).collect()[0]
         return row.n, row.s
 
+    # Each round TRUNCATES lineage with an eager localCheckpoint rather
+    # than cache(): the nested join/union/groupBy plan otherwise grows by
+    # one level per round, and past ~20 rounds (a long-chain component's
+    # diameter) analysis/codegen of the accumulated plan OOMs the driver —
+    # caching bounds recomputation but not plan size. Checkpointed blocks
+    # are freed when the superseded frame is GC'd; live state is one
+    # label-table-sized frame per concurrent call.
+    labels = labels.localCheckpoint(eager=True)
     sig = _sig(labels)
-    prev_cached = labels
     for _ in range(max_iter):
         msgs = edges.join(
             labels.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
@@ -199,18 +201,12 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .unionAll(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         new_sig = _sig(new_labels)
-        # release the superseded iteration's cache (a long-lived session
-        # otherwise accumulates max_iter pinned frames per call)
-        prev_cached.unpersist()
-        prev_cached = new_labels
         labels = new_labels
         if new_sig == sig:  # sum strictly decreases until fixpoint
             break
         sig = new_sig
-    labels = labels.select("doc_id", "cluster_id").localCheckpoint(eager=True)
-    prev_cached.unpersist()
     edges.unpersist()
     return labels
