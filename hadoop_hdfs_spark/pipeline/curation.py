@@ -209,3 +209,100 @@ def c_decontaminate(e) -> DataFrame:
             (F.coalesce("n_overlap", F.lit(0)) >= 5).alias("contaminated"),
         )
     )
+
+
+@register(
+    "c_stratified_sample",
+    oracle=f"""
+WITH banded AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(string_split(text, ' ')) < 20 THEN 'TOO_SHORT'
+              WHEN len(list_distinct(string_split(text, ' '))) * 1000000.0
+                   / len(string_split(text, ' ')) < 300000 THEN 'REPETITIVE'
+              ELSE 'OK' END AS quality_band,
+         ({_HASH_SQL}) AS h
+  FROM documents
+),
+strata AS (
+  SELECT lang, quality_band, CAST(COUNT(*) AS BIGINT) AS stratum_n
+  FROM banded GROUP BY 1, 2
+),
+cut AS (
+  SELECT lang, quality_band, stratum_n,
+         LEAST(CAST(2147483648 AS BIGINT),
+               (CAST(2147483648 AS BIGINT) * 60) // stratum_n) AS h_cut
+  FROM strata
+),
+survivors AS (
+  SELECT b.doc_id, b.lang, b.quality_band, b.h, c.stratum_n
+  FROM banded b JOIN cut c
+    ON b.lang = c.lang AND b.quality_band = c.quality_band
+  WHERE b.h < c.h_cut
+)
+SELECT doc_id, lang, quality_band, stratum_n,
+       CAST(rk AS BIGINT) AS strat_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, quality_band
+                               ORDER BY h, doc_id) AS rk
+  FROM survivors
+) t
+WHERE rk <= 20
+""",
+    doc="Exact-K stratified sampling (beyond reference — balanced eval-set "
+    "drawing): up to 20 docs per (lang, quality_band) stratum, "
+    "lowest-LCG-hash-first so the draw is deterministic, auditable, and "
+    "stable under reruns. The naive form ranks every stratum member — a "
+    "per-stratum one-task sort funnel at 100 TB. Instead: (1) count "
+    "strata (bounded agg), (2) derive a per-stratum hash cutoff sized for "
+    "~3x over-draw (60/stratum_n of the 2^31 hash space), broadcast it, "
+    "(3) map-side filter the corpus to ~3K survivors per stratum, (4) "
+    "rank ONLY survivors. The expensive exact window runs over a frame "
+    "whose size is K-bounded, not corpus-bounded; the corpus itself never "
+    "shuffles. Identical integer arithmetic both engines.",
+)
+def c_stratified_sample(e) -> DataFrame:
+    d = e["documents"]
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    div = F.size(F.array_distinct(toks)) * 1000000.0 / n
+    band = (
+        F.when(n < 20, "TOO_SHORT").when(div < 300000, "REPETITIVE").otherwise("OK")
+    )
+    banded = d.select(
+        "doc_id",
+        "lang",
+        band.alias("quality_band"),
+        F.expr(_HASH_SQL).alias("h"),
+    )
+    strata = banded.groupBy("lang", "quality_band").agg(
+        F.count("*").cast("long").alias("stratum_n")
+    )
+    cut = strata.select(
+        "lang",
+        "quality_band",
+        "stratum_n",
+        # integer division on BOTH engines (DuckDB `//`, Spark DIV): a
+        # float quotient cast to long would floor differently than the
+        # oracle for hashes landing inside the fractional gap
+        F.least(
+            F.lit(2147483648).cast("long"),
+            F.expr("CAST(2147483648 AS BIGINT) * 60 DIV stratum_n"),
+        )
+        .cast("long")
+        .alias("h_cut"),
+    )
+    survivors = banded.join(F.broadcast(cut), ["lang", "quality_band"]).filter(
+        F.col("h") < F.col("h_cut")
+    )
+    w = Window.partitionBy("lang", "quality_band").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "doc_id",
+            "lang",
+            "quality_band",
+            "stratum_n",
+            F.col("rk").cast("long").alias("strat_rank"),
+        )
+    )
