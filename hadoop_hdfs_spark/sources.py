@@ -61,10 +61,21 @@ def save_edits(edits: DataFrame, path: str, n_segments: int = 8) -> None:
     )
 
 
-def write_xml_sink(df: DataFrame, path: str) -> None:
-    """S9 XML visitor analog: structured-record lines (json-lines carries
-    the same nesting XmlImageVisitor emits)."""
-    df.write.mode("overwrite").json(path)
+def write_xml_sink(df: DataFrame, path: str, row_tag: str = "RECORD") -> None:
+    """S9 XML visitor analog (XmlImageVisitor / XmlEditsVisitor,
+    tools/offlineImageViewer/XmlImageVisitor.java): real XML records via
+    Spark's native xml data source, one <RECORD> element per row."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def load_xml_records(
+    spark: SparkSession, path: str, row_tag: str = "RECORD"
+) -> DataFrame:
+    """Reparse an XML sink — the OfflineEditsViewer reverse direction
+    (``oev -i edits.xml -o edits`` reconstructs the binary log from XML;
+    offlineEditsViewer/XmlEditsVisitor.java). Schema is inferred from the
+    records; round-trip losslessness is tested in tests/test_sources.py."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
 
 
 def write_delimited_sink(df: DataFrame, path: str) -> None:

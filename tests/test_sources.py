@@ -117,3 +117,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for nm in ("bkt_blocks", "bkt_replicas"):
             spark.sql(f"DROP TABLE IF EXISTS {nm}")
+
+
+def test_xml_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S9: the XML sink must be reparseable losslessly — the reference's
+    OfflineEditsViewer supports XML -> binary reconstruction
+    (offlineEditsViewer/XmlEditsVisitor.java), so write+load must preserve
+    every record and value."""
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.sources import load_xml_records, write_xml_sink
+
+    edits = registry._entities(spark, sf_dir)["edits"].limit(500)
+    path = str(tmp_path / "edits_xml")
+    write_xml_sink(edits, path)
+    back = load_xml_records(spark, path)
+    # XML inference widens ints; realign to the written schema
+    back = back.selectExpr(
+        *[f"CAST({c} AS {t}) AS {c}" for c, t in edits.dtypes]
+    )
+    assert back.count() == 500
+    assert edits.exceptAll(back).isEmpty() and back.exceptAll(edits).isEmpty()
+
+
+def test_delimited_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S9: ^A-delimited records (DelimitedImageVisitor) read back intact."""
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.sources import DELIMITER, write_delimited_sink
+
+    inodes = (
+        registry._entities(spark, sf_dir)["inodes"]
+        .select("id", "path", "length", "replication")
+        .limit(300)
+    )
+    path = str(tmp_path / "inodes_sv")
+    write_delimited_sink(inodes, path)
+    back = (
+        spark.read.option("sep", DELIMITER)
+        .schema(inodes.schema)
+        .csv(path)
+    )
+    assert back.count() == 300
+    assert inodes.exceptAll(back).isEmpty() and back.exceptAll(inodes).isEmpty()
