@@ -303,6 +303,27 @@ def load_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     return spark.read.parquet(p)
 
 
+def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
+    """Drop all but the newest ``keep`` COMMITTED versions (the reference's
+    NNStorage retains a bounded number of fsimage checkpoints the same way,
+    server/namenode/FSImage.java saveFSImageInAllDirs/purge path). Without
+    this a long-running stream accumulates one snapshot directory per
+    micro-batch, unbounded. Uncommitted (marker-less) directories are left
+    alone — an in-flight write may own them."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    versions = []
+    for p in glob.glob(snapshot_dir + "_v*"):
+        m = re.search(r"_v(\d+)$", p)
+        if m and os.path.exists(os.path.join(p, "_SUCCESS")):
+            versions.append((int(m.group(1)), p))
+    for _, p in sorted(versions)[:-keep]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def replay_edits_stream(
     spark: SparkSession,
     edits_parquet_dir: str,
@@ -342,6 +363,9 @@ def replay_edits_stream(
             )
         new_state = apply_edits_batch(state, batch.orderBy("txid"))
         new_state.write.mode("overwrite").parquet(f"{snapshot_dir}_v{batch_id}")
+        # bounded retention: the write above committed (parquet emits
+        # _SUCCESS), so everything but the newest two versions can go
+        _prune_snapshot_versions(snapshot_dir)
 
     return (
         stream.writeStream.foreachBatch(process)

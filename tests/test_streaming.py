@@ -350,3 +350,37 @@ def test_open_close_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_replay_snapshot_retention(spark, sf_dir, tmp_path):
+    """Snapshot versions are bounded: a long replay keeps only the newest
+    committed versions (NNStorage checkpoint-purge analog), and the torn
+    (marker-less) directory survives pruning untouched."""
+    import glob
+    import os
+
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.sources import save_edits
+    from hadoop_hdfs_spark.streaming.replay import (
+        load_latest_snapshot,
+        replay_edits_stream,
+    )
+
+    edits = registry._entities(spark, sf_dir)["edits"].limit(2000)
+    edits_dir = str(tmp_path / "edits")
+    save_edits(edits, edits_dir, n_segments=6)
+    snap = str(tmp_path / "snap")
+    # a torn, uncommitted write that pruning must never touch
+    os.makedirs(snap + "_v999999")
+    q = replay_edits_stream(
+        spark, edits_dir, str(tmp_path / "ckpt"), snap, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    committed = [
+        p
+        for p in glob.glob(snap + "_v*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    assert len(committed) <= 2, committed
+    assert os.path.isdir(snap + "_v999999")  # uncommitted left alone
+    assert load_latest_snapshot(spark, snap).count() > 0
