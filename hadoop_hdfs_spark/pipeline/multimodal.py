@@ -27,6 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..registry import register
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -203,4 +204,49 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
         .alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
         "source",
+    )
+
+
+@register(
+    "mm_feature_certify",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         length(text)          AS byte_len,
+         md5(text)             AS d
+  FROM documents
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT)      AS n_assets,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       CAST(SUM((('0x' || substr(d, 1, 4))::BIGINT) % 4096) AS BIGINT) AS sum_width,
+       CAST(SUM((('0x' || substr(d, 5, 4))::BIGINT) % 4096) AS BIGINT) AS sum_height,
+       md5(string_agg(d, '' ORDER BY d)) AS digest_of_digests
+FROM a
+GROUP BY media_type
+""",
+    doc="End-to-end certification of the multimodal UDF surface (SURVEY "
+    "§2.9): adapt documents to assets, run the REAL Arrow mapInPandas "
+    "decode/feature stage (stub kernel: md5 digest + digest-derived "
+    "dimensions), then aggregate per media type — count, payload bytes, "
+    "dimension sums, and an order-independent MD5-of-MD5s over the "
+    "per-asset feature digests. The oracle recomputes the kernel's exact "
+    "arithmetic in SQL, so the Python stage's output is hash-certified "
+    "against DuckDB asset-for-asset — the UDF path gets the same driver "
+    "gate as the declarative operators instead of a pytest-only check. "
+    "Scale: the Python stage is Arrow-batched, 1 row in / 1 out; the "
+    "shuffle moves only (media_type, partial aggregates).",
+)
+def mm_feature_certify(e) -> DataFrame:
+    feats = extract_features(documents_as_assets(e["documents"]))
+    return feats.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("byte_len").cast("long").alias("total_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list("feature_digest")))
+        ).alias("digest_of_digests"),
     )

@@ -77,7 +77,7 @@ def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
 def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
-    from .pipeline import ann, corpus, curation, dedup, privacy, quality, similarity, text  # noqa: F401
+    from .pipeline import ann, corpus, curation, dedup, multimodal, privacy, quality, similarity, text  # noqa: F401
 
 
 # Driver-verification ordering. CORRECTNESS_r01.json shows the driver checks
