@@ -78,6 +78,7 @@ def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, corpus, curation, dedup, multimodal, privacy, quality, similarity, text  # noqa: F401
+    from .streaming import rates  # noqa: F401  (t14: driver-gated streaming execution)
 
 
 # Driver-verification ordering. CORRECTNESS_r01.json shows the driver checks

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..entities import normalize_event_ts
+from ..registry import register
 
 
 def event_rates_stream(
@@ -69,3 +70,73 @@ def event_rates_stream(
         return spark.table(name)
 
     return q, table
+
+
+_CERTIFY_SEQ = [0]
+
+
+@register(
+    "t14_stream_rates",
+    oracle=f"""
+SELECT CAST((epoch_ns(ts) // {60_000_000_000}) * 60000 AS BIGINT) AS bucket_start_ms,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Streaming execution under the driver's hash gate (SURVEY §2.8): "
+    "the per-minute rate aggregation runs as a REAL Structured Streaming "
+    "query — readStream over the events parquet, tumbling one-minute "
+    "windows, complete-mode memory sink, availableNow drain — and the "
+    "drained sink must hash-match the batch SQL oracle exactly. This is "
+    "the incremental NameNodeMetrics shape executed by the streaming "
+    "engine itself, not a batch stand-in: state is one partial aggregate "
+    "per (window, type), the micro-batch shuffle moves partial counts, "
+    "and bounded-input equivalence to the batch plan is certified "
+    "cross-engine. (The production variant adds a watermark + append "
+    "mode — event_rates_stream above — which trades the tail windows "
+    "for bounded state; complete mode over the drained bounded input "
+    "makes the result deterministic for the gate.)",
+)
+def t14_stream_rates(e) -> DataFrame:
+    ev_batch = e["events"]
+    spark = ev_batch.sparkSession
+    sf_dir = e["__sf_dir__"]
+    _CERTIFY_SEQ[0] += 1
+    name = f"t14_stream_rates_sink_{_CERTIFY_SEQ[0]}"
+    # the file-stream source requires a directory: stream the fixture dir
+    # with a glob pinned to the events file
+    src = normalize_event_ts(
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.select(
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
+            "event_type",
+            "value",
+        )
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_millis(F.col("window.start")).alias("bucket_start_ms"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )

@@ -28,7 +28,7 @@ from hadoop_hdfs_spark.testing import assert_query_matches_oracle
 
 # the queries most sensitive to session state: events (TIMESTAMP(NANOS)
 # needs the runtime flag), a window+agg chain, and a pandas-free scalar map
-for name in ["t11_event_rates", "c9_json_props", "t10_edit_sessions", "p_pii_redact", "mm_feature_certify"]:
+for name in ["t11_event_rates", "c9_json_props", "t10_edit_sessions", "p_pii_redact", "mm_feature_certify", "t14_stream_rates"]:
     assert_query_matches_oracle(spark, qs[name], oracles[name], "/root/testdata/sf0.001")
 print("BARE-DRIVER-OK")
 spark.stop()
