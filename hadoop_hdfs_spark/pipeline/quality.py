@@ -85,11 +85,32 @@ FROM s
     "floor(x*1000).",
 )
 def t_char_entropy(e) -> DataFrame:
+    # Built from the entity dict's DataFrame with the SAME expression text
+    # the oracle runs (not via spark.sql over the global `documents` temp
+    # view: after a same-session sf_dir switch the memoized entity dict is
+    # returned without re-registering views, so a view read at query time
+    # could point at a different scale factor).
     d = e["documents"]
-    spark = d.sparkSession
-    # Same text both engines: the body references only the `documents`
-    # view, registered by the entity loader.
-    return spark.sql(_ENTROPY_BODY)
+    ch = d.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(length(text) - length(replace(text, {_LITS[n]}, '')) AS BIGINT) AS c_{n}"
+            for n in _NAMES
+        ],
+    )
+    s = ch.selectExpr(
+        "doc_id",
+        f"{_N_EXPR} AS n",
+        f"{_SSQ_EXPR} AS ssq",
+        f"{_PLOG_EXPR} AS plog",
+    )
+    return s.selectExpr(
+        "doc_id",
+        "CAST(n AS BIGINT) AS n_alpha",
+        "CAST(27 * ssq - n * n AS BIGINT) AS concentration_x27",
+        "CAST(CASE WHEN n > 0 THEN FLOOR((log2(n) - plog / n) * 1000) "
+        "ELSE 0 END AS BIGINT) AS entropy_e3",
+    )
 
 
 @register(
