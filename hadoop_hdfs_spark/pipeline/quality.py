@@ -170,3 +170,83 @@ def t_quality_cdf(e) -> DataFrame:
     return scored.join(F.broadcast(dist), ["lang", "score"]).select(
         "doc_id", "lang", "score", "cume_permille"
     )
+
+
+@register(
+    "t_source_drift",
+    oracle="""
+WITH b AS (
+  SELECT source,
+         LEAST(len(string_split(text, ' ')) // 8, 31) AS bucket
+  FROM documents
+),
+sb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_sb FROM b GROUP BY 1, 2),
+gb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+s  AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM b GROUP BY 1),
+t  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b),
+x  AS (
+  SELECT s.source, gb.bucket, s.n_s, t.n_total,
+         COALESCE(sb.n_sb, 0) AS n_sb, gb.n_b
+  FROM s CROSS JOIN gb CROSS JOIN t
+  LEFT JOIN sb ON sb.source = s.source AND sb.bucket = gb.bucket
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       CAST(SUM(ABS(n_sb * n_total - n_b * n_s)) AS BIGINT) AS l1_scaled,
+       CAST((SUM(ABS(n_sb * n_total - n_b * n_s)) * 1000)
+            // (2 * MAX(n_s) * MAX(n_total)) AS BIGINT)     AS drift_permille
+FROM x
+GROUP BY source
+""",
+    doc="Corpus drift monitor (beyond reference — the distribution-shift "
+    "check a pretraining ingest runs per source): L1 distance between each "
+    "source's token-length histogram and the corpus-wide histogram, "
+    "cross-multiplied into pure integers (|n_sb*N - n_b*N_s|, i.e. total "
+    "variation x 2*N_s*N — no float division until the final permille, "
+    "which is integer div). The corpus collapses to (source, bucket) "
+    "partial counts map-side; every later frame is bounded by sources x 32 "
+    "buckets regardless of corpus size. A source whose drift_permille "
+    "jumps between ingest runs changed its length distribution — "
+    "truncation bugs, boilerplate floods, and scraper regressions all "
+    "surface here before any model sees the data.",
+)
+def t_source_drift(e) -> DataFrame:
+    d = e["documents"]
+    b = d.select(
+        "source",
+        F.least(F.floor(F.size(F.split("text", " ")) / 8), F.lit(31))
+        .cast("long")
+        .alias("bucket"),
+    )
+    sb = b.groupBy("source", "bucket").agg(F.count("*").cast("long").alias("n_sb"))
+    gb = b.groupBy("bucket").agg(F.count("*").cast("long").alias("n_b"))
+    s = b.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    t = b.agg(F.count("*").cast("long").alias("n_total"))
+    x = (
+        s.crossJoin(gb)
+        .crossJoin(F.broadcast(t))
+        .join(sb, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            "n_s",
+            "n_total",
+            F.coalesce("n_sb", F.lit(0)).cast("long").alias("n_sb"),
+            "n_b",
+        )
+    )
+    return (
+        x.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.sum(
+                F.abs(F.col("n_sb") * F.col("n_total") - F.col("n_b") * F.col("n_s"))
+            )
+            .cast("long")
+            .alias("l1_scaled"),
+            F.expr(
+                "CAST((SUM(ABS(n_sb * n_total - n_b * n_s)) * 1000) "
+                "DIV (2 * MAX(n_s) * MAX(n_total)) AS BIGINT)"
+            ).alias("drift_permille"),
+        )
+    )
