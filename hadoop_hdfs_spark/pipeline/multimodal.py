@@ -240,7 +240,37 @@ GROUP BY media_type
     "shuffle moves only (media_type, partial aggregates).",
 )
 def mm_feature_certify(e) -> DataFrame:
-    feats = extract_features(documents_as_assets(e["documents"]))
+    # Self-contained mapInPandas closure: module-level kernels pickle BY
+    # REFERENCE, which requires hadoop_hdfs_spark to be importable by the
+    # executor Python workers — true under session.get_spark (PYTHONPATH
+    # export) and when the driver runs from the repo cwd, but NOT
+    # guaranteed for an arbitrary bare session. A nested function pickles
+    # by value, so this driver-gated query carries zero import
+    # requirements to the workers. tests/test_streaming.py pins this
+    # inline kernel equal to decode_kernel/extract_features.
+    assets = documents_as_assets(e["documents"])
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            digests = [
+                hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "feature_digest": digests,
+                    "width": [int(d[:4], 16) % 4096 for d in digests],
+                    "height": [int(d[4:8], 16) % 4096 for d in digests],
+                }
+            )
+
+    feats = assets.mapInPandas(run, schema=FEATURE_SCHEMA)
     return feats.groupBy("media_type").agg(
         F.count("*").cast("long").alias("n_assets"),
         F.sum("byte_len").cast("long").alias("total_bytes"),

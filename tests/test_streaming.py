@@ -384,3 +384,30 @@ def test_replay_snapshot_retention(spark, sf_dir, tmp_path):
     assert len(committed) <= 2, committed
     assert os.path.isdir(snap + "_v999999")  # uncommitted left alone
     assert load_latest_snapshot(spark, snap).count() > 0
+
+
+def test_mm_certify_kernel_matches_library_stage(spark, sf_dir):
+    """The self-contained kernel inside mm_feature_certify must agree with
+    the library decode stage (extract_features/decode_kernel) asset for
+    asset — the query certifies the same arithmetic the library runs."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.pipeline.multimodal import (
+        documents_as_assets,
+        extract_features,
+    )
+
+    e = registry._entities(spark, sf_dir)
+    lib = extract_features(documents_as_assets(e["documents"]))
+    lib_agg = lib.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("byte_len").cast("long").alias("total_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list("feature_digest")))
+        ).alias("digest_of_digests"),
+    )
+    q = registry.queries()["mm_feature_certify"](spark, sf_dir)
+    assert q.exceptAll(lib_agg).isEmpty() and lib_agg.exceptAll(q).isEmpty()
