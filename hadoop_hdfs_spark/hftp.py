@@ -55,10 +55,15 @@ def write_hftp_listing(inodes: DataFrame, out_path: str) -> int:
         "path", "is_dir", "length", "replication", "preferred_block_size",
         "mtime_ms", "atime_ms", "perm", "owner", "grp",
     ]
-    rows = inodes.select(*cols).collect()
+    # toLocalIterator: the writer streams one partition at a time instead of
+    # materializing the whole namespace on the driver — the servlet analog
+    # of ListPathsServlet's streamed response. O(one partition) driver
+    # memory at any namespace size.
+    n = 0
     with open(out_path, "w", encoding="utf-8") as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n<listing path="/">\n')
-        for r in rows:
+        for r in inodes.select(*cols).toLocalIterator():
+            n += 1
             if r["is_dir"]:
                 f.write(
                     f"<directory path={quoteattr(r['path'])} "
@@ -76,7 +81,7 @@ def write_hftp_listing(inodes: DataFrame, out_path: str) -> int:
                     f"owner={quoteattr(r['owner'])} group={quoteattr(r['grp'])}/>\n"
                 )
         f.write("</listing>\n")
-    return len(rows)
+    return n
 
 
 def _parse_listing(url: str):

@@ -248,7 +248,7 @@ FROM (
 ) t
 WHERE rk <= 20
 """,
-    doc="Exact-K stratified sampling (beyond reference — balanced eval-set "
+    doc="Stratified sampling (beyond reference — balanced eval-set "
     "drawing): up to 20 docs per (lang, quality_band) stratum, "
     "lowest-LCG-hash-first so the draw is deterministic, auditable, and "
     "stable under reruns. The naive form ranks every stratum member — a "
@@ -258,7 +258,14 @@ WHERE rk <= 20
     "(3) map-side filter the corpus to ~3K survivors per stratum, (4) "
     "rank ONLY survivors. The expensive exact window runs over a frame "
     "whose size is K-bounded, not corpus-bounded; the corpus itself never "
-    "shuffles. Identical integer arithmetic both engines.",
+    "shuffles. Identical integer arithmetic both engines. NOTE the draw "
+    "is expected-K, not guaranteed-K: the ~3x over-draw cutoff admits "
+    "Binomial(stratum_n, ~60/stratum_n) survivors, so a stratum can "
+    "under-fill below 20 with probability exp(-Θ(K)) (Chernoff, ~2e-4 at "
+    "K=20) — both engines agree on the deterministic hash either way. A "
+    "run that must guarantee K re-ranks only the under-filled strata "
+    "(their membership is already counted in `strata`) with the full "
+    "per-stratum window — the fallback touches only those strata.",
 )
 def c_stratified_sample(e) -> DataFrame:
     d = e["documents"]

@@ -214,7 +214,12 @@ WITH a AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         length(text)          AS byte_len,
+         -- byte_len must be UTF-8 BYTES (the Python kernel measures the
+         -- encoded payload), not characters: octet_length(encode()) stays
+         -- correct if a fixture generation turns non-ASCII. md5(VARCHAR)
+         -- in DuckDB already hashes the string's UTF-8 bytes — identical
+         -- to the kernel's md5 over the encoded payload.
+         octet_length(encode(text)) AS byte_len,
          md5(text)             AS d
   FROM documents
 )

@@ -64,7 +64,7 @@ SELECT doc_id,
        CAST(n AS BIGINT)                  AS n_alpha,
        CAST(27 * ssq - n * n AS BIGINT)   AS concentration_x27,
        CAST(CASE WHEN n > 0
-                 THEN FLOOR((log2(n) - plog / n) * 1000)
+                 THEN FLOOR((log2(n) - plog / n) * 1000 + 1e-9)
                  ELSE 0 END AS BIGINT)    AS entropy_e3
 FROM s
 """
@@ -81,8 +81,13 @@ FROM s
     "zero-shuffle expression map — no per-char explode, which at 100 TB "
     "would be a 27x row blowup through the exchange. Spark and DuckDB "
     "evaluate the IDENTICAL expression text (single source of truth), so "
-    "the engines can only disagree by libm last-bits, absorbed by "
-    "floor(x*1000).",
+    "the engines can only disagree by libm last-bits. Quantization alone "
+    "does NOT absorb that at exact floor boundaries (where last-bit noise "
+    "matters most); the +1e-9 nudge inside floor(x*1000 + 1e-9), applied "
+    "in BOTH engines, pushes boundary-exact values strictly inside the "
+    "bucket (entropy <= log2(27) ~ 4.755, so 1e-9 is ~1e6 ulps at this "
+    "magnitude yet 6 orders below the e3 quantum — it can only rescue "
+    "boundary ties, never flip a genuine bucket).",
 )
 def t_char_entropy(e) -> DataFrame:
     # Built from the entity dict's DataFrame with the SAME expression text
@@ -108,7 +113,7 @@ def t_char_entropy(e) -> DataFrame:
         "doc_id",
         "CAST(n AS BIGINT) AS n_alpha",
         "CAST(27 * ssq - n * n AS BIGINT) AS concentration_x27",
-        "CAST(CASE WHEN n > 0 THEN FLOOR((log2(n) - plog / n) * 1000) "
+        "CAST(CASE WHEN n > 0 THEN FLOOR((log2(n) - plog / n) * 1000 + 1e-9) "
         "ELSE 0 END AS BIGINT) AS entropy_e3",
     )
 
@@ -192,18 +197,23 @@ x  AS (
 )
 SELECT source,
        CAST(MAX(n_s) AS BIGINT) AS n_docs,
-       CAST(SUM(ABS(n_sb * n_total - n_b * n_s)) AS BIGINT) AS l1_scaled,
-       CAST((SUM(ABS(n_sb * n_total - n_b * n_s)) * 1000)
-            // (2 * MAX(n_s) * MAX(n_total)) AS BIGINT)     AS drift_permille
+       CAST(SUM(ABS((n_sb * 1000000) // n_s
+                  - (n_b * 1000000) // n_total)) AS BIGINT) AS l1_e6,
+       CAST(SUM(ABS((n_sb * 1000000) // n_s
+                  - (n_b * 1000000) // n_total)) // 2000 AS BIGINT) AS drift_permille
 FROM x
 GROUP BY source
 """,
     doc="Corpus drift monitor (beyond reference — the distribution-shift "
     "check a pretraining ingest runs per source): L1 distance between each "
-    "source's token-length histogram and the corpus-wide histogram, "
-    "cross-multiplied into pure integers (|n_sb*N - n_b*N_s|, i.e. total "
-    "variation x 2*N_s*N — no float division until the final permille, "
-    "which is integer div). The corpus collapses to (source, bucket) "
+    "source's token-length histogram and the corpus-wide histogram, on "
+    "PER-MILLION integer shares (h = count*1e6 div group_total, bounded "
+    "1e6) — so every product stays under count*1e6 <= ~1e18 < 2^63 even "
+    "at 1e12-document corpora. (The previous cross-multiplied form "
+    "|n_sb*N - n_b*N_s| overflows BIGINT once counts reach ~1e11; under "
+    "ANSI mode that aborts the job.) The e6 share quantization bounds the "
+    "drift error at 32 buckets x 1e-6 — three orders below the permille "
+    "output quantum. The corpus collapses to (source, bucket) "
     "partial counts map-side; every later frame is bounded by sources x 32 "
     "buckets regardless of corpus size. A source whose drift_permille "
     "jumps between ingest runs changed its length distribution — "
@@ -235,18 +245,12 @@ def t_source_drift(e) -> DataFrame:
             "n_b",
         )
     )
+    l1 = "SUM(ABS((n_sb * 1000000) DIV n_s - (n_b * 1000000) DIV n_total))"
     return (
         x.groupBy("source")
         .agg(
             F.max("n_s").cast("long").alias("n_docs"),
-            F.sum(
-                F.abs(F.col("n_sb") * F.col("n_total") - F.col("n_b") * F.col("n_s"))
-            )
-            .cast("long")
-            .alias("l1_scaled"),
-            F.expr(
-                "CAST((SUM(ABS(n_sb * n_total - n_b * n_s)) * 1000) "
-                "DIV (2 * MAX(n_s) * MAX(n_total)) AS BIGINT)"
-            ).alias("drift_permille"),
+            F.expr(f"CAST({l1} AS BIGINT)").alias("l1_e6"),
+            F.expr(f"CAST({l1} DIV 2000 AS BIGINT)").alias("drift_permille"),
         )
     )

@@ -72,7 +72,7 @@ def event_rates_stream(
     return q, table
 
 
-_CERTIFY_SEQ = [0]
+_CERTIFY_SEQ = __import__("itertools").count(1)  # atomic under the GIL
 
 
 @register(
@@ -103,8 +103,7 @@ def t14_stream_rates(e) -> DataFrame:
     ev_batch = e["events"]
     spark = ev_batch.sparkSession
     sf_dir = e["__sf_dir__"]
-    _CERTIFY_SEQ[0] += 1
-    name = f"t14_stream_rates_sink_{_CERTIFY_SEQ[0]}"
+    name = f"t14_stream_rates_sink_{next(_CERTIFY_SEQ)}"
     # the file-stream source requires a directory: stream the fixture dir
     # with a glob pinned to the events file
     src = normalize_event_ts(
@@ -134,9 +133,19 @@ def t14_stream_rates(e) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
-        F.unix_millis(F.col("window.start")).alias("bucket_start_ms"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("value_cents").cast("long").alias("value_cents"),
+    # Materialize the drained sink off the temp view, then DROP the view:
+    # repeated certification in a long-lived session must not accumulate
+    # one memory-sink table per invocation. The result is (minutes x
+    # types)-bounded, so the localCheckpoint pin is metadata-sized.
+    out = (
+        spark.table(name)
+        .select(
+            F.unix_millis(F.col("window.start")).alias("bucket_start_ms"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(name)
+    return out
