@@ -210,25 +210,37 @@ LEFT JOIN (
 ) bl ON bl.l_orderkey = o_orderkey
 """
 
-# Edit-log changelog from the events stream. Opcode vocabulary per
-# FSEditLogOpCodes.java:31-60: each event_type family subdivides by
-# event_id arithmetic so the attribute ops (OP_SET_PERMISSIONS/OWNER/
-# TIMES/QUOTA), OP_SYMLINK, and OP_CONCAT_DELETE all occur. Payload
-# columns carry what the reference op carries (FSEditLogLoader.java
-# op switch :181-479): replication for add/setReplication, perm for
-# setPermissions, owner for setOwner; times payloads ride ts_ms.
+# Edit-log changelog from the events stream. FULL opcode vocabulary per
+# FSEditLogOpCodes.java:31-60 (all 18 non-deprecated/non-transport ops —
+# OP_RENAME_OLD, OP_DATANODE_ADD/REMOVE, OP_SET_NS_QUOTA/CLEAR_NS_QUOTA,
+# OP_JSPOOL_START/CHECKPOINT_TIME are deprecated/obsolete/journal-transport
+# markers the loader skips): each event_type family subdivides by event_id
+# arithmetic so every op occurs. Payload columns carry what the reference
+# op carries (FSEditLogLoader.java op switch :181-479): replication for
+# add/setReplication, perm for setPermissions, owner for setOwner AND the
+# new holder for reassignLease (:393-400), gen_stamp for setGenstamp
+# (:181: fsNamesys.setGenerationStamp); times payloads ride ts_ms. The
+# delegation-token ops and OP_UPDATE_MASTER_KEY touch only the token
+# secret manager (:404-430) — they appear in the log (and so in A6/T12
+# counts) but are no-ops on the namespace projection.
 _EDITS_SQL = """
 SELECT
   CAST(event_id AS BIGINT)                                     AS txid,
   CASE WHEN event_type = 'click'    AND event_id % 5 = 0 THEN 'OP_SET_REPLICATION'
+       WHEN event_type = 'click'    AND event_id % 5 = 1 THEN 'OP_SET_GENSTAMP'
        WHEN event_type = 'click'                         THEN 'OP_ADD'
        WHEN event_type = 'view'     AND event_id % 7 = 0 THEN 'OP_SET_PERMISSIONS'
        WHEN event_type = 'view'     AND event_id % 7 = 1 THEN 'OP_SET_OWNER'
+       WHEN event_type = 'view'     AND event_id % 7 = 2 THEN 'OP_REASSIGN_LEASE'
        WHEN event_type = 'view'                          THEN 'OP_MKDIR'
        WHEN event_type = 'purchase' AND event_id % 5 = 0 THEN 'OP_TIMES'
        WHEN event_type = 'purchase' AND event_id % 5 = 1 THEN 'OP_SET_QUOTA'
+       WHEN event_type = 'purchase' AND event_id % 5 = 2 THEN 'OP_GET_DELEGATION_TOKEN'
+       WHEN event_type = 'purchase' AND event_id % 5 = 3 THEN 'OP_RENEW_DELEGATION_TOKEN'
        WHEN event_type = 'purchase'                      THEN 'OP_CLOSE'
        WHEN event_type = 'signup'   AND event_id % 9 = 0 THEN 'OP_SYMLINK'
+       WHEN event_type = 'signup'   AND event_id % 9 = 1 THEN 'OP_CANCEL_DELEGATION_TOKEN'
+       WHEN event_type = 'signup'   AND event_id % 9 = 2 THEN 'OP_UPDATE_MASTER_KEY'
        WHEN event_type = 'signup'                        THEN 'OP_RENAME'
        WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup')
             AND event_id % 6 = 0                         THEN 'OP_CONCAT_DELETE'
@@ -257,8 +269,29 @@ SELECT
        ELSE CAST(NULL AS STRING) END                           AS perm,
   CASE WHEN event_type = 'view' AND event_id % 7 = 1
        THEN 'user' || CAST(event_id % 5 AS STRING)
-       ELSE CAST(NULL AS STRING) END                           AS owner
+       WHEN event_type = 'view' AND event_id % 7 = 2
+       THEN 'client' || CAST(user_id % 7 AS STRING)
+       ELSE CAST(NULL AS STRING) END                           AS owner,
+  CASE WHEN event_type = 'click' AND event_id % 5 = 1
+       THEN CAST(1000 + (event_id % 120) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END                           AS gen_stamp
 FROM events
+"""
+
+# In-flight replication work awaiting datanode confirmation
+# (PendingReplicationBlocks.java:38-55: block -> {timeStamp,
+# numReplicasInProgress}; entries are added when the NN hands work to a
+# source node and removed when the new replica's blockReceived arrives).
+# Every 11th block has work in flight; dispatch age spreads 0..899 s so
+# both sides of the 5-min timeout occur; in-flight count 1..3.
+_PENDING_REPLICATION_SQL = """
+SELECT
+  b.block_id                                                   AS block_id,
+  CAST(1 + (b.block_id % 3) AS INT)                            AS replicas_in_flight,
+  CAST(1704153600000 AS BIGINT)
+      - ((b.block_id * 131) % 900) * 1000                      AS dispatched_ms
+FROM blocks b
+WHERE b.block_id % 11 = 0
 """
 
 # Open-file leases (LeaseManager.java:63-83): one lease per file under
@@ -280,6 +313,7 @@ ENTITY_SQL: dict[str, str] = {
     "inodes": _INODES_SQL,
     "edits": _EDITS_SQL,
     "leases": _LEASES_SQL,
+    "pending_replication": _PENDING_REPLICATION_SQL,
 }
 
 

@@ -146,6 +146,45 @@ def t6_replication_work(e) -> DataFrame:
     )
 
 
+# Pending-replication timeout (PendingReplicationBlocks.java:48:
+# timeout 5 min by default).
+PENDING_TIMEOUT_MS = 300_000
+
+
+@register(
+    "t7_pending_timeout",
+    oracle=f"""
+SELECT block_id, replicas_in_flight, dispatched_ms,
+       CAST(1704153600000 - dispatched_ms AS BIGINT) AS age_ms
+FROM pending_replication
+WHERE 1704153600000 - dispatched_ms > {PENDING_TIMEOUT_MS}
+""",
+    doc="T7 pending-replication timeout monitor, batch analog "
+    "(PendingReplicationBlocks.java:38-55: entries older than the 5-min "
+    "timeout move to timedOutItems and the ReplicationMonitor re-queues "
+    "them; PendingReplicationMonitor run loop :178-195): scan the "
+    "in-flight work table for entries whose dispatch age exceeds the "
+    "timeout — these blocks' replication work is assumed lost and "
+    "re-enters the W2/T6 needed-replications path. Map-only predicate "
+    "over the pending table (which is in-flight-work-sized, not "
+    "block-population-sized). The continuous form is "
+    "streaming.timeouts.pending_replication_stream — the same 5-min "
+    "GroupState processing-time timeout the reference's monitor thread "
+    "implements, live-tested like T3/T4.",
+)
+def t7_pending_timeout(e) -> DataFrame:
+    from ..entities import NOW_MS
+
+    p = e["pending_replication"]
+    age = F.lit(NOW_MS) - F.col("dispatched_ms")
+    return p.filter(age > PENDING_TIMEOUT_MS).select(
+        "block_id",
+        "replicas_in_flight",
+        "dispatched_ms",
+        age.cast("long").alias("age_ms"),
+    )
+
+
 # Session gap = the lease hard limit (FSConstants.java:41-42 — 3600 s): a
 # client silent for the hard limit has abandoned its session.
 SESSION_GAP_MS = 3_600_000

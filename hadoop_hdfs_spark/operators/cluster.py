@@ -272,6 +272,165 @@ def j4_balancer_pairing(e) -> DataFrame:
 
 
 @register(
+    "j4b_balancer_rack_pairing",
+    oracle="""
+WITH u AS (
+  SELECT d.datanode_id, d.rack,
+         d.dfs_used * 100.0 / d.capacity AS utilization,
+         a.avg_utilization, d.capacity
+  FROM datanodes d
+  CROSS JOIN (SELECT SUM(dfs_used) * 100.0 / SUM(capacity) AS avg_utilization
+              FROM datanodes) a
+),
+over_u AS (
+  SELECT datanode_id, rack,
+         CAST(FLOOR((utilization - avg_utilization) * capacity / 100.0) AS BIGINT) AS excess_bytes,
+         ROW_NUMBER() OVER (PARTITION BY rack
+                            ORDER BY FLOOR((utilization - avg_utilization) * capacity / 100.0) DESC,
+                                     datanode_id) AS rk
+  FROM u WHERE utilization > avg_utilization + 10
+),
+under_u AS (
+  SELECT datanode_id, rack,
+         CAST(FLOOR((avg_utilization - utilization) * capacity / 100.0) AS BIGINT) AS deficit_bytes,
+         ROW_NUMBER() OVER (PARTITION BY rack
+                            ORDER BY FLOOR((avg_utilization - utilization) * capacity / 100.0) DESC,
+                                     datanode_id) AS rk
+  FROM u WHERE utilization < avg_utilization - 10
+),
+same_rack AS (
+  SELECT s.datanode_id AS source, t.datanode_id AS target,
+         LEAST(s.excess_bytes, t.deficit_bytes) AS bytes_to_move,
+         true AS same_rack
+  FROM over_u s JOIN under_u t ON s.rack = t.rack AND s.rk = t.rk
+),
+resid_over AS (
+  SELECT datanode_id, excess_bytes,
+         ROW_NUMBER() OVER (ORDER BY excess_bytes DESC, datanode_id) AS rk
+  FROM over_u o WHERE NOT EXISTS (SELECT 1 FROM same_rack m WHERE m.source = o.datanode_id)
+),
+resid_under AS (
+  SELECT datanode_id, deficit_bytes,
+         ROW_NUMBER() OVER (ORDER BY deficit_bytes DESC, datanode_id) AS rk
+  FROM under_u x WHERE NOT EXISTS (SELECT 1 FROM same_rack m WHERE m.target = x.datanode_id)
+)
+SELECT source, target, CAST(bytes_to_move AS BIGINT) AS bytes_to_move, same_rack
+FROM (
+  SELECT * FROM same_rack
+  UNION ALL
+  SELECT s.datanode_id, t.datanode_id,
+         LEAST(s.excess_bytes, t.deficit_bytes), false
+  FROM resid_over s JOIN resid_under t ON s.rk = t.rk
+) p
+""",
+    doc="J4 balancer pairing, same-rack-first two-pass form — the "
+    "reference's actual pairing order (Balancer.chooseNodes:884-925: "
+    "chooseNodes(SAME_NODE_GROUP/RACK) first, then ANY_OTHER): pass 1 "
+    "rank-pairs over- with under-utilized nodes WITHIN each rack (the "
+    "rack is the equi-join + window key; biggest excess meets biggest "
+    "deficit), pass 2 rank-pairs the residual unmatched nodes across "
+    "racks by descending excess/deficit, union. "
+    "Every frame is cluster-node-sized; both windows partition by rack "
+    "or run over the node-count residual — shuffle-free at node scale "
+    "under AQE broadcast. The original global rank-pairing "
+    "(j4_balancer_pairing) stays registered for comparison.",
+)
+def j4b_balancer_rack_pairing(e) -> DataFrame:
+    u = a8_utilization(e).join(
+        e["datanodes"].select("datanode_id", "rack", "capacity"), "datanode_id"
+    )
+    over = (
+        u.filter(F.col("utilization") > F.col("avg_utilization") + 10)
+        .select(
+            "datanode_id",
+            "rack",
+            F.floor(
+                (F.col("utilization") - F.col("avg_utilization"))
+                * F.col("capacity")
+                / 100.0
+            )
+            .cast("long")
+            .alias("excess_bytes"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("rack").orderBy(
+                    F.col("excess_bytes").desc(), "datanode_id"
+                )
+            ),
+        )
+    )
+    under = (
+        u.filter(F.col("utilization") < F.col("avg_utilization") - 10)
+        .select(
+            "datanode_id",
+            "rack",
+            F.floor(
+                (F.col("avg_utilization") - F.col("utilization"))
+                * F.col("capacity")
+                / 100.0
+            )
+            .cast("long")
+            .alias("deficit_bytes"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("rack").orderBy(
+                    F.col("deficit_bytes").desc(), "datanode_id"
+                )
+            ),
+        )
+    )
+    same = over.alias("s").join(
+        under.alias("t"),
+        (F.col("s.rack") == F.col("t.rack")) & (F.col("s.rk") == F.col("t.rk")),
+    )
+    same_rack = same.select(
+        F.col("s.datanode_id").alias("source"),
+        F.col("t.datanode_id").alias("target"),
+        F.least("s.excess_bytes", "t.deficit_bytes").alias("bytes_to_move"),
+        F.lit(True).alias("same_rack"),
+    )
+    resid_over = (
+        over.join(
+            same_rack.select(F.col("source").alias("datanode_id")),
+            "datanode_id",
+            "left_anti",
+        )
+        .withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.orderBy(F.col("excess_bytes").desc(), "datanode_id")
+            ),
+        )
+    )
+    resid_under = (
+        under.join(
+            same_rack.select(F.col("target").alias("datanode_id")),
+            "datanode_id",
+            "left_anti",
+        )
+        .withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.orderBy(F.col("deficit_bytes").desc(), "datanode_id")
+            ),
+        )
+    )
+    cross_rack = resid_over.alias("s").join(
+        resid_under.alias("t"), F.col("s.rk2") == F.col("t.rk2")
+    ).select(
+        F.col("s.datanode_id").alias("source"),
+        F.col("t.datanode_id").alias("target"),
+        F.least("s.excess_bytes", "t.deficit_bytes").alias("bytes_to_move"),
+        F.lit(False).alias("same_rack"),
+    )
+    return same_rack.unionByName(cross_rack)
+
+
+@register(
     "j6_host_datanodes",
     oracle="""
 SELECT host,
@@ -399,4 +558,80 @@ def w7_storage_tiers(e) -> DataFrame:
         .cast("long")
         .alias("utilization_e6"),
         F.ntile(4).over(w).cast("long").alias("tier"),
+    )
+
+
+@register(
+    "t15_genstamp_blocks",
+    oracle="""
+SELECT g.latest_gen_stamp,
+       CAST(SUM(CASE WHEN b.gen_stamp < g.latest_gen_stamp THEN 1 ELSE 0 END)
+            AS BIGINT) AS blocks_below,
+       CAST(SUM(CASE WHEN b.gen_stamp >= g.latest_gen_stamp THEN 1 ELSE 0 END)
+            AS BIGINT) AS blocks_at_or_above
+FROM blocks b
+CROSS JOIN (
+  SELECT gen_stamp AS latest_gen_stamp
+  FROM edits WHERE op = 'OP_SET_GENSTAMP'
+  ORDER BY txid DESC LIMIT 1
+) g
+GROUP BY g.latest_gen_stamp
+""",
+    doc="OP_SET_GENSTAMP feeding block identity (FSEditLogLoader.java:181 "
+    "-> FSNamesystem.setGenerationStamp; stale-replica rejection after "
+    "lease recovery compares block genstamps against this authority): fold "
+    "the log's highest-txid genstamp op into the global stamp, then split "
+    "the block population below / at-or-above it. The authority is a "
+    "1-row broadcast against the blocks scan — one partial-agg shuffle of "
+    "two counters regardless of block count.",
+)
+def t15_genstamp_blocks(e) -> DataFrame:
+    latest = (
+        e["edits"]
+        .filter(F.col("op") == "OP_SET_GENSTAMP")
+        .select(F.max(F.struct("txid", "gen_stamp")).alias("s"))
+        .select(F.col("s.gen_stamp").alias("latest_gen_stamp"))
+    )
+    b = e["blocks"].crossJoin(F.broadcast(latest))
+    return b.groupBy("latest_gen_stamp").agg(
+        F.sum(F.when(F.col("gen_stamp") < F.col("latest_gen_stamp"), 1).otherwise(0))
+        .cast("long")
+        .alias("blocks_below"),
+        F.sum(F.when(F.col("gen_stamp") >= F.col("latest_gen_stamp"), 1).otherwise(0))
+        .cast("long")
+        .alias("blocks_at_or_above"),
+    )
+
+
+@register(
+    "t16_lease_reassign",
+    oracle="""
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_reassigns,
+       MAX_BY(owner, txid)      AS effective_holder,
+       CAST(MAX(txid) AS BIGINT) AS last_txid
+FROM edits
+WHERE op = 'OP_REASSIGN_LEASE'
+GROUP BY path
+""",
+    doc="OP_REASSIGN_LEASE feeding the lease analytics "
+    "(FSEditLogLoader.java:393-400 -> FSNamesystem.reassignLease; the NN "
+    "moves a dying client's lease to the recovery holder): per path, the "
+    "reassignment count and the EFFECTIVE holder = the highest-txid "
+    "reassign op's payload — exactly the holder the LeaseManager would "
+    "show after replaying the log. One groupBy on the path key; MAX_BY "
+    "keeps the fold a single partial-aggregable pass (no rank window over "
+    "the log). The continuous form is the same fold the T1 replay state "
+    "carries in its lease_holder column.",
+)
+def t16_lease_reassign(e) -> DataFrame:
+    return (
+        e["edits"]
+        .filter(F.col("op") == "OP_REASSIGN_LEASE")
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_reassigns"),
+            F.expr("MAX_BY(owner, txid)").alias("effective_holder"),
+            F.max("txid").cast("long").alias("last_txid"),
+        )
     )

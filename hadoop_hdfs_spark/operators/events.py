@@ -108,12 +108,15 @@ def c9_json_props(e) -> DataFrame:
         )
     )
 
-# Full replayed vocabulary (FSEditLogOpCodes.java:31-60 minus the
-# delegation-token/transport ops the entity model has no analog events for).
+# The FULL edit-op vocabulary (FSEditLogOpCodes.java:31-60, all 18
+# non-deprecated/non-transport ops — matches entities._EDITS_SQL).
 _OPCODES = [
     "OP_ADD", "OP_MKDIR", "OP_CLOSE", "OP_RENAME", "OP_DELETE",
     "OP_SET_REPLICATION", "OP_SET_PERMISSIONS", "OP_SET_OWNER",
     "OP_TIMES", "OP_SET_QUOTA", "OP_SYMLINK", "OP_CONCAT_DELETE",
+    "OP_SET_GENSTAMP", "OP_REASSIGN_LEASE", "OP_GET_DELEGATION_TOKEN",
+    "OP_RENEW_DELEGATION_TOKEN", "OP_CANCEL_DELEGATION_TOKEN",
+    "OP_UPDATE_MASTER_KEY",
 ]
 
 _PIVOT_SQL = ",\n".join(

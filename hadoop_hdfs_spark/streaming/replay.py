@@ -49,9 +49,12 @@ from pyspark.sql.functions import pandas_udf
 # The full changelog record (matches the edits entity, entities._EDITS_SQL).
 EDITS_SCHEMA = (
     "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
-    "replication INT, perm STRING, owner STRING"
+    "replication INT, perm STRING, owner STRING, gen_stamp LONG"
 )
-EDITS_COLUMNS = ("txid", "op", "ts_ms", "path", "dst", "replication", "perm", "owner")
+EDITS_COLUMNS = (
+    "txid", "op", "ts_ms", "path", "dst", "replication", "perm", "owner",
+    "gen_stamp",
+)
 
 
 def _rename_rewriter(rules: list[tuple[int, str, str]]):
@@ -87,12 +90,19 @@ def _rename_rewriter(rules: list[tuple[int, str, str]]):
 # :181-479). Attribute rule, uniform: per path, the LAST op (txid order)
 # carrying a NON-NULL payload for a column wins; ops without that payload
 # leave it untouched.
-STATE_COLUMNS = ("exists", "replication", "perm", "owner", "mtime_ms", "exist_txid")
+STATE_COLUMNS = (
+    "exists", "replication", "perm", "owner", "lease_holder", "mtime_ms",
+    "exist_txid",
+)
 _STATE_TYPES = {
     "exists": "boolean",
     "replication": "int",
     "perm": "string",
     "owner": "string",
+    # OP_REASSIGN_LEASE's new holder (FSEditLogLoader.java:393-400 →
+    # fsNamesys.reassignLease); last reassignment per path wins, like any
+    # other attribute.
+    "lease_holder": "string",
     "mtime_ms": "long",
     # Existence authority, PERSISTED across batches (snapshot carries it):
     # a micro-batch's create/delete wins only if its txid >= the state's
@@ -127,11 +137,16 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
       source path (concat sources are files) and touches the target's
       mtime;
     - OP_RENAME moves a subtree;
-    - OP_SET_REPLICATION / OP_SET_PERMISSIONS / OP_SET_OWNER / OP_TIMES
-      upsert one attribute each (last non-null payload per path wins);
+    - OP_SET_REPLICATION / OP_SET_PERMISSIONS / OP_SET_OWNER / OP_TIMES /
+      OP_REASSIGN_LEASE upsert one attribute each (last non-null payload
+      per path wins; reassign-lease's payload is the new ``lease_holder``,
+      FSEditLogLoader.java:393-400);
     - OP_CLOSE stamps mtime (the reference's close finalizes with a new
-      modification time); OP_SET_QUOTA and the rest are no-ops on this
-      projection (quotas live on the inodes entity, A2).
+      modification time); OP_SET_GENSTAMP is namespace-global state, not
+      per-path — fold it with :func:`latest_genstamp`; OP_SET_QUOTA and
+      the delegation-token ops (OP_GET/RENEW/CANCEL_DELEGATION_TOKEN,
+      OP_UPDATE_MASTER_KEY — token secret-manager state,
+      FSEditLogLoader.java:404-430) are no-ops on this projection.
 
     See module docstring for the batch-ordering contract.
     """
@@ -185,6 +200,7 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
         .alias("p_replication"),
         F.when(op == "OP_SET_PERMISSIONS", F.col("perm")).alias("p_perm"),
         F.when(op == "OP_SET_OWNER", F.col("owner")).alias("p_owner"),
+        F.when(op == "OP_REASSIGN_LEASE", F.col("owner")).alias("p_lease_holder"),
         F.when(op.isin(*_MTIME_OPS), F.col("ts_ms")).alias("p_mtime_ms"),
     )
     concat_touch = (
@@ -196,6 +212,7 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("p_replication"),
             F.lit(None).cast("string").alias("p_perm"),
             F.lit(None).cast("string").alias("p_owner"),
+            F.lit(None).cast("string").alias("p_lease_holder"),
             F.col("ts_ms").alias("p_mtime_ms"),
         )
     )
@@ -216,7 +233,7 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
         )
     )
     batch_paths = last_exist
-    for attr in ("replication", "perm", "owner", "mtime_ms"):
+    for attr in ("replication", "perm", "owner", "lease_holder", "mtime_ms"):
         last_attr = (
             norm.filter(F.col(f"p_{attr}").isNotNull())
             .withColumn("_rn", F.row_number().over(w_last))
@@ -241,7 +258,9 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
             .alias("exists"),
             *[
                 F.coalesce(f"{attr}_new", attr).alias(attr)
-                for attr in ("replication", "perm", "owner", "mtime_ms")
+                for attr in (
+                    "replication", "perm", "owner", "lease_holder", "mtime_ms"
+                )
             ],
             F.when(b_wins, F.col("exist_txid")).otherwise(s_auth).alias("exist_txid"),
         )
@@ -275,6 +294,21 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     # survives across micro-batches (re-applying a batch converges — the
     # >= comparison makes the merge idempotent).
     return merged
+
+
+def latest_genstamp(edits: DataFrame) -> int | None:
+    """Fold OP_SET_GENSTAMP into the namespace-global generation stamp —
+    the highest-txid op's payload wins (FSEditLogLoader.java:181:
+    ``fsNamesys.setGenerationStamp``; the stamp is FSNamesystem-scalar
+    state, not a per-path attribute, so it lives outside the snapshot
+    rows). Returns None if the log carries no genstamp op. One max-agg —
+    no collect of the log."""
+    row = (
+        edits.filter(F.col("op") == "OP_SET_GENSTAMP")
+        .select(F.max(F.struct("txid", "gen_stamp")).alias("s"))
+        .first()
+    )
+    return None if row is None or row["s"] is None else row["s"]["gen_stamp"]
 
 
 def _latest_snapshot_path(snapshot_dir: str) -> str | None:

@@ -4,14 +4,15 @@ stateful streaming computations (SURVEY.md §2.8).
 The reference runs monitor threads that scan sorted maps on an interval
 (FSNamesystem.heartbeatCheck:3243-3260 — dead after 10.5 min;
 LeaseManager.Monitor:365-411 — soft 60 s / hard 3600 s;
-PendingReplicationBlocks timeout 5 min). The Spark-first restatement is
-``applyInPandasWithState`` keyed by the monitored entity, with
-processing-time timeouts standing in for the monitor threads: state holds
-the last-seen timestamp, a timeout firing emits the EXPIRED record.
+PendingReplicationBlocks.java:48 + PendingReplicationMonitor:178-195 —
+re-queue unconfirmed replication work after 5 min). The Spark-first
+restatement is ``applyInPandasWithState`` keyed by the monitored entity,
+with processing-time timeouts standing in for the monitor threads: state
+holds the last-seen timestamp, a timeout firing emits the EXPIRED record.
 
 These are the engine's only non-SQL-expressible operators (driver records
-rows-only checks); the batch analogs (f4_datanode_report, t4_lease_expiry)
-carry the oracle-verified semantics.
+rows-only checks); the batch analogs (f4_datanode_report, t4_lease_expiry,
+t7_pending_timeout) carry the oracle-verified semantics.
 """
 
 from __future__ import annotations
@@ -133,6 +134,109 @@ def lease_expiry_stream(renewals):
         lease_monitor,
         outputStructType=LEASE_OUTPUT,
         stateStructType=LEASE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+PENDING_TIMEOUT_MS = 300_000  # PendingReplicationBlocks.java:48 — 5 min
+
+PENDING_OUTPUT = StructType(
+    [
+        StructField("block_id", LongType(), False),
+        StructField("dispatched_ms", LongType(), True),
+        StructField("replicas_in_flight", LongType(), False),
+        StructField("timed_out", BooleanType(), False),
+    ]
+)
+
+PENDING_STATE = StructType(
+    [
+        StructField("dispatched_ms", LongType(), True),
+        StructField("replicas_in_flight", LongType(), False),
+    ]
+)
+
+
+def make_pending_replication_monitor(timeout_ms: int = PENDING_TIMEOUT_MS):
+    def monitor(key, rows, state):
+        yield from pending_replication_monitor(key, rows, state, timeout_ms)
+
+    return monitor
+
+
+def pending_replication_monitor(
+    key: tuple[int],
+    rows: Iterator[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int = PENDING_TIMEOUT_MS,
+) -> Iterator[pd.DataFrame]:
+    """T7 pending-replication tracker keyed by block
+    (PendingReplicationBlocks.java:38-55 + PendingReplicationMonitor
+    :178-195): a ``dispatch`` event adds in-flight replicas and stamps the
+    dispatch time; a ``confirm`` event (the new replica's blockReceived)
+    decrements, removing the entry at zero; the processing-time timeout
+    firing re-emits the entry with ``timed_out=True`` — the reference's
+    timedOutItems hand-off that re-queues the block into
+    neededReplications (T6)."""
+    (block_id,) = key
+    if state.hasTimedOut:
+        ts, n = state.get if state.exists else (None, 0)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "block_id": [block_id],
+                "dispatched_ms": [ts],
+                "replicas_in_flight": [n],
+                "timed_out": [True],
+            }
+        )
+        return
+    ts, n = state.get if state.exists else (None, 0)
+    for pdf in rows:
+        for ev, ev_ms, inc in zip(
+            pdf["event"], pdf["event_ms"], pdf["n_replicas"]
+        ):
+            if ev == "dispatch":
+                n += int(inc)
+                ts = int(ev_ms) if ts is None else max(ts, int(ev_ms))
+            elif ev == "confirm":
+                n -= int(inc)
+    if n <= 0:
+        # all in-flight replicas confirmed — entry leaves the pending map
+        if state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "block_id": [block_id],
+                "dispatched_ms": [ts],
+                "replicas_in_flight": [0],
+                "timed_out": [False],
+            }
+        )
+        return
+    state.update((ts, n))
+    state.setTimeoutDuration(timeout_ms)
+    yield pd.DataFrame(
+        {
+            "block_id": [block_id],
+            "dispatched_ms": [ts],
+            "replicas_in_flight": [n],
+            "timed_out": [False],
+        }
+    )
+
+
+def pending_replication_stream(events, timeout_ms: int = PENDING_TIMEOUT_MS):
+    """Wire the T7 monitor over a streaming (block_id, event, event_ms,
+    n_replicas) frame, where ``event`` is 'dispatch' or 'confirm'. Returns
+    the stateful DataFrame; caller attaches the sink. ``timeout_ms`` is
+    the re-queue threshold (tests shrink it). State is bounded by the
+    in-flight work set — confirms and timeouts both evict."""
+    return events.groupBy("block_id").applyInPandasWithState(
+        make_pending_replication_monitor(timeout_ms),
+        outputStructType=PENDING_OUTPUT,
+        stateStructType=PENDING_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

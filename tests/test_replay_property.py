@@ -12,7 +12,11 @@ stamps mtime, OP_SET_QUOTA is a no-op on this projection.
 
 Pools deliberately overlap (rename destinations are also sources/targets of
 other ops; nested paths) so chains, collisions, delete-under-rename, and
-recreate-after-delete are all generated."""
+recreate-after-delete are all generated. Round-3 widening: OP_REASSIGN_LEASE
+upserts the lease_holder attribute (payload rides the owner column); the
+delegation-token ops and OP_SET_GENSTAMP are namespace no-ops (genstamp is
+folded separately by replay.latest_genstamp) — generated here to prove the
+replay ignores them without disturbing adjacent state."""
 
 from __future__ import annotations
 
@@ -36,6 +40,12 @@ OPS = [
     "OP_TIMES",
     "OP_CLOSE",
     "OP_SET_QUOTA",
+    "OP_REASSIGN_LEASE",
+    "OP_SET_GENSTAMP",
+    "OP_GET_DELEGATION_TOKEN",
+    "OP_RENEW_DELEGATION_TOKEN",
+    "OP_CANCEL_DELEGATION_TOKEN",
+    "OP_UPDATE_MASTER_KEY",
 ]
 CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
 REMOVE_OPS = ("OP_DELETE", "OP_CONCAT_DELETE")
@@ -57,10 +67,13 @@ def model(initial_state: dict, edits: list) -> dict:
     """The documented batch contract, interpreted sequentially in Python.
 
     edits rows: (txid, op, path, dst, repl, perm, owner, ts_ms).
-    state values: (exists, repl, perm, owner, mtime).
+    state values: (exists, repl, perm, owner, lease_holder, mtime).
     """
-    # path -> [exists, repl, perm, owner, mtime, authority_txid]
-    state = {p: [ex, rp, pm, ow, mt, 0] for p, (ex, rp, pm, ow, mt) in initial_state.items()}
+    # path -> [exists, repl, perm, owner, lease_holder, mtime, authority_txid]
+    state = {
+        p: [ex, rp, pm, ow, lh, mt, 0]
+        for p, (ex, rp, pm, ow, lh, mt) in initial_state.items()
+    }
 
     # 1. renames in txid order; later authority wins collisions
     for txid, op, path, dst, _r, _p, _o, _t in edits:
@@ -70,7 +83,7 @@ def model(initial_state: dict, edits: list) -> dict:
         for p in list(state):
             if p == path or p.startswith(path + "/"):
                 rec = state.pop(p)
-                moved[dst + p[len(path):]] = rec[:5] + [txid]
+                moved[dst + p[len(path):]] = rec[:6] + [txid]
         state.update(moved)
 
     # 2. normalize: concat-delete = exact delete of src + mtime touch on dst
@@ -82,7 +95,7 @@ def model(initial_state: dict, edits: list) -> dict:
 
     # 3. per-path fold with txid authority, each attribute independent
     last_exist: dict[str, tuple[bool, int]] = {}
-    last = {"repl": {}, "perm": {}, "owner": {}, "mtime": {}}
+    last = {"repl": {}, "perm": {}, "owner": {}, "lease": {}, "mtime": {}}
     for txid, op, path, repl, perm, owner, ts in norm:
         if op in CREATE_OPS:
             last_exist[path] = (True, txid)
@@ -96,6 +109,8 @@ def model(initial_state: dict, edits: list) -> dict:
             last["perm"][path] = perm
         if op == "OP_SET_OWNER" and owner is not None:
             last["owner"][path] = owner
+        if op == "OP_REASSIGN_LEASE" and owner is not None:
+            last["lease"][path] = owner
         if op in MTIME_OPS and ts is not None:
             last["mtime"][path] = ts
     out = {}
@@ -103,14 +118,15 @@ def model(initial_state: dict, edits: list) -> dict:
     for d in last.values():
         touched |= set(d)
     for p in touched:
-        old = state.get(p, [False, None, None, None, None, 0])
+        old = state.get(p, [False, None, None, None, None, None, 0])
         ex, auth = last_exist.get(p, (old[0], 0))
         out[p] = [
             ex,
             last["repl"].get(p, old[1]),
             last["perm"].get(p, old[2]),
             last["owner"].get(p, old[3]),
-            last["mtime"].get(p, old[4]),
+            last["lease"].get(p, old[4]),
+            last["mtime"].get(p, old[5]),
             auth,
         ]
 
@@ -119,9 +135,9 @@ def model(initial_state: dict, edits: list) -> dict:
         if op != "OP_DELETE":
             continue
         for p, rec in out.items():
-            if rec[5] < txid and p.startswith(path + "/"):
+            if rec[6] < txid and p.startswith(path + "/"):
                 rec[0] = False
-    return {p: tuple(rec[:5]) for p, rec in out.items()}
+    return {p: tuple(rec[:6]) for p, rec in out.items()}
 
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
@@ -134,12 +150,16 @@ def model(initial_state: dict, edits: list) -> dict:
     ),
 )
 def test_replay_matches_model(spark, ops, initial):
-    initial_state = {p: (True, rp, "rwxr-xr-x", "hdfs", 0) for p, rp in initial}
+    initial_state = {
+        p: (True, rp, "rwxr-xr-x", "hdfs", None, 0) for p, rp in initial
+    }
     schema = (
         "path STRING, exists BOOLEAN, replication INT, perm STRING, "
-        "owner STRING, mtime_ms LONG"
+        "owner STRING, lease_holder STRING, mtime_ms LONG"
     )
-    state_rows = [(p, True, rp, "rwxr-xr-x", "hdfs", 0) for p, rp in initial]
+    state_rows = [
+        (p, True, rp, "rwxr-xr-x", "hdfs", None, 0) for p, rp in initial
+    ]
     state = spark.createDataFrame(state_rows, schema) if state_rows else (
         spark.createDataFrame([], schema)
     )
@@ -154,7 +174,8 @@ def test_replay_matches_model(spark, ops, initial):
                 dst if op in ("OP_RENAME", "OP_SYMLINK", "OP_CONCAT_DELETE") else None,
                 repl if op in ("OP_ADD", "OP_SET_REPLICATION") else None,
                 f"perm{repl}" if op == "OP_SET_PERMISSIONS" else None,
-                f"user{repl}" if op == "OP_SET_OWNER" else None,
+                f"user{repl}" if op == "OP_SET_OWNER"
+                else f"client{repl}" if op == "OP_REASSIGN_LEASE" else None,
                 txid * 1000,
             )
         )
@@ -164,7 +185,10 @@ def test_replay_matches_model(spark, ops, initial):
         "replication INT, perm STRING, owner STRING",
     )
     got = {
-        r["path"]: (r["exists"], r["replication"], r["perm"], r["owner"], r["mtime_ms"])
+        r["path"]: (
+            r["exists"], r["replication"], r["perm"], r["owner"],
+            r["lease_holder"], r["mtime_ms"],
+        )
         for r in apply_edits_batch(state, batch).collect()
     }
     want = model(initial_state, edits)

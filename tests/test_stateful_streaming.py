@@ -74,3 +74,73 @@ def test_heartbeat_timeout_declares_dead(spark, tmp_path):
         assert not latest["is_dead"]
     finally:
         q.stop()
+
+
+@pytest.mark.timeout(180)
+def test_pending_replication_timeout_requeues(spark, tmp_path):
+    """T7 live: a confirmed block leaves the pending map; an unconfirmed
+    block is re-emitted with timed_out=True by the processing-time
+    timeout (PendingReplicationBlocks timedOutItems semantics)."""
+    from hadoop_hdfs_spark.streaming.timeouts import pending_replication_stream
+
+    src = tmp_path / "pending"
+    src.mkdir()
+    schema = "block_id LONG, event STRING, event_ms LONG, n_replicas LONG"
+
+    # batch 1: work dispatched for blocks 1 and 2
+    spark.createDataFrame(
+        [(1, "dispatch", 1000, 2), (2, "dispatch", 1000, 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = pending_replication_stream(stream, timeout_ms=3000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pending")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM pending").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        got = {r["block_id"]: r for r in rows}
+        assert got[1]["replicas_in_flight"] == 2 and not got[1]["timed_out"]
+        assert got[2]["replicas_in_flight"] == 1 and not got[2]["timed_out"]
+
+        # block 2's replica is confirmed; block 1 never confirms. Keep the
+        # micro-batches coming (timeouts only fire when a batch runs) until
+        # block 1 is re-emitted by timeout.
+        spark.createDataFrame(
+            [(2, "confirm", 2000, 1)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        deadline = time.time() + 90
+        timed_out_seen = False
+        confirmed_seen = False
+        i = 0
+        while time.time() < deadline and not (timed_out_seen and confirmed_seen):
+            # heartbeat batches on an unrelated block to trigger processing
+            spark.createDataFrame(
+                [(99, "dispatch", 3000 + i, 1)], schema
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            i += 1
+            time.sleep(2)
+            for r in spark.sql("SELECT * FROM pending").collect():
+                if r["block_id"] == 1 and r["timed_out"]:
+                    assert r["replicas_in_flight"] == 2  # unconfirmed work re-queued
+                    timed_out_seen = True
+                if r["block_id"] == 2 and r["replicas_in_flight"] == 0:
+                    assert not r["timed_out"]
+                    confirmed_seen = True
+        assert timed_out_seen, "unconfirmed work never re-queued by timeout"
+        assert confirmed_seen, "confirmed work never evicted from the map"
+    finally:
+        q.stop()
