@@ -8,6 +8,14 @@ entity model — the fsimage-load analog: the reference NameNode loads its
 image once at startup, and every query here shares that state. Per-query
 numbers then measure the query, not whichever one happened to fault the
 cache in first.
+
+``python bench.py --scale-probe`` is the scaling check: it materializes a
+10x fact-scaled dataset ("sf1") from sf0.1 (fact tables replicated with
+key offsets; dimension tables fixed — the realistic growth shape), runs
+the full bench at BOTH scale factors in subprocesses, and writes
+SCALING.md + scale_probe.json flagging every query whose wall-clock grew
+by more than 10x for 10x data. The default invocation (the driver
+contract) is unchanged.
 """
 
 from __future__ import annotations
@@ -18,6 +26,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# a9b_content_checksum pins its blob corpus at import; bench it against the
+# bench SF so its cost scales with the dataset like every other query.
+os.environ.setdefault(
+    "SPARK_GRAFT_BLOB_DIR", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+)
 
 from hadoop_hdfs_spark import registry
 from hadoop_hdfs_spark.session import get_spark
@@ -90,5 +104,125 @@ def main() -> None:
     spark.stop()
 
 
+_SF1_DIR = "/tmp/spark_graft_sf1"
+_FACT_KEYS = {
+    # fact table -> columns remapped per copy (offset = copy_idx * (max+1));
+    # every other column is carried through unchanged
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_DIMS = ["region", "nation", "supplier", "part"]
+
+
+def _materialize_sf1(src_dir: str, factor: int = 10) -> str:
+    """Build the 10x fact-scaled dataset with DuckDB (no JVM): fact tables
+    are unioned ``factor`` times with key offsets so FK chains stay intact
+    (o_custkey follows the customer copies, l_orderkey the order copies);
+    dimensions keep one copy. Idempotent via a _DONE marker."""
+    import duckdb
+
+    done = os.path.join(_SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return _SF1_DIR
+    os.makedirs(_SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    offsets: dict[str, int] = {}  # key column -> stride
+    for t in ["customer", "orders", "events", "documents", "embeddings"]:
+        base = f"read_parquet('{src_dir}/{t}.parquet')"
+        for k in _FACT_KEYS[t]:
+            if k not in offsets:
+                offsets[k] = con.sql(f"SELECT MAX({k}) + 1 FROM {base}").fetchone()[0]
+    offsets["l_orderkey"] = offsets["o_orderkey"]
+    for t, keys in _FACT_KEYS.items():
+        base = f"read_parquet('{src_dir}/{t}.parquet')"
+        desc = con.sql(f"DESCRIBE SELECT * FROM {base}").fetchall()
+        sel = []
+        for c, ctype, *_ in desc:
+            if c in keys:
+                stride = offsets["o_orderkey"] if c == "l_orderkey" else offsets[c]
+                sel.append(f"{c} + i.i * {stride} AS {c}")
+            elif t == "events" and c == "ts" and "INT" not in ctype.upper():
+                # normalize to BIGINT UTC nanoseconds — the one physical
+                # form entities.normalize_event_ts passes through untouched
+                sel.append("epoch_ns(ts) AS ts")
+            else:
+                sel.append(c)
+        con.sql(
+            f"COPY (SELECT {', '.join(sel)} FROM {base}, range({factor}) i(i)) "
+            f"TO '{_SF1_DIR}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in _DIMS:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{src_dir}/{t}.parquet')) "
+            f"TO '{_SF1_DIR}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    open(done, "w").close()
+    return _SF1_DIR
+
+
+def scale_probe() -> None:
+    """Run the full bench at sf0.1 and at the 10x fact-scaled sf1; flag
+    queries whose wall-clock ratio exceeds the data ratio (10x)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_dir = _materialize_sf1(base_dir)
+    results = {}
+    for tag, d in (("sf0.1", base_dir), ("sf1", sf1_dir)):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=d, SPARK_GRAFT_BLOB_DIR=d)
+        subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env, check=True, capture_output=True, text=True,
+        )
+        with open(os.path.join(here, "bench_detail.json")) as f:
+            results[tag] = json.load(f)
+    q01, q1 = results["sf0.1"]["queries"], results["sf1"]["queries"]
+    ratios = {
+        n: round(q1[n] / max(q01[n], 1e-3), 2) for n in q1 if n in q01
+    }
+    flagged = {n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+               if r > 10.0}
+    out = {
+        "metric": "scale_probe_ratio_sf1_over_sf0.1",
+        "total_sf0.1_s": results["sf0.1"]["value"],
+        "total_sf1_s": results["sf1"]["value"],
+        "total_ratio": round(results["sf1"]["value"]
+                             / max(results["sf0.1"]["value"], 1e-3), 2),
+        "n_queries": len(ratios),
+        "flagged_over_10x": flagged,
+        "ratios": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
+    }
+    with open(os.path.join(here, "scale_probe.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    lines = [
+        "# SCALING — sf0.1 -> sf1 (10x fact rows) probe",
+        "",
+        f"Generated by `python bench.py --scale-probe` (fact tables 10x with",
+        f"key-offset copies, dims fixed). Totals: {results['sf0.1']['value']} s",
+        f"at sf0.1 -> {results['sf1']['value']} s at sf1 "
+        f"(ratio {out['total_ratio']}x for 10x data).",
+        "",
+        "| query | sf0.1 s | sf1 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:15]:
+        lines.append(f"| {n} | {q01[n]} | {q1[n]} | {r}x |")
+    lines += [
+        "",
+        f"**Flagged (> 10x for 10x data): {sorted(flagged) or 'none'}**",
+    ]
+    with open(os.path.join(here, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale-probe" in sys.argv:
+        scale_probe()
+    else:
+        main()

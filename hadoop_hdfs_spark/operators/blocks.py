@@ -611,6 +611,113 @@ def a9_file_checksum(e) -> DataFrame:
     )
 
 
+# The content-checksum corpus. Pinned at import because the DuckDB oracle
+# must name the identical files in STATIC SQL text (read_blob takes a
+# literal glob); defaults to the driver's correctness scale factor.
+# tests/conftest.py points it at the test SF; bench.py at the bench SF.
+_BLOB_DIR = __import__("os").environ.get(
+    "SPARK_GRAFT_BLOB_DIR", "/root/testdata/sf0.01"
+)
+
+
+@register(
+    "a9b_content_checksum",
+    oracle=f"""
+WITH f AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+         hex(content) AS h, octet_length(content) AS n
+  FROM read_blob('{_BLOB_DIR}/*.parquet')
+),
+chunks AS (
+  SELECT file_name, n,
+         unnest(range(0, CAST(ceil(n / 512.0) AS BIGINT))) AS chunk_idx,
+         h
+  FROM f
+),
+cmd5 AS (
+  SELECT file_name, n, chunk_idx,
+         md5(substring(h, CAST(chunk_idx * 1024 + 1 AS BIGINT), 1024)) AS chunk_md5
+  FROM chunks
+),
+blk AS (
+  SELECT file_name, MAX(n) AS n, chunk_idx // 128 AS block_idx,
+         md5(string_agg(chunk_md5, '' ORDER BY chunk_idx)) AS block_md5
+  FROM cmd5 GROUP BY file_name, chunk_idx // 128
+)
+SELECT file_name,
+       CAST(MAX(n) AS BIGINT) AS byte_len,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       md5(string_agg(block_md5, '' ORDER BY block_idx)) AS file_md5
+FROM blk GROUP BY file_name
+""",
+    doc="A9 MD5-of-MD5 file checksum over REAL BYTES "
+    "(DFSClient.getFileChecksum:1054-1151 chains per-512B-chunk checksums "
+    "-> per-block MD5 -> ordered MD5-of-MD5s; DataXceiver.opBlockChecksum"
+    ":440 computes the block leg): the binaryFile scan's content column is "
+    "chunked at the reference's 512-byte bytes-per-checksum, digested per "
+    "chunk, rolled into per-'block' MD5s (128 chunks = 64 KiB spans — the "
+    "reference's 64 MB block scaled to fixture-sized files), then the "
+    "seq-ordered MD5-of-MD5s per file. Deviations, documented: the "
+    "per-chunk digest is md5-over-uppercase-hex rather than CRC32-over-raw "
+    "(DuckDB has neither crc32 nor blob slicing, so both engines hash the "
+    "hex rendering — same information content, independently computed); "
+    "s1_binary_block_scan keeps a real crc32 leg Spark-side. Scale shape: "
+    "chunk digests collapse map-side inside one whole-stage-codegen "
+    "projection (transform over sequence — the multi-MB hex string never "
+    "crosses an exchange); the shuffle moves only (file, block_idx, "
+    "chunk_md5) rows. a9_file_checksum (block-metadata digest) stays "
+    "registered for the metadata-only plan shape.",
+)
+def a9b_content_checksum(e) -> DataFrame:
+    spark = e["region"].sparkSession
+    blobs = spark.read.format("binaryFile").load(f"{_BLOB_DIR}/*.parquet")
+    f = blobs.select(
+        F.reverse(F.split("path", "/"))[0].alias("file_name"),
+        F.hex("content").alias("h"),
+        F.col("length").alias("n"),
+    )
+    # chunk digests computed INSIDE the projection that drops the hex blob:
+    # the per-file array of md5s is born and the multi-MB string dies in the
+    # same codegen stage
+    cmd5 = f.select(
+        "file_name",
+        "n",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(n/512.0) as int)-1), "
+                "i -> md5(substring(h, i*1024+1, 1024)))"
+            )
+        ).alias("chunk_idx", "chunk_md5"),
+    )
+    blk = cmd5.groupBy(
+        "file_name", F.expr("chunk_idx DIV 128").alias("block_idx")
+    ).agg(
+        F.max("n").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk_md5"))),
+                    lambda s: s["chunk_md5"],
+                ),
+                "",
+            )
+        ).alias("block_md5"),
+    )
+    return blk.groupBy("file_name").agg(
+        F.max("n").cast("long").alias("byte_len"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("block_idx", "block_md5"))),
+                    lambda s: s["block_md5"],
+                ),
+                "",
+            )
+        ).alias("file_md5"),
+    )
+
+
 @register(
     "a10_safemode",
     oracle=f"""

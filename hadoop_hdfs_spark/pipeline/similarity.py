@@ -315,3 +315,148 @@ def s_knn_recall(e) -> DataFrame:
             F.expr("CAST((n_common * 1000) DIV k_exact AS BIGINT)"),
         )
     )
+
+
+# --------------------------------------------- clustered-fixture recall gate
+
+# Deterministic label-correlated geometry, IDENTICAL in both engines: each
+# label gets a pseudo-random cluster center with coordinates
+# (md5(label|j) first-4-hex % 2001 - 1000)/1000 in [-1, 1], scaled by 3 —
+# an order of magnitude above the fixture vectors' ~unit norms, so
+# same-label vectors genuinely cluster. Every term is per-element integer->
+# double arithmetic (no cross-row float sums), so the two engines produce
+# bit-identical doubles before the e6 floor.
+_DUCK_CLUSTERED_VECS = """
+  SELECT vec_id, label,
+         list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+           + 3.0 * ((('0x' || substr(md5(CAST(label AS VARCHAR) || '|'
+                      || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000)
+                    / 1000.0)) AS v
+  FROM embeddings
+"""
+
+_SPARK_CLUSTERED_VECS = (
+    "transform(embedding, (x, i) -> cast(x as double)"
+    " + 3.0 * ((cast(conv(substring(md5(concat(cast(label as string), '|',"
+    " cast(i + 1 as string))), 1, 4), 16, 10) as bigint) % 2001 - 1000)"
+    " / 1000.0))"
+)
+
+
+@register(
+    "s_knn_recall_clustered",
+    oracle=f"""
+WITH e AS ({_DUCK_CLUSTERED_VECS}),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+bs AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM q JOIN e a ON a.vec_id <> q.vec_id
+),
+b5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_e6 DESC, neighbor_id) AS rk
+    FROM bs
+  ) t WHERE rk <= 5
+),
+ivs AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM q JOIN e a ON a.label = q.label AND a.vec_id <> q.vec_id
+),
+i5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_e6 DESC, neighbor_id) AS rk
+    FROM ivs
+  ) t WHERE rk <= 5
+)
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k_exact,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_common,
+       CAST((SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS recall_permille
+FROM b5 b
+LEFT JOIN i5 i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+""",
+    doc="The recall gate on a fixture WITH real cluster structure "
+    "(complement of s_knn_recall, which honestly reports sub-random "
+    "recall on the structureless vectors): the same recall@5-vs-exact "
+    "measurement over label-correlated vectors — each label's "
+    "deterministic md5-derived cluster center (magnitude ~3x the raw "
+    "vectors) is added element-wise in BOTH engines, so the bucketed "
+    "index's coarse key now reflects geometry and recall@5 lands at "
+    "1000 permille (pinned >= 800 in tests/test_ann_recall.py). "
+    "Together the pair documents the operational rule: the recall gate "
+    "DECIDES whether the IVF key ships — low on unclustered data "
+    "(re-cluster first), high once the key matches geometry. Same "
+    "plan shape as s_knn_recall: broadcast query side, per-query "
+    "top-k windows, query-count-sized compare frames.",
+)
+def s_knn_recall_clustered(e) -> DataFrame:
+    vecs = e["embeddings"].select(
+        "vec_id", "label", F.expr(_SPARK_CLUSTERED_VECS).alias("v")
+    )
+    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("av")
+    )
+    def top5(scored):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_e6").desc(), "neighbor_id"
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    bf = top5(
+        a.crossJoin(F.broadcast(q.select("query_id", "qv")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(_cosine(F.col("av"), F.col("qv")) * 1000000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    iv = top5(
+        a.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(_cosine(F.col("av"), F.col("qv")) * 1000000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    common = (
+        bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    base = bf.groupBy("query_id").agg(F.count("*").cast("long").alias("k_exact"))
+    return (
+        base.join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "recall_permille",
+            F.expr("CAST((n_common * 1000) DIV k_exact AS BIGINT)"),
+        )
+    )

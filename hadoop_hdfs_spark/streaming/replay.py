@@ -330,11 +330,14 @@ def _latest_snapshot_path(snapshot_dir: str) -> str | None:
 
 def load_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read the latest committed namespace snapshot written by
-    ``replay_edits_stream``."""
+    ``replay_edits_stream``. The physical ``prefix`` partition column is an
+    internal layout detail — dropped here so readers see the stable state
+    schema."""
     p = _latest_snapshot_path(snapshot_dir)
     if p is None:
         raise FileNotFoundError(f"no committed snapshot under {snapshot_dir}_v*")
-    return spark.read.parquet(p)
+    df = spark.read.parquet(p)
+    return df.drop("prefix") if "prefix" in df.columns else df
 
 
 def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
@@ -358,6 +361,40 @@ def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _assemble_incremental_version(
+    tmp_dir: str, final_dir: str, prev_dir: str | None, touched: set[str]
+) -> None:
+    """Build snapshot version ``final_dir`` from the freshly-written touched
+    partitions in ``tmp_dir`` plus the UNTOUCHED partitions of ``prev_dir``
+    (hardlinked — zero data movement; copy fallback for cross-device).
+    The ``_SUCCESS`` commit marker is written LAST, after every partition
+    is in place — a crash mid-assembly leaves an uncommitted directory
+    that readers ignore."""
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(final_dir, ignore_errors=True)  # crashed prior attempt
+    os.makedirs(final_dir)
+    for d in glob.glob(os.path.join(tmp_dir, "prefix=*")):
+        shutil.move(d, os.path.join(final_dir, os.path.basename(d)))
+    if prev_dir is not None:
+        for d in glob.glob(os.path.join(prev_dir, "prefix=*")):
+            name = os.path.basename(d)
+            value = name.split("=", 1)[1]
+            if value in touched or os.path.exists(os.path.join(final_dir, name)):
+                continue
+            os.makedirs(os.path.join(final_dir, name))
+            for f_ in os.listdir(d):
+                src, dst = os.path.join(d, f_), os.path.join(final_dir, name, f_)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+    open(os.path.join(final_dir, "_SUCCESS"), "w").close()
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def replay_edits_stream(
     spark: SparkSession,
     edits_parquet_dir: str,
@@ -366,13 +403,27 @@ def replay_edits_stream(
     max_files_per_trigger: int = 1,
 ):
     """Continuous replay: stream the edits changelog, MERGE each micro-batch
-    into the snapshot, rewrite the snapshot (the T2 checkpoint compaction).
+    into the snapshot, compact INCREMENTALLY (the T2 checkpoint roll).
 
     Returns the StreamingQuery. The edits directory IS the log: one
     txid-range file per segment (``sources.save_edits`` writes them range-
     partitioned so file order == txid order, mirroring HDFS's
     edits_<first>-<last> segment naming); ``maxFilesPerTrigger`` is the
     group-commit batch knob (FSEditLog.logSync analog).
+
+    Incremental compaction: the snapshot is hash-partitioned by the
+    TOP-LEVEL PATH PREFIX (``prefix=<first segment>`` directories). A
+    micro-batch can only change rows whose prefix appears among its ops'
+    path/dst first segments (rename sources/destinations included — a
+    rename cannot move a row between prefixes that the batch doesn't
+    name), so only those partitions are read (Spark prunes the scan on the
+    partition filter), merged, and rewritten; every untouched partition is
+    HARDLINKED from the previous version into the new one. Per-batch I/O
+    is O(touched subtrees + batch), not O(namespace) — the reference's
+    periodic checkpoint (SecondaryNameNode.java:435-491) has the same
+    touched-state-only cost profile, realized here at partition
+    granularity. The versioned ``_SUCCESS``-gated commit protocol is
+    unchanged (marker written after assembly; torn versions ignored).
     """
     stream = (
         spark.readStream.schema(EDITS_SCHEMA)
@@ -381,24 +432,52 @@ def replay_edits_stream(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        # Versioned-snapshot commit: each batch writes snapshot_v{batch_id}
-        # (its own directory — never overwriting live state) and readers
-        # take the highest version with a _SUCCESS marker. A crash mid-write
-        # leaves an uncommitted directory that is simply ignored; the old
-        # scheme (overwrite live dir from _next) could tear and then be
-        # silently read back as an EMPTY namespace via a bare except.
         spark_ = batch.sparkSession
         latest = _latest_snapshot_path(snapshot_dir)
+        # Touched top-level prefixes: collect is O(distinct first segments)
+        # — subtree count, not row count. A root-path op ('' prefix) means
+        # a full rewrite.
+        pref_rows = (
+            batch.select(F.split("path", "/").getItem(1).alias("p"))
+            .unionAll(
+                batch.filter(F.col("dst").isNotNull()).select(
+                    F.split("dst", "/").getItem(1).alias("p")
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        touched = {r["p"] for r in pref_rows if r["p"] is not None}
+        full_rewrite = latest is None or "" in touched
         if latest is not None:
             state = spark_.read.parquet(latest)
+            if "prefix" in state.columns:
+                if not full_rewrite:
+                    # partition filter -> Spark reads ONLY touched dirs; the
+                    # null guard keeps any default-partition stragglers in
+                    state = state.filter(
+                        F.col("prefix").isin(*touched) | F.col("prefix").isNull()
+                    )
+                state = state.drop("prefix")
         else:
             state = spark_.createDataFrame(
                 [], "path STRING, exists BOOLEAN, replication INT"
             )
         new_state = apply_edits_batch(state, batch.orderBy("txid"))
-        new_state.write.mode("overwrite").parquet(f"{snapshot_dir}_v{batch_id}")
-        # bounded retention: the write above committed (parquet emits
-        # _SUCCESS), so everything but the newest two versions can go
+        tmp = f"{snapshot_dir}_v{batch_id}.inprogress"
+        (
+            new_state.withColumn("prefix", F.split("path", "/").getItem(1))
+            .write.mode("overwrite")
+            .partitionBy("prefix")
+            .parquet(tmp)
+        )
+        _assemble_incremental_version(
+            tmp,
+            f"{snapshot_dir}_v{batch_id}",
+            None if full_rewrite else latest,
+            touched,
+        )
+        # bounded retention (hardlinked files survive source-version pruning)
         _prune_snapshot_versions(snapshot_dir)
 
     return (

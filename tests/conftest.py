@@ -10,6 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hadoop_hdfs_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# a9b_content_checksum pins its blob corpus at import (the DuckDB oracle
+# needs a literal glob); point it at the test SF before registry import.
+os.environ.setdefault("SPARK_GRAFT_BLOB_DIR", SF_DIR)
 
 
 @pytest.fixture(scope="session")

@@ -44,3 +44,17 @@ def test_recall_reports_random_baseline_on_fixture(spark, sf_dir):
     # structureless vectors + label buckets: recall must sit far below a
     # real index's bar — the gate's whole point is surfacing this
     assert avg < 500
+
+
+def test_clustered_fixture_recall_passes_ship_gate(spark, sf_dir):
+    """The driver-gated clustered variant: label-correlated geometry must
+    push the bucketed index past the >= 0.8 recall@5 ship bar (it lands at
+    1.0 on the md5-derived centers)."""
+    from hadoop_hdfs_spark import registry
+
+    rec = registry.queries()["s_knn_recall_clustered"](spark, sf_dir)
+    agg = rec.agg(
+        F.min("recall_permille").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    assert agg.n >= 1
+    assert agg.mn >= 800, rec.orderBy("query_id").collect()

@@ -411,3 +411,70 @@ def test_mm_certify_kernel_matches_library_stage(spark, sf_dir):
     )
     q = registry.queries()["mm_feature_certify"](spark, sf_dir)
     assert q.exceptAll(lib_agg).isEmpty() and lib_agg.exceptAll(q).isEmpty()
+
+
+def test_incremental_snapshot_links_untouched_partitions(spark, tmp_path):
+    """T2 incremental compaction: a micro-batch touching only /a must NOT
+    rewrite the /b partition — version N's prefix=b files are byte-identical
+    to version N-1's (hardlinked), while the touched /a partition advances.
+    Segment files are written with a mtime gap so the file source processes
+    them in order (one per trigger)."""
+    import os
+    import time as _t
+
+    edits_dir = tmp_path / "edits_inc"
+    edits_dir.mkdir()
+    schema = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT, perm STRING, owner STRING, gen_stamp LONG"
+    )
+    seg1 = [
+        (1, "OP_MKDIR", 1000, "/a", None, None, None, None, None),
+        (2, "OP_MKDIR", 2000, "/b", None, None, None, None, None),
+        (3, "OP_ADD", 3000, "/a/x", None, 2, None, None, None),
+        (4, "OP_ADD", 4000, "/b/y", None, 3, None, None, None),
+    ]
+    seg2 = [
+        (5, "OP_ADD", 5000, "/a/z", None, 1, None, None, None),
+        (6, "OP_SET_PERMISSIONS", 6000, "/a/x", None, None, "rw-r--r--", None, None),
+    ]
+    spark.createDataFrame(seg1, schema).coalesce(1).write.mode("append").parquet(
+        str(edits_dir)
+    )
+    _t.sleep(1.1)  # distinct mtime -> deterministic processing order
+    spark.createDataFrame(seg2, schema).coalesce(1).write.mode("append").parquet(
+        str(edits_dir)
+    )
+
+    snap = str(tmp_path / "snap_inc")
+    q = replay_edits_stream(
+        spark, str(edits_dir), str(tmp_path / "ckpt_inc"), snap,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(240), "stream did not drain in time"
+
+    v0, v1 = f"{snap}_v0", f"{snap}_v1"
+    assert os.path.exists(os.path.join(v0, "_SUCCESS"))
+    assert os.path.exists(os.path.join(v1, "_SUCCESS"))
+
+    def part_bytes(version, prefix):
+        d = os.path.join(version, f"prefix={prefix}")
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if not f.startswith(".")
+        }
+
+    # untouched /b: byte-identical file set across the batch
+    assert part_bytes(v0, "b") == part_bytes(v1, "b")
+    # touched /a: advanced (new row /a/z appears only in v1)
+    a0 = spark.read.parquet(os.path.join(v0, "prefix=a"))
+    a1 = spark.read.parquet(os.path.join(v1, "prefix=a"))
+    assert "/a/z" not in {r["path"] for r in a0.collect()}
+    assert {r["path"] for r in a1.filter("exists").collect()} == {"/a", "/a/x", "/a/z"}
+    # and the public reader sees the merged namespace with stable schema
+    final = load_latest_snapshot(spark, snap)
+    got = {r["path"]: r for r in final.collect()}
+    assert got["/a/x"]["perm"] == "rw-r--r--"
+    assert got["/b/y"]["exists"] and got["/b/y"]["replication"] == 3
+    assert "prefix" not in final.columns
