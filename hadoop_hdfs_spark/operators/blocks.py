@@ -15,6 +15,8 @@ scale.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -673,21 +675,40 @@ def a9b_content_checksum(e) -> DataFrame:
     blobs = spark.read.format("binaryFile").load(f"{_BLOB_DIR}/*.parquet")
     f = blobs.select(
         F.reverse(F.split("path", "/"))[0].alias("file_name"),
-        F.hex("content").alias("h"),
+        F.col("content").alias("c"),
         F.col("length").alias("n"),
     )
-    # chunk digests computed INSIDE the projection that drops the hex blob:
-    # the per-file array of md5s is born and the multi-MB string dies in the
-    # same codegen stage
+    # The chunk digester is an Arrow-batched kernel, NOT a JVM
+    # higher-order function — measured pathology, not preference: HOFs run
+    # interpreted, and the lambda's outer reference to the blob column
+    # re-evaluates its BoundReference PER ELEMENT, where
+    # UnsafeRow.getBinary COPIES the full blob — O(chunks x filesize)
+    # memcpy (a 10 MB file = ~200 GB of copying, ~70 s; the string-slicing
+    # variant was quadratic in UTF8String.substring as well). The Arrow
+    # path transfers each blob once and slices zero-copy in Python:
+    # O(filesize). Per row: md5 over the UPPERCASE hex of each 512-byte
+    # slice — byte-identical to the oracle's md5(substring(hex(content))).
+    # Nested def => pickled by value, no worker import requirements.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def chunk_digests(contents: pd.Series) -> pd.Series:
+        import hashlib
+
+        def per(c) -> list[str]:
+            if c is None:
+                return []
+            return [
+                hashlib.md5(c[i : i + 512].hex().upper().encode()).hexdigest()
+                for i in range(0, len(c), 512)
+            ]
+
+        return contents.map(per)
+
     cmd5 = f.select(
         "file_name",
         "n",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, cast(ceil(n/512.0) as int)-1), "
-                "i -> md5(substring(h, i*1024+1, 1024)))"
-            )
-        ).alias("chunk_idx", "chunk_md5"),
+        F.posexplode(chunk_digests(F.col("c"))).alias("chunk_idx", "chunk_md5"),
     )
     blk = cmd5.groupBy(
         "file_name", F.expr("chunk_idx DIV 128").alias("block_idx")

@@ -58,7 +58,11 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # frame PER INVOCATION in a long-lived session. Memoizing bounds the cached
 # state to one entry per operator per scale factor — and lets operators
 # sharing an intermediate (e.g. the shingle table) reuse each other's work.
+# LRU-capped: a long-lived session cycling many (app, sf_dir, tag) combos
+# (multi-SF certification loops) evicts+unpersists the coldest pin instead
+# of accumulating executor storage without bound.
 _CACHED: dict[tuple[str, str, str], DataFrame] = {}
+_CACHED_MAX = 32
 
 
 def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
@@ -67,11 +71,19 @@ def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
         str(e.get("__sf_dir__", "?")),
         tag,
     )
-    if key not in _CACHED:
-        c = df.cache()
-        c.count()
-        _CACHED[key] = c
-    return _CACHED[key]
+    if key in _CACHED:
+        _CACHED[key] = _CACHED.pop(key)  # move-to-end: mark recently used
+        return _CACHED[key]
+    while len(_CACHED) >= _CACHED_MAX:
+        cold = _CACHED.pop(next(iter(_CACHED)))
+        try:
+            cold.unpersist()
+        except Exception:
+            pass  # session may already be stopped; eviction still happened
+    c = df.cache()
+    c.count()
+    _CACHED[key] = c
+    return c
 
 
 def _import_operator_modules() -> None:

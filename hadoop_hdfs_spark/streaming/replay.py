@@ -170,20 +170,32 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
         .collect()
     ]
 
-    # -- 1. renames over the incoming state, txid-ordered, with authority --
+    # -- 1. renames over the incoming state, txid-ordered, with authority.
+    # The fold is CHUNKED (txid-ascending chunks applied in sequence): a
+    # pathological segment with 10^5 renames would otherwise ship one huge
+    # closure to every Arrow worker and pay O(rules) per row in a single
+    # unbounded pass. Chunks compose exactly like the full list (prefix
+    # rewrites in txid order); a later chunk's authority supersedes an
+    # earlier one's, so per-row authority is the last non-(-1) chunk tag --
     if renames:
-        rewrite = _rename_rewriter(renames)
-        tagged = state.withColumn("_rw", rewrite(F.col("path")))
-        split = F.split(F.col("_rw"), "\x00")
-        rewritten = tagged.select(
-            split.getItem(0).alias("path"),
-            *STATE_COLUMNS,
-            split.getItem(1).cast("long").alias("_auth"),
-        )
+        _RENAME_CHUNK = 4096
+        state = state.withColumn("_auth", F.lit(-1).cast("long"))
+        for lo in range(0, len(renames), _RENAME_CHUNK):
+            rewrite = _rename_rewriter(renames[lo : lo + _RENAME_CHUNK])
+            tagged = state.withColumn("_rw", rewrite(F.col("path")))
+            split = F.split(F.col("_rw"), "\x00")
+            chunk_auth = split.getItem(1).cast("long")
+            state = tagged.select(
+                split.getItem(0).alias("path"),
+                *STATE_COLUMNS,
+                F.when(chunk_auth >= 0, chunk_auth)
+                .otherwise(F.col("_auth"))
+                .alias("_auth"),
+            )
         # collisions: later rename wins; renamed rows replace originals
         w = Window.partitionBy("path").orderBy(F.col("_auth").desc())
         state = (
-            rewritten.withColumn("_rn", F.row_number().over(w))
+            state.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_auth")
         )

@@ -169,3 +169,36 @@ def test_plan_utilities(spark, sf_dir):
     counts = operator_counts(QUERIES["d_exact_dedup"](spark, sf_dir))
     assert counts.get("HashAggregate", 0) >= 2 and counts.get("Exchange", 0) == 1
     assert "text" in read_schema_of_first_scan(df)
+
+
+def test_capped_jaccard_broadcasts_hot_shingle_anti_join(spark, sf_dir):
+    # the declared (capped) form must drop hot postings via a BROADCAST
+    # anti-join before the postings self-join — the hot set is tiny by
+    # df-threshold construction and must never force a shuffle of postings
+    plan = _plan(spark, sf_dir, "d_ngram_jaccard_capped")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_t7_pending_filter_pushed_to_scan(spark, sf_dir):
+    # the timeout predicate is a map-side filter over the pending table —
+    # no join, no window, one stage before any exchange
+    plan = _plan(spark, sf_dir, "t7_pending_timeout")
+    assert "Exchange" not in plan or "CartesianProduct" not in plan
+    assert "Filter" in plan
+
+
+def test_a9b_checksum_keeps_partial_aggregates(spark, sf_dir):
+    # chunk digests collapse map-side: both the per-block and per-file
+    # rollups keep partial HashAggregate/ObjectHashAggregate stages so the
+    # shuffle moves 32-char digests, never the multi-MB hex column
+    plan = _plan(spark, sf_dir, "a9b_content_checksum")
+    assert (
+        plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    )
+    assert "Generate" in plan  # posexplode of the chunk-digest array
+
+
+def test_t15_genstamp_broadcasts_authority(spark, sf_dir):
+    # the 1-row genstamp authority joins the block scan as a broadcast
+    plan = _plan(spark, sf_dir, "t15_genstamp_blocks")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
