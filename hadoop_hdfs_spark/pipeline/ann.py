@@ -26,9 +26,9 @@ N_PLANES = 8
 DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
     out = []
-    for j in range(N_PLANES):
+    for j in range(n):
         row = []
         for i in range(DIM):
             h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()

@@ -531,3 +531,185 @@ def d_normalized_dedup(e) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# ------------------------------------- hyperplane-LSH embedding near-dup
+# The DECLARED 100 TB form of d_embedding_cosine: the blocking key is a
+# banded random-hyperplane signature (4 bands x 4 planes, OR-construction
+# like the MinHash bands) instead of the fixture's label column — no
+# precomputed partitioner needed, and the quadratic term is bounded per
+# (band, signature) bucket. Candidate recall at cosine c is
+# 1-(1-p^4)^4 with p = 1 - arccos(c)/pi: ~0.99 at c=0.95 (true near-dups),
+# falling fast below — exactly the selectivity a dedup pass wants.
+# Hyperplanes are md5-derived numeric literals baked into BOTH engines
+# (pipeline/ann.py machinery).
+
+_EMB_BANDS = 4
+_EMB_PLANES_PER_BAND = 4
+
+
+def _emb_band_planes():
+    from .ann import _hyperplanes
+
+    w = _hyperplanes(_EMB_BANDS * _EMB_PLANES_PER_BAND)
+    return [
+        w[b * _EMB_PLANES_PER_BAND : (b + 1) * _EMB_PLANES_PER_BAND]
+        for b in range(_EMB_BANDS)
+    ]
+
+
+def _duck_emb_band_expr(planes, vec: str) -> str:
+    bits = []
+    for j, w in enumerate(planes):
+        dot = " + ".join(f"{vec}[{i + 1}] * ({w[i]})" for i in range(64))
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _duck_emb_lsh_sql() -> str:
+    bands = _emb_band_planes()
+    band_cols = ",\n         ".join(
+        f"{_duck_emb_band_expr(bands[b], 'v')} AS band{b}"
+        for b in range(_EMB_BANDS)
+    )
+    bl_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, band{b} AS band_val FROM sig"
+        for b in range(_EMB_BANDS)
+    )
+    pair_dot = "list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (acc, x) -> acc + x)"
+    norm = "sqrt(list_reduce(list_transform(range(1, 65), i -> {t}.v[i] * {t}.v[i]), (acc, x) -> acc + x))"
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v,
+         {band_cols}
+  FROM e
+),
+bl AS (
+  {bl_union}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM bl x JOIN bl y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.vec_id < y.vec_id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id,
+         CAST(FLOOR({pair_dot}
+              / ({norm.format(t='a')} * {norm.format(t='b')})
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM cand c
+  JOIN e a ON a.vec_id = c.a_id
+  JOIN e b ON b.vec_id = c.b_id
+)
+SELECT v.vec_id,
+       COALESCE(MIN(p.a_id), v.vec_id) AS keeper_id,
+       CAST(COUNT(p.a_id) AS BIGINT) AS dup_partners,
+       COALESCE(MAX(p.cos_e6), -1) AS best_cos_e6
+FROM e v LEFT JOIN pairs p
+  ON p.b_id = v.vec_id AND p.cos_e6 >= {_EMB_THRESH_E6}
+GROUP BY v.vec_id
+"""
+
+
+@register(
+    "d_embedding_cosine_lsh",
+    oracle=_duck_emb_lsh_sql(),
+    doc="Embedding-cosine near-dup, hyperplane-LSH blocked — the DECLARED "
+    "100 TB form (d_embedding_cosine's label blocking stands in for a "
+    "partitioner the corpus may not have): 16 md5-derived hyperplanes "
+    "split into 4 bands of 4 sign bits; pairs sharing ANY band signature "
+    "are candidates (the MinHash OR-construction applied to cosine "
+    "space), exact cosine verifies, then the min-id keeper assignment. "
+    "Candidate volume is sum-over-buckets of C(bucket,2) — bounded by "
+    "signature entropy, never C(corpus,2); the shuffle key is the "
+    "(band, signature) pair. Candidate recall at cosine c is "
+    "1-(1-(1-acos(c)/pi)^4)^4: ~0.99 at 0.95, ~0.4 at the fixture's "
+    "tail-threshold 0.3 — high where true duplicates live. Same plan "
+    "family as d_minhash_lsh: band explode -> equi-join -> verify. "
+    "Production sizes the band width with the corpus (k ~ "
+    "log2(N/target_bucket_size) sign bits per band, so buckets stay "
+    "~constant-sized as N grows); k=4 here keeps the 2k-vector fixture's "
+    "candidate set non-degenerate.",
+)
+def d_embedding_cosine_lsh(e) -> DataFrame:
+    from .similarity import _cosine
+
+    bands = _emb_band_planes()
+    vecs = e["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def band_col(planes):
+        sig = F.lit(0)
+        for j, w in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.array(*[F.lit(x) for x in w]), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, 1 << j).otherwise(0)
+        return sig.cast("int")
+
+    sig = eager_cache(
+        e,
+        "emb_lsh_sig",
+        vecs.select(
+            "vec_id", "v", *[band_col(bands[b]).alias(f"band{b}") for b in range(_EMB_BANDS)]
+        ),
+    )
+    bl = None
+    for b in range(_EMB_BANDS):
+        part = sig.select(
+            "vec_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+        )
+        bl = part if bl is None else bl.unionAll(part)
+    cand = (
+        bl.alias("x")
+        .join(
+            bl.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = sig.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb = sig.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    pairs = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(_cosine(F.col("va"), F.col("vb")) * 1000000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= _EMB_THRESH_E6)
+    )
+    assigned = (
+        vecs.select("vec_id")
+        .join(pairs, pairs["b_id"] == F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(
+            F.min("a_id").alias("_min_a"),
+            F.count("a_id").alias("dup_partners"),
+            F.max("cos_e6").alias("_best"),
+        )
+    )
+    return assigned.select(
+        "vec_id",
+        F.coalesce(F.col("_min_a"), F.col("vec_id")).alias("keeper_id"),
+        "dup_partners",
+        F.coalesce(F.col("_best"), F.lit(-1)).cast("long").alias("best_cos_e6"),
+    )

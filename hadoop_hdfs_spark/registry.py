@@ -134,7 +134,9 @@ _R3_TOUCHED = (
 )
 # r3-registered but beyond this round's 50-slot budget; first in line next
 # round (they hold green local pytest-oracle rows meanwhile):
-_R4_DEFER = ("t15_genstamp_blocks", "t16_lease_reassign")
+_R4_DEFER = (
+    "t15_genstamp_blocks", "t16_lease_reassign", "d_embedding_cosine_lsh",
+)
 
 
 def _driver_order(names) -> list[str]:
