@@ -78,9 +78,10 @@ def c5_permission_codec(e) -> DataFrame:
     )
 
 
-@register(
-    "t6_replication_work",
-    oracle="""
+# t6's oracle text, shared: j10_replication_targets (cluster.py) wraps the
+# same work queue in a CTE so the target chooser's oracle is built from the
+# identical scheduler definition.
+_T6_ORACLE = """
 SELECT block_id, priority, source_datanode, rk AS round_slot
 FROM (
   SELECT w.block_id, w.priority, s.source_datanode,
@@ -118,7 +119,12 @@ FROM (
   ) s ON s.block_id = w.block_id
 ) t
 WHERE rk <= 2
-""",
+"""
+
+
+@register(
+    "t6_replication_work",
+    oracle=_T6_ORACLE,
     doc="T6 replication work scheduler (FSNamesystem.computeDatanodeWork:"
     "3075-3111, BlockManager.computeReplicationWork:686-905): drain the W2 "
     "priority queues — including the priority-3 rack-deficit queue, which "

@@ -635,3 +635,252 @@ def t16_lease_reassign(e) -> DataFrame:
             F.max("txid").cast("long").alias("last_txid"),
         )
     )
+
+
+@register(
+    "t8b_decommission_progress",
+    oracle="""
+SELECT dn.datanode_id,
+       CAST(COUNT(*) AS BIGINT) AS hosted_blocks,
+       CAST(SUM(CASE WHEN c.live_normal < i.replication THEN 1 ELSE 0 END)
+            AS BIGINT) AS under_replicated,
+       CAST(SUM(CASE WHEN c.live_normal = 0 AND c.decom_replicas > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS decommission_only,
+       CAST(SUM(CASE WHEN c.live_normal < i.replication
+                      AND i.under_construction THEN 1 ELSE 0 END)
+            AS BIGINT) AS under_replicated_open,
+       SUM(CASE WHEN c.live_normal < i.replication THEN 1 ELSE 0 END) = 0
+           AS ready_to_decommission
+FROM datanodes dn
+JOIN replicas h ON h.datanode_id = dn.datanode_id
+JOIN blocks b ON b.block_id = h.block_id
+JOIN inodes i ON i.id = b.file_id
+JOIN (
+  SELECT r.block_id,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state = 'NORMAL'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS live_normal,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS decom_replicas
+  FROM replicas r JOIN datanodes d ON d.datanode_id = r.datanode_id
+  GROUP BY r.block_id
+) c ON c.block_id = h.block_id
+WHERE dn.admin_state = 'DECOMMISSION_INPROGRESS'
+GROUP BY dn.datanode_id
+""",
+    doc="T8 decommission progress — the monitor's actual decision "
+    "(DecommissionManager.java checkDecommissionedNodeList -> "
+    "FSNamesystem.checkDecommissionStateInternal:3846-3852 -> "
+    "BlockManager.isReplicationInProgress:1805-1860): for every node in "
+    "DECOMMISSION_INPROGRESS, scan its hosted blocks and count those "
+    "whose LIVE-ON-NORMAL-NODES replica count (countNodes semantics: "
+    "corrupt and decommissioning replicas don't count as live) is below "
+    "the file's expected replication; the node flips to DECOMMISSIONED "
+    "exactly when that count reaches zero. Also surfaces the reference's "
+    "two diagnostic counters: blocks whose ONLY replicas sit on "
+    "decommissioning nodes (the dangerous set) and under-replicated "
+    "blocks in open files. Plan: one equi-join tree on block_id/file_id "
+    "+ one block-level rollup + one node-level rollup — every shuffle "
+    "keyed and partial-aggregated; the f4 admin-state filter is the "
+    "trigger, this is the per-node readiness verdict.",
+)
+def t8b_decommission_progress(e) -> DataFrame:
+    r, d, b, i = e["replicas"], e["datanodes"], e["blocks"], e["inodes"]
+    per_block = (
+        r.join(F.broadcast(d.select("datanode_id", "admin_state")), "datanode_id")
+        .groupBy("block_id")
+        .agg(
+            F.sum(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("live_normal"),
+            F.sum(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("decom_replicas"),
+        )
+    )
+    decom = d.filter(F.col("admin_state") == "DECOMMISSION_INPROGRESS").select(
+        "datanode_id"
+    )
+    hosted = (
+        r.join(F.broadcast(decom), "datanode_id")
+        .join(b.select("block_id", "file_id"), "block_id")
+        .join(
+            i.select(
+                F.col("id").alias("file_id"), "replication", "under_construction"
+            ),
+            "file_id",
+        )
+        .join(per_block, "block_id")
+    )
+    under = F.when(F.col("live_normal") < F.col("replication"), 1).otherwise(0)
+    return hosted.groupBy("datanode_id").agg(
+        F.count("*").cast("long").alias("hosted_blocks"),
+        F.sum(under).cast("long").alias("under_replicated"),
+        F.sum(
+            F.when(
+                (F.col("live_normal") == 0) & (F.col("decom_replicas") > 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("decommission_only"),
+        F.sum(
+            F.when(
+                (F.col("live_normal") < F.col("replication"))
+                & F.col("under_construction"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("under_replicated_open"),
+        (F.sum(under) == 0).alias("ready_to_decommission"),
+    )
+
+
+def _j10_oracle() -> str:
+    from .admin import _T6_ORACLE
+
+    return f"""
+WITH work AS ({_T6_ORACLE}),
+bc AS (
+  SELECT b.block_id, b.file_id,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live
+  FROM blocks b LEFT JOIN replicas r ON r.block_id = b.block_id
+  GROUP BY b.block_id, b.file_id
+),
+need AS (
+  SELECT DISTINCT w.block_id,
+         CAST(i.replication - bc.live AS BIGINT) AS deficit
+  FROM work w
+  JOIN bc ON bc.block_id = w.block_id
+  JOIN inodes i ON i.id = bc.file_id
+  WHERE i.replication > bc.live
+),
+holder_nodes AS (
+  SELECT block_id, datanode_id FROM replicas WHERE NOT is_corrupt
+),
+holder_racks AS (
+  SELECT DISTINCT h.block_id, d.rack
+  FROM holder_nodes h JOIN datanodes d ON d.datanode_id = h.datanode_id
+),
+cand AS (
+  SELECT n.block_id, n.deficit, d.datanode_id, d.remaining,
+         CASE WHEN hr.rack IS NOT NULL THEN 1 ELSE 0 END AS rack_collision
+  FROM need n
+  CROSS JOIN datanodes d
+  LEFT JOIN holder_nodes hn
+    ON hn.block_id = n.block_id AND hn.datanode_id = d.datanode_id
+  LEFT JOIN holder_racks hr
+    ON hr.block_id = n.block_id AND hr.rack = d.rack
+  WHERE d.admin_state = 'NORMAL'
+    AND {NOW_MS} - d.last_heartbeat_ms <= {HEARTBEAT_EXPIRY_MS}
+    AND hn.datanode_id IS NULL
+)
+SELECT block_id, datanode_id AS target_datanode,
+       CAST(rk AS INT) AS target_slot,
+       rack_collision = 0 AS adds_new_rack
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY block_id
+                               ORDER BY rack_collision, remaining DESC,
+                                        datanode_id) AS rk
+  FROM cand
+) t
+WHERE rk <= deficit
+"""
+
+
+@register(
+    "j10_replication_targets",
+    oracle=_j10_oracle(),
+    doc="Replication target chooser over the T6 work queue "
+    "(BlockPlacementPolicyDefault / ReplicationTargetChooser.chooseTarget "
+    "— BlockManager.computeReplicationWork picks targets for each "
+    "scheduled block; DatanodeDescriptor exclusion + rack spread): for "
+    "every under-replicated block in the per-round work list, rank "
+    "candidate nodes — NORMAL admin state, live heartbeat, NOT already "
+    "holding a replica (anti-join) — preferring racks that hold NO "
+    "existing replica (the new-rack-first spread rule), then remaining "
+    "space, and take exactly the replication deficit. Documented "
+    "simplification: the reference's chooseTarget walks a network "
+    "topology with local-node preference; the declarative rank keeps the "
+    "same exclusion + rack-spread semantics as a per-block window over a "
+    "node-count-sized candidate frame. Priority-3 (rack-deficit) items "
+    "carry no replica deficit and are excluded — they need a move, not a "
+    "copy (the J4 pairing path). Plan shape: work-queue x broadcast "
+    "datanodes dim, two broadcast anti/left joins, one window per block "
+    "partition — no frame scales beyond queue x nodes.",
+)
+def j10_replication_targets(e) -> DataFrame:
+    from .admin import t6_replication_work
+
+    work = t6_replication_work(e).select("block_id").distinct()
+    r, d, b, i = e["replicas"], e["datanodes"], e["blocks"], e["inodes"]
+    bc = (
+        b.join(r.select("block_id", "is_corrupt"), "block_id", "left")
+        .groupBy("block_id", "file_id")
+        .agg(
+            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0))
+            .cast("long")
+            .alias("live")
+        )
+    )
+    need = (
+        work.join(bc, "block_id")
+        .join(i.select(F.col("id").alias("file_id"), "replication"), "file_id")
+        .filter(F.col("replication") > F.col("live"))
+        .select(
+            "block_id",
+            (F.col("replication") - F.col("live")).cast("long").alias("deficit"),
+        )
+    )
+    holder_nodes = r.filter(~F.col("is_corrupt")).select("block_id", "datanode_id")
+    holder_racks = (
+        holder_nodes.join(
+            F.broadcast(d.select("datanode_id", "rack")), "datanode_id"
+        )
+        .select("block_id", "rack")
+        .distinct()
+    )
+    alive = d.filter(
+        (F.col("admin_state") == "NORMAL")
+        & (F.lit(NOW_MS) - F.col("last_heartbeat_ms") <= HEARTBEAT_EXPIRY_MS)
+    ).select("datanode_id", "rack", "remaining")
+    hr = holder_racks.select(
+        F.col("block_id").alias("hr_block_id"), F.col("rack").alias("h_rack")
+    )
+    cand = (
+        need.crossJoin(F.broadcast(alive))
+        .join(holder_nodes, ["block_id", "datanode_id"], "left_anti")
+        .join(
+            hr,
+            (F.col("block_id") == F.col("hr_block_id"))
+            & (F.col("rack") == F.col("h_rack")),
+            "left",
+        )
+        .select(
+            "block_id",
+            "deficit",
+            "datanode_id",
+            "remaining",
+            F.when(F.col("h_rack").isNotNull(), 1).otherwise(0).alias("rack_collision"),
+        )
+    )
+    w = Window.partitionBy("block_id").orderBy(
+        "rack_collision", F.col("remaining").desc(), "datanode_id"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("deficit"))
+        .select(
+            "block_id",
+            F.col("datanode_id").alias("target_datanode"),
+            F.col("rk").cast("int").alias("target_slot"),
+            (F.col("rack_collision") == 0).alias("adds_new_rack"),
+        )
+    )

@@ -136,6 +136,7 @@ _R3_TOUCHED = (
 # round (they hold green local pytest-oracle rows meanwhile):
 _R4_DEFER = (
     "t15_genstamp_blocks", "t16_lease_reassign", "d_embedding_cosine_lsh",
+    "t8b_decommission_progress", "j10_replication_targets",
 )
 
 
