@@ -313,3 +313,83 @@ def c_stratified_sample(e) -> DataFrame:
             F.col("rk").cast("long").alias("strat_rank"),
         )
     )
+
+
+@register(
+    "c_temperature_mixture",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+w AS (
+  -- n^0.75 via sqrt(n * sqrt(n)): IEEE-754 requires sqrt to be CORRECTLY
+  -- ROUNDED (unlike pow/exp/ln, which vary by libm in the last bit), so
+  -- this weight is bit-identical in every engine
+  SELECT source, n_s, sqrt(n_s * sqrt(n_s)) AS w_s FROM counts
+),
+z AS (SELECT SUM(w_s) AS w_total, SUM(n_s) AS n_total FROM w),
+rates AS (
+  SELECT w.source, w.n_s,
+         CAST(FLOOR(LEAST(1.0, (w.w_s * z.n_total * 0.5)
+                               / (z.w_total * w.n_s)) * 1000000 + 1e-9)
+              AS BIGINT) AS rate_e6
+  FROM w CROSS JOIN z
+)
+SELECT d.source,
+       r.n_s                                                     AS n_docs,
+       r.rate_e6,
+       CAST(SUM(CASE WHEN ({_HASH_SQL}) % 1000000 < r.rate_e6
+                THEN 1 ELSE 0 END) AS BIGINT)                    AS n_sampled
+FROM documents d JOIN rates r ON r.source = d.source
+GROUP BY d.source, r.n_s, r.rate_e6
+""",
+    doc="Temperature-based source mixing (beyond reference — the standard "
+    "pretraining reweighting: sample source s proportionally to n_s^alpha "
+    "with alpha=0.75, flattening the natural distribution so huge sources "
+    "stop dominating): per-source weight n^0.75, normalized into an "
+    "inclusion rate targeting half the corpus, capped at 1, then the "
+    "deterministic per-document LCG hash decides membership — fully "
+    "reproducible sampling, no RNG. Cross-engine bit-determinism trick: "
+    "n^0.75 = sqrt(n * sqrt(n)) uses only sqrt, which IEEE-754 requires "
+    "to be correctly rounded — unlike pow/exp/ln, whose last bits vary "
+    "by libm and could flip a floored rate. Scale shape: rates live on a "
+    "source-count-sized frame joined back broadcast; the corpus sees one "
+    "map-side hash compare and one partial-agg shuffle of per-source "
+    "counters.",
+)
+def c_temperature_mixture(e) -> DataFrame:
+    d = e["documents"]
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    w = counts.select(
+        "source", "n_s", F.sqrt(F.col("n_s") * F.sqrt("n_s")).alias("w_s")
+    )
+    z = w.agg(
+        F.sum("w_s").alias("w_total"), F.sum("n_s").alias("n_total")
+    )
+    rates = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("w_s") * F.col("n_total") * 0.5)
+                / (F.col("w_total") * F.col("n_s")),
+            )
+            * 1000000
+            + 1e-9
+        )
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", F.col("n_s").alias("n_docs"), "rate_e6")
+        .agg(
+            F.sum(
+                F.when(F.expr(f"({_HASH_SQL}) % 1000000") < F.col("rate_e6"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
+    )

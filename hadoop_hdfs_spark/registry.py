@@ -137,6 +137,7 @@ _R3_TOUCHED = (
 _R4_DEFER = (
     "t15_genstamp_blocks", "t16_lease_reassign", "d_embedding_cosine_lsh",
     "t8b_decommission_progress", "j10_replication_targets",
+    "c_temperature_mixture",
 )
 
 
