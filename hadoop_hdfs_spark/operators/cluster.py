@@ -818,28 +818,40 @@ WHERE rk <= deficit
 )
 def j10_replication_targets(e) -> DataFrame:
     from .admin import t6_replication_work
+    from .blocks import w2_replication_priority
 
-    work = t6_replication_work(e).select("block_id").distinct()
-    r, d, b, i = e["replicas"], e["datanodes"], e["blocks"], e["inodes"]
-    bc = (
-        b.join(r.select("block_id", "is_corrupt"), "block_id", "left")
-        .groupBy("block_id", "file_id")
-        .agg(
-            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0))
-            .cast("long")
-            .alias("live")
-        )
+    from ..registry import eager_cache
+
+    # the per-round work queue is small (2/source cap) and already the
+    # product of the full w2 window chain — pin it once per session/SF
+    work = eager_cache(
+        e, "t6_work_blocks", t6_replication_work(e).select("block_id").distinct()
     )
+    r, d = e["replicas"], e["datanodes"]
+    # deficit from the CACHED W2 queue (same live/expected definitions the
+    # oracle's need-CTE recomputes) — reusing the queue skips a second
+    # full block x replica rollup shuffle per invocation
     need = (
-        work.join(bc, "block_id")
-        .join(i.select(F.col("id").alias("file_id"), "replication"), "file_id")
-        .filter(F.col("replication") > F.col("live"))
+        work.join(
+            w2_replication_priority(e).select("block_id", "live", "expected"),
+            "block_id",
+        )
+        .filter(F.col("expected") > F.col("live"))
         .select(
             "block_id",
-            (F.col("replication") - F.col("live")).cast("long").alias("deficit"),
+            (F.col("expected") - F.col("live")).cast("long").alias("deficit"),
         )
     )
-    holder_nodes = r.filter(~F.col("is_corrupt")).select("block_id", "datanode_id")
+    # holders restricted to the work queue's blocks FIRST (broadcast
+    # semi-join): the exclusion anti-join then compares the candidate
+    # frame against a queue-sized holder set, not the full replica table —
+    # Catalyst can't infer this reduction because the anti-join alone
+    # doesn't reveal that only queued blocks' holders matter
+    holder_nodes = (
+        r.filter(~F.col("is_corrupt"))
+        .join(F.broadcast(need.select("block_id")), "block_id", "left_semi")
+        .select("block_id", "datanode_id")
+    )
     holder_racks = (
         holder_nodes.join(
             F.broadcast(d.select("datanode_id", "rack")), "datanode_id"
