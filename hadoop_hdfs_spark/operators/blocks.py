@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..entities import HEARTBEAT_EXPIRY_MS, NOW_MS
 from ..registry import eager_cache, register
 
 # Shared DuckDB fragment: per-block replica rollup.
@@ -862,4 +863,97 @@ def a11_verification_staleness(e) -> DataFrame:
         F.sum(F.when(F.col("last_verified_ms") < 1704089200000, 1).otherwise(0)).alias(
             "stale_replicas"
         ),
+    )
+
+
+@register(
+    "j11_read_locality",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_nodes FROM datanodes),
+client AS (
+  SELECT b.block_id,
+         'dn' || CAST(1 + b.block_id % n.n_nodes AS STRING) AS client_dn
+  FROM blocks b, n
+),
+cand AS (
+  SELECT c.block_id,
+         cd.host AS client_host,
+         d.datanode_id,
+         CASE WHEN d.host = cd.host THEN 0
+              WHEN d.rack = cd.rack THEN 2
+              ELSE 4 END AS distance
+  FROM client c
+  JOIN datanodes cd ON cd.datanode_id = c.client_dn
+  JOIN replicas r   ON r.block_id = c.block_id AND NOT r.is_corrupt
+  JOIN datanodes d  ON d.datanode_id = r.datanode_id
+   AND {NOW_MS} - d.last_heartbeat_ms <= {HEARTBEAT_EXPIRY_MS}
+   AND d.admin_state <> 'DECOMMISSIONED'
+)
+SELECT block_id,
+       ANY_VALUE(client_host)                                    AS client_host,
+       CAST(COUNT(*) AS BIGINT)                                  AS n_candidates,
+       FIRST(datanode_id ORDER BY distance, datanode_id)         AS chosen_datanode,
+       CAST(MIN(distance) AS INT)                                AS chosen_distance,
+       string_agg(datanode_id, ',' ORDER BY distance, datanode_id) AS ordered_replicas
+FROM cand
+GROUP BY block_id
+""",
+    doc="J11 replica ordering by network distance for a reading client "
+    "(DatanodeManager.sortLocatedBlocks -> "
+    "NetworkTopology.pseudoSortByDistance, DFSClient.bestNode): each "
+    "block's reader is the client co-located with datanode "
+    "dn(1 + block_id % n_nodes); live (non-corrupt, heartbeat-fresh, "
+    "non-DECOMMISSIONED) replicas sort same-host (0) < same-rack (2) < "
+    "off-rack (4). Deterministic documented deviation: equal-distance ties "
+    "break by datanode_id instead of the reference's random shuffle. "
+    "Scale: datanodes is node-count-sized so both location joins "
+    "broadcast; the replica leg is one equi-join partitioned on block_id; "
+    "the per-block ordering is a sort_array over a replication-factor-"
+    "sized struct array inside one groupBy - no window, no extra shuffle.",
+)
+def j11_read_locality(e) -> DataFrame:
+    blocks, replicas, dn = e["blocks"], e["replicas"], e["datanodes"]
+    n_nodes = dn.agg(F.count("*").alias("n_nodes"))
+    client = (
+        blocks.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "block_id",
+            F.concat(F.lit("dn"), (1 + F.col("block_id") % F.col("n_nodes")).cast("string")).alias("client_dn"),
+        )
+        .join(
+            F.broadcast(dn.select(F.col("datanode_id").alias("client_dn"),
+                                  F.col("host").alias("client_host"),
+                                  F.col("rack").alias("client_rack"))),
+            "client_dn",
+        )
+    )
+    live_dn = dn.filter(
+        (F.lit(NOW_MS) - F.col("last_heartbeat_ms") <= HEARTBEAT_EXPIRY_MS)
+        & (F.col("admin_state") != "DECOMMISSIONED")
+    ).select("datanode_id", F.col("host").alias("r_host"), F.col("rack").alias("r_rack"))
+    cand = (
+        client.join(replicas.filter(~F.col("is_corrupt")).select("block_id", "datanode_id"), "block_id")
+        .join(F.broadcast(live_dn), "datanode_id")
+        .select(
+            "block_id",
+            "client_host",
+            "datanode_id",
+            F.when(F.col("r_host") == F.col("client_host"), 0)
+            .when(F.col("r_rack") == F.col("client_rack"), 2)
+            .otherwise(4)
+            .alias("distance"),
+        )
+    )
+    agg = cand.groupBy("block_id").agg(
+        F.any_value("client_host").alias("client_host"),
+        F.count("*").alias("n_candidates"),
+        F.sort_array(F.collect_list(F.struct("distance", "datanode_id"))).alias("ordered"),
+    )
+    return agg.select(
+        "block_id",
+        "client_host",
+        "n_candidates",
+        F.element_at("ordered", 1)["datanode_id"].alias("chosen_datanode"),
+        F.element_at("ordered", 1)["distance"].cast("int").alias("chosen_distance"),
+        F.array_join(F.transform("ordered", lambda s: s["datanode_id"]), ",").alias("ordered_replicas"),
     )

@@ -393,3 +393,54 @@ def c_temperature_mixture(e) -> DataFrame:
             .alias("n_sampled")
         )
     )
+
+
+@register(
+    "c_shard_layout",
+    oracle=f"""
+WITH assigned AS (
+  SELECT ({_HASH_SQL}) % 16 AS shard_id,
+         len(string_split(text, ' ')) AS nt,
+         n_chars
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+SELECT CAST(shard_id AS BIGINT)          AS shard_id,
+       CAST(COUNT(*) AS BIGINT)          AS n_docs,
+       CAST(SUM(nt) AS BIGINT)           AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT)      AS n_chars,
+       CAST(FLOOR(COUNT(*) * 16000000.0 / tot.n_total) AS BIGINT) AS load_e6
+FROM assigned CROSS JOIN tot
+GROUP BY shard_id, tot.n_total
+""",
+    doc="Training-shard layout audit (beyond reference - the write-side "
+    "plan of a shard writer): deterministic LCG-hash assignment of every "
+    "document to one of 16 output shards, with per-shard doc/token/byte "
+    "loads and the relative-load factor (1e6 = perfectly even). The "
+    "assignment is the function a `df.repartitionByRange/repartition(16, "
+    "shard_id).write` layout uses - auditing it as a query catches skew "
+    "BEFORE the expensive write. Scale: map-side hash + one 16-group "
+    "aggregate; the total-count scalar broadcasts.",
+)
+def c_shard_layout(e) -> DataFrame:
+    d = e["documents"]
+    tot = d.agg(F.count("*").alias("n_total"))
+    assigned = d.select(
+        (F.expr(_HASH_SQL) % 16).alias("shard_id"),
+        F.size(F.split("text", " ")).alias("nt"),
+        "n_chars",
+    )
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("shard_id", "n_total")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.floor(F.count("*") * 16000000.0 / F.any_value("n_total"))
+            .cast("long")
+            .alias("load_e6"),
+        )
+        .select("shard_id", "n_docs", "n_tokens", "n_chars", "load_e6")
+        .withColumn("shard_id", F.col("shard_id").cast("long"))
+    )

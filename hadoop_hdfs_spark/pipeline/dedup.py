@@ -713,3 +713,73 @@ def d_embedding_cosine_lsh(e) -> DataFrame:
         "dup_partners",
         F.coalesce(F.col("_best"), F.lit(-1)).cast("long").alias("best_cos_e6"),
     )
+
+
+# Exact-substring span dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" — suffix-array span dedup, approximated at
+# fixed span length): a span of SPAN_K consecutive tokens is "duplicated"
+# when the identical token sequence occurs in >= 2 distinct documents.
+# Production sizes SPAN_K ~ 50; fixtures carry short docs so 5 keeps the
+# result non-trivial. The declared shape is linear: no pairwise join exists
+# anywhere — the span table gets one groupBy (doc-frequency per span hash)
+# and one join back on the 32-hex md5 key.
+SPAN_K = 5
+
+
+@register(
+    "d_span_dedup",
+    oracle=f"""
+WITH spans AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(range(1, len(string_split(text, ' ')) - {SPAN_K - 2}),
+           i -> array_to_string(string_split(text, ' ')[i:i+{SPAN_K - 1}], ' ')))) AS h
+  FROM documents
+),
+df AS (
+  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT)                                    AS n_spans,
+       CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(FLOOR(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+            * 1000000.0 / COUNT(*)) AS BIGINT)                     AS dup_frac_e6
+FROM spans s JOIN df ON df.h = s.h
+GROUP BY s.doc_id
+""",
+    doc=f"Exact-substring span dedup (Lee et al. 2022 suffix-array dedup, "
+    f"fixed span length {SPAN_K}): per document, the fraction of its "
+    f"{SPAN_K}-token windows whose exact token sequence also occurs in "
+    "another document. Scale: the span table is corpus-token-sized but the "
+    "plan is LINEAR — spans shuffle once on their 16-byte md5 key for the "
+    "doc-frequency groupBy (map-side combine collapses within-partition "
+    "repeats), then one equi-join back on the same key; no candidate "
+    "pairs, no quadratic term, no skew funnel (a boilerplate span with "
+    "10^6 postings contributes one df row, not C(10^6,2) pairs). This is "
+    "the shape that lets substring-level dedup run where MinHash's "
+    "document granularity is too coarse.",
+)
+def d_span_dedup(e) -> DataFrame:
+    d = e["documents"].repartition(32)
+    toks = F.split("text", " ")
+    spans_arr = F.when(
+        F.size(toks) >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, SPAN_K), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = eager_cache(
+        e, "dedup_spans", d.select("doc_id", F.explode(spans_arr).alias("h"))
+    )
+    df_tbl = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    j = spans.join(df_tbl, "h")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        F.floor(
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)) * 1000000.0 / F.count("*")
+        )
+        .cast("long")
+        .alias("dup_frac_e6"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import eager_cache, register
 
 
 @register(
@@ -449,4 +449,172 @@ def t_ols_tokens_chars(e) -> DataFrame:
         F.floor((F.col("sy") - slope * F.col("sx")) * 1000000.0 / F.col("n"))
         .cast("long")
         .alias("intercept_e6"),
+    )
+
+
+@register(
+    "t_lm_perplexity",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1])) AS bigram
+  FROM documents
+),
+c12 AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY bigram
+),
+c1 AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM bg GROUP BY 1
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+),
+scored AS (
+  SELECT bg.doc_id, bg.lang,
+         CAST(FLOOR(-log2((c12.n12 + 1.0) / (c1.n1 + v.vocab)) * 1000 + 1e-9)
+              AS BIGINT) AS nll_e3
+  FROM bg
+  JOIN c12 ON c12.bigram = bg.bigram
+  JOIN c1  ON c1.w1 = string_split(bg.bigram, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id, ANY_VALUE(lang) AS lang,
+       CAST(COUNT(*) AS BIGINT)       AS n_bigrams,
+       CAST(SUM(nll_e3) AS BIGINT)    AS nll_sum_e3,
+       CAST(SUM(nll_e3) // COUNT(*) AS BIGINT) AS avg_nll_e3
+FROM scored
+GROUP BY doc_id
+""",
+    doc="Bigram-LM self-perplexity quality score (beyond reference - the "
+    "CCNet/Gopher-style LM filter of a training-data pipeline): train an "
+    "add-one-smoothed bigram model on the corpus itself, score every doc "
+    "by its average negative log2 bigram probability. Determinism: each "
+    "bigram's -log2 p is FLOOR-quantized to e3 BEFORE summation (the same "
+    "+1e-9 boundary nudge as t_char_entropy), so per-doc totals are "
+    "INTEGER sums - order-independent across partitioning, unlike a float "
+    "sum-of-logs. Scale: counts tables are vocabulary^2- and vocabulary-"
+    "bounded (map-side combine collapses the corpus before the shuffle); "
+    "scoring is one equi-join on the bigram key partitioned by n-gram - "
+    "the standard distributed LM-scoring shape. The unigram table and "
+    "vocab scalar broadcast.",
+)
+def t_lm_perplexity(e) -> DataFrame:
+    d = e["documents"].repartition(32)
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = eager_cache(
+        e, "lm_bigrams",
+        d.select("doc_id", "lang", F.explode(bigrams).alias("bigram")),
+    )
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("n12"))
+    c1 = (
+        bg.select(F.split("bigram", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n1"))
+    )
+    v = (
+        d.select(F.explode(toks).alias("t"))
+        .agg(F.countDistinct("t").alias("vocab"))
+    )
+    scored = (
+        bg.join(c12, "bigram")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(
+                -F.log2((F.col("n12") + 1.0) / (F.col("n1") + F.col("vocab"))) * 1000
+                + 1e-9
+            )
+            .cast("long")
+            .alias("nll_e3"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll_e3").alias("nll_sum_e3"),
+        (F.sum("nll_e3") / F.count("*")).cast("long").alias("avg_nll_e3"),
+    )
+
+
+@register(
+    "t_zipf_slope",
+    oracle="""
+WITH freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk
+  FROM freq
+),
+q AS (
+  SELECT CAST(FLOOR(log2(rk) * 1000000 + 1e-9) AS BIGINT)  AS lx,
+         CAST(FLOOR(log2(n) * 1000000 + 1e-9) AS BIGINT)   AS ly
+  FROM ranked WHERE rk <= 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(FLOOR((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly)) * 1000000.0
+            / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx))) AS BIGINT)
+           AS zipf_slope_e6
+FROM q
+""",
+    doc="Zipf's-law fit over the token frequency spectrum (beyond "
+    "reference - corpus-health analytics: natural text fits slope ~ -1; a "
+    "template-spam corpus flattens): OLS of log2(freq) on log2(rank) for "
+    "the top-100 terms. log2 values are FLOOR-quantized to e6 integers "
+    "BEFORE the moment sums, so the sufficient statistics are exact "
+    "integer aggregates (order-independent); the single float division "
+    "happens once on the driver-side row. Scale: the frequency table is "
+    "vocabulary-bounded after map-side combine; the global ranking window "
+    "runs over that bounded frame only (and only the top-100 survive to "
+    "the moments).",
+)
+def t_zipf_slope(e) -> DataFrame:
+    d = e["documents"]
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "t")
+    q = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select(
+            F.floor(F.log2("rk") * 1000000 + 1e-9).cast("long").alias("lx"),
+            F.floor(F.log2("n") * 1000000 + 1e-9).cast("long").alias("ly"),
+        )
+    )
+    g = q.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return g.select(
+        F.col("cnt").alias("n_terms"),
+        F.floor(
+            (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1000000.0
+            / (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("zipf_slope_e6"),
     )

@@ -90,7 +90,7 @@ def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, corpus, curation, dedup, multimodal, privacy, quality, similarity, text  # noqa: F401
-    from .streaming import rates  # noqa: F401  (t14: driver-gated streaming execution)
+    from .streaming import rates, sessions  # noqa: F401  (t14/t17: driver-gated streaming execution)
 
 
 # Driver-verification ordering. The driver checks queries in dict order and
@@ -138,6 +138,10 @@ _R4_DEFER = (
     "t15_genstamp_blocks", "t16_lease_reassign", "d_embedding_cosine_lsh",
     "t8b_decommission_progress", "j10_replication_targets",
     "c_temperature_mixture",
+    # r3 late additions (pytest-oracle-verified at sf0.001 AND sf0.01
+    # locally; driver rows next round):
+    "j11_read_locality", "t_lm_perplexity", "t_zipf_slope", "d_span_dedup",
+    "c_shard_layout", "t17_stream_sessions",
 )
 
 
