@@ -141,7 +141,8 @@ _R4_DEFER = (
     # r3 late additions (pytest-oracle-verified at sf0.001 AND sf0.01
     # locally; driver rows next round):
     "j11_read_locality", "t_lm_perplexity", "t_zipf_slope", "d_span_dedup",
-    "c_shard_layout", "t17_stream_sessions",
+    "c_shard_layout", "t17_stream_sessions", "d_cluster_keeper",
+    "d_corpus_diff",
 )
 
 
