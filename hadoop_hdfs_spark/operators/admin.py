@@ -430,3 +430,206 @@ def a15_size_sketch(e) -> DataFrame:
         mib_e2(3).alias("p99_approx_mib_e2"),
         "approx_distinct_owners",
     )
+
+
+# ---------------------------------------------------------------------------
+# metaSave family: the dfsadmin -metasave report (FSNamesystem.metaSave:617-648
+# dumps the replication queues, pending work, and invalidate sets to a file;
+# here each section is a declared query over the same state frames).
+# ---------------------------------------------------------------------------
+
+from .blocks import (  # noqa: E402  (section-local: metasave reuses queue SQL)
+    _BLOCK_REPL,
+    _U3_SQL,
+    _W2_SQL,
+    u3_excess_replicas,
+    w2_replication_priority,
+)
+
+
+@register(
+    "m1_metasave",
+    oracle=f"""
+WITH w2 AS ({_W2_SQL}),
+cls AS (
+  SELECT r.block_id, r.datanode_id,
+         CASE WHEN r.is_corrupt THEN 'c'
+              WHEN d.admin_state <> 'NORMAL' THEN 'd'
+              ELSE 'l' END AS cl
+  FROM replicas r JOIN datanodes d ON d.datanode_id = r.datanode_id
+),
+det AS (
+  SELECT w2.block_id, w2.expected, w2.priority,
+         CAST(SUM(CASE WHEN cls.cl = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+         CAST(SUM(CASE WHEN cls.cl = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_decom,
+         CAST(SUM(CASE WHEN cls.cl = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         COALESCE(string_agg(cls.datanode_id ||
+             CASE cls.cl WHEN 'c' THEN '(corrupt)'
+                         WHEN 'd' THEN '(decommissioned)' ELSE '' END,
+             ' ' ORDER BY cls.datanode_id), '') AS nodes
+  FROM w2 LEFT JOIN cls ON cls.block_id = w2.block_id
+  GROUP BY w2.block_id, w2.expected, w2.priority
+)
+SELECT i.path, det.block_id, det.priority,
+       det.n_live, det.n_decom, det.n_corrupt,
+       CAST(GREATEST(det.n_live - det.expected, 0) AS BIGINT) AS n_excess,
+       CAST(CASE WHEN det.n_live + det.n_decom = 0 THEN 1 ELSE 0 END AS INT)
+                                                              AS is_missing,
+       det.nodes
+FROM det
+JOIN blocks b ON b.block_id = det.block_id
+JOIN inodes i ON i.id = b.file_id
+""",
+    doc="metaSave 'Blocks waiting for replication' section "
+    "(BlockManager.metaSave:190-236, FSNamesystem.metaSave:617-648): one "
+    "row per queued block — owning path, replica counts classified like "
+    "countNodes (l/d/c), MISSING flag when no usable (live+decommissioned) "
+    "replica remains, and the node list annotated '(corrupt)' / "
+    "'(decommissioned)' exactly as the report prints it. The queue itself "
+    "is the cached W2 frame (the reference iterates its in-memory "
+    "neededReplications structure); the node string is an ordered "
+    "collect_list fold, so the row is deterministic. Deviation (documented): "
+    "the reference's 'e:' counts replicas already in excessReplicateMap; "
+    "we derive n_excess = max(live - expected, 0) since the excess map is "
+    "reconstructed, not maintained. Scale: queue-sized left join + one "
+    "groupBy on block_id — no corpus-wide work; the node list per block is "
+    "replication-factor-bounded, so collect_list cannot blow up.",
+)
+def m1_metasave(e) -> DataFrame:
+    replicas, datanodes, inodes, blocks = (
+        e["replicas"],
+        e["datanodes"],
+        e["inodes"],
+        e["blocks"],
+    )
+    q = w2_replication_priority(e)  # cached queue: block_id, live, expected, priority
+    cls = replicas.join(
+        F.broadcast(datanodes.select("datanode_id", "admin_state")), "datanode_id"
+    ).select(
+        "block_id",
+        "datanode_id",
+        F.when(F.col("is_corrupt"), "c")
+        .when(F.col("admin_state") != "NORMAL", "d")
+        .otherwise("l")
+        .alias("cl"),
+    )
+    ann = F.transform(
+        F.array_sort(F.collect_list(F.struct("datanode_id", "cl"))),
+        lambda s: F.concat(
+            s["datanode_id"],
+            F.when(s["cl"] == "c", "(corrupt)")
+            .when(s["cl"] == "d", "(decommissioned)")
+            .otherwise(""),
+        ),
+    )
+    det = (
+        q.join(cls, "block_id", "left")
+        .groupBy("block_id", "expected", "priority")
+        .agg(
+            F.sum(F.when(F.col("cl") == "l", 1).otherwise(0)).alias("n_live"),
+            F.sum(F.when(F.col("cl") == "d", 1).otherwise(0)).alias("n_decom"),
+            F.sum(F.when(F.col("cl") == "c", 1).otherwise(0)).alias("n_corrupt"),
+            F.array_join(ann, " ").alias("nodes"),
+        )
+    )
+    return (
+        det.join(blocks.select("block_id", "file_id"), "block_id")
+        .join(inodes.select(F.col("id").alias("file_id"), "path"), "file_id")
+        .select(
+            "path",
+            "block_id",
+            "priority",
+            "n_live",
+            "n_decom",
+            "n_corrupt",
+            F.greatest(F.col("n_live") - F.col("expected"), F.lit(0))
+            .cast("long")
+            .alias("n_excess"),
+            F.when(F.col("n_live") + F.col("n_decom") == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_missing"),
+            "nodes",
+        )
+    )
+
+
+@register(
+    "m2_invalidate_sets",
+    oracle=f"""
+WITH u3 AS ({_U3_SQL})
+SELECT datanode_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       string_agg('blk_' || CAST(block_id AS STRING), ' '
+                  ORDER BY block_id) AS blocks
+FROM u3
+GROUP BY datanode_id
+""",
+    doc="metaSave 'waiting deletion' section (BlockManager."
+    "dumpRecentInvalidateSets:572-585): the per-datanode pending-deletion "
+    "sets, fed by the U3 excess picks (processOverReplicatedBlock routes "
+    "excess replicas to addToInvalidates, BlockManager.java:1572). One row "
+    "per datanode with a count and the blk_-formatted, id-ordered block "
+    "list — the exact shape the report prints. Scale: reuses U3's "
+    "pre-window push-down, then a node-count-sized groupBy; the per-node "
+    "block string is the only unbounded term and mirrors the reference's "
+    "own unbounded per-node dump.",
+)
+def m2_invalidate_sets(e) -> DataFrame:
+    excess = u3_excess_replicas(e)
+    blk_names = F.transform(
+        F.array_sort(F.collect_list("block_id")),
+        lambda b: F.concat(F.lit("blk_"), b.cast("string")),
+    )
+    return excess.groupBy("datanode_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.array_join(blk_names, " ").alias("blocks"),
+    )
+
+
+@register(
+    "a18_misreplicated_scan",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_blocks,
+       CAST(SUM(CASE WHEN i.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS invalid_blocks,
+       CAST(SUM(CASE WHEN i.id IS NOT NULL AND c.live < i.replication
+                THEN 1 ELSE 0 END) AS BIGINT)             AS under_replicated,
+       CAST(SUM(CASE WHEN i.id IS NOT NULL AND c.live > i.replication
+                THEN 1 ELSE 0 END) AS BIGINT)             AS over_replicated
+FROM ({_BLOCK_REPL}) c
+LEFT JOIN inodes i ON i.id = c.file_id
+""",
+    doc="Startup mis-replication scan (BlockManager."
+    "processMisReplicatedBlocks:1527-1564, run on safemode exit "
+    "FSNamesystem.java:4157): one full pass over the block map classifying "
+    "every block — invalid (no owning file: dangling file_id), "
+    "under-replicated (live < expected), over-replicated (live > expected) "
+    "— exactly the four totals the reference logs. Deviation (documented): "
+    "the reference's under count goes through isNeededReplication, which "
+    "also catches rack-deficit blocks; those sit in W2's queue (priority 3) "
+    "rather than this count. Scale: the single-pass shape — one "
+    "replica-count groupBy and one conditional-sum agg, whole-stage "
+    "codegen fused; no per-block driver loop like the reference's "
+    "write-locked iteration.",
+)
+def a18_misreplicated_scan(e) -> DataFrame:
+    from .blocks import _block_replica_counts
+
+    inodes = e["inodes"]
+    c = _block_replica_counts(e).join(
+        inodes.select(F.col("id").alias("inode_id"), "replication"),
+        F.col("inode_id") == F.col("file_id"),
+        "left",
+    )
+    valid = F.col("inode_id").isNotNull()
+    return c.agg(
+        F.count("*").alias("total_blocks"),
+        F.sum(F.when(~valid, 1).otherwise(0)).alias("invalid_blocks"),
+        F.sum(F.when(valid & (F.col("live") < F.col("replication")), 1).otherwise(0)).alias(
+            "under_replicated"
+        ),
+        F.sum(F.when(valid & (F.col("live") > F.col("replication")), 1).otherwise(0)).alias(
+            "over_replicated"
+        ),
+    )

@@ -429,9 +429,9 @@ def a3_fsck_result(e) -> DataFrame:
     )
 
 
-@register(
-    "w2_replication_priority",
-    oracle=f"""
+# The W2 queue as standalone SQL — reused by m1_metasave's oracle
+# (BlockManager.metaSave iterates the same neededReplications structure).
+_W2_SQL = """
 SELECT c.block_id, c.live, i.replication AS expected,
        CAST(CASE WHEN c.live = 0 AND c.decom_live > 0 THEN 0
             WHEN c.live = 0                           THEN 4
@@ -454,7 +454,12 @@ FROM (
 JOIN inodes i ON i.id = c.file_id
 WHERE c.live < i.replication
    OR (c.live >= i.replication AND i.replication > 1 AND c.rack_lo = c.rack_hi)
-""",
+"""
+
+
+@register(
+    "w2_replication_priority",
+    oracle=_W2_SQL,
     doc="W2 UnderReplicatedBlocks 5-level priority "
     "(UnderReplicatedBlocks.getPriority:85-107): CASE priority column over "
     "blocks needing replication work; queue drain = ORDER BY priority. "
@@ -521,9 +526,9 @@ def w2_replication_priority(e) -> DataFrame:
     return eager_cache(e, "w2_queue", out)
 
 
-@register(
-    "u3_excess_replicas",
-    oracle=f"""
+# U3's excess picks as standalone SQL — reused by m2_invalidate_sets'
+# oracle (excess replicas feed addToInvalidates, BlockManager.java:1572).
+_U3_SQL = f"""
 SELECT t.block_id, t.datanode_id
 FROM (
   SELECT r.block_id, r.datanode_id,
@@ -537,7 +542,12 @@ FROM (
   WHERE NOT r.is_corrupt
 ) t
 WHERE t.live > t.replication AND t.rk <= t.live - t.replication
-""",
+"""
+
+
+@register(
+    "u3_excess_replicas",
+    oracle=_U3_SQL,
     doc="U3 excess-replica selection (BlockManager."
     "processOverReplicatedBlock:1572): for over-replicated blocks pick the "
     "excess replicas on the most-used nodes — rank window, delete rank <= "

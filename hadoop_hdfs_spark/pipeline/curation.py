@@ -444,3 +444,84 @@ def c_shard_layout(e) -> DataFrame:
         .select("shard_id", "n_docs", "n_tokens", "n_chars", "load_e6")
         .withColumn("shard_id", F.col("shard_id").cast("long"))
     )
+
+
+@register(
+    "c_dsir_weights",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+cc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY t),
+ct AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+       WHERE lang = 'en' GROUP BY t),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        FROM toks),
+scored AS (
+  SELECT toks.doc_id,
+         CAST(FLOOR((log2((COALESCE(ct.n, 0) + 1.0) / (tot.nt + tot.v))
+                   - log2((cc.n + 1.0) / (tot.nc + tot.v))) * 1000 + 1e-9)
+              AS BIGINT) AS llr_e3
+  FROM toks
+  JOIN cc ON cc.t = toks.t
+  LEFT JOIN ct ON ct.t = toks.t
+  CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT)    AS n_tokens,
+       CAST(SUM(s.llr_e3) AS BIGINT) AS llr_sum_e3,
+       CAST(FLOOR(SUM(s.llr_e3) * 1.0 / COUNT(*)) AS BIGINT) AS avg_llr_e3
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.doc_id, d.lang, d.source
+""",
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): per-doc log-likelihood "
+    "ratio between an add-one-smoothed unigram LM of the target domain "
+    "(lang='en' here stands in for the target sample) and the whole-corpus "
+    "LM — the score DSIR resamples by to tilt a raw corpus toward a target "
+    "distribution. Determinism: each token's llr is FLOOR-quantized to e3 "
+    "BEFORE summation (t_lm_perplexity's trick), so per-doc totals are "
+    "integer sums, order-independent across partitions; the one float "
+    "division in avg is IEEE-exact on identical integer operands. Scale: "
+    "both count tables are vocabulary-bounded (map-side combine collapses "
+    "the corpus before the shuffle) and broadcastable; scoring is one "
+    "equi-join on the token key — the same distributed LM-scoring shape "
+    "as t_lm_perplexity, linear in corpus tokens.",
+)
+def c_dsir_weights(e) -> DataFrame:
+    d = e["documents"].repartition(32)
+    toks_arr = F.split("text", " ")
+    toks = d.select(
+        "doc_id", "lang", "source", F.explode(toks_arr).alias("t")
+    )
+    cc = toks.groupBy("t").agg(F.count("*").alias("n_c"))
+    ct = toks.filter(F.col("lang") == "en").groupBy("t").agg(
+        F.count("*").alias("n_t")
+    )
+    tot = toks.agg(
+        F.count("*").alias("nc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.countDistinct("t").alias("v"),
+    )
+    llr = F.floor(
+        (
+            F.log2((F.coalesce(F.col("n_t"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log2((F.col("n_c") + 1.0) / (F.col("nc") + F.col("v")))
+        )
+        * 1000
+        + 1e-9
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(cc), "t")
+        .join(F.broadcast(ct), "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", "source", llr.alias("llr_e3"))
+    )
+    return scored.groupBy("doc_id", "lang", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("llr_e3").alias("llr_sum_e3"),
+        F.floor(F.sum("llr_e3") * 1.0 / F.count("*")).cast("long").alias("avg_llr_e3"),
+    )

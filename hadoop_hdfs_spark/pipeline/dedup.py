@@ -726,6 +726,32 @@ def d_embedding_cosine_lsh(e) -> DataFrame:
 SPAN_K = 5
 
 
+def _span_occ(e) -> DataFrame:
+    """Positional span table (doc_id, start, span-hash), cached once and
+    shared by d_span_dedup (which only needs the hash column) and
+    d_span_removal (which needs positions) — one corpus-token-sized frame
+    instead of two."""
+    d = e["documents"].repartition(32)
+    toks = F.split("text", " ")
+    occ_arr = F.when(
+        F.size(toks) >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1)),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.md5(F.array_join(F.slice(toks, i, SPAN_K), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
+    return eager_cache(
+        e,
+        "dedup_span_occ",
+        d.select("doc_id", F.explode(occ_arr).alias("sp")).select(
+            "doc_id", F.col("sp.s").alias("s"), F.col("sp.h").alias("h")
+        ),
+    )
+
+
 @register(
     "d_span_dedup",
     oracle=f"""
@@ -760,18 +786,7 @@ GROUP BY s.doc_id
     "document granularity is too coarse.",
 )
 def d_span_dedup(e) -> DataFrame:
-    d = e["documents"].repartition(32)
-    toks = F.split("text", " ")
-    spans_arr = F.when(
-        F.size(toks) >= SPAN_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, SPAN_K), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = eager_cache(
-        e, "dedup_spans", d.select("doc_id", F.explode(spans_arr).alias("h"))
-    )
+    spans = _span_occ(e).select("doc_id", "h")
     df_tbl = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     j = spans.join(df_tbl, "h")
     return j.groupBy("doc_id").agg(
@@ -782,4 +797,116 @@ def d_span_dedup(e) -> DataFrame:
         )
         .cast("long")
         .alias("dup_frac_e6"),
+    )
+
+
+@register(
+    "d_span_removal",
+    oracle=f"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+),
+occ AS (
+  SELECT doc_id, sp['s'] AS s, sp['h'] AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(p) - {SPAN_K - 2}),
+             i -> {{'s': i,
+                    'h': md5(array_to_string(p[i:i+{SPAN_K - 1}], ' '))}})) AS sp
+    FROM parts
+  )
+),
+canon AS (
+  SELECT h, MIN(doc_id) AS canon_doc FROM occ GROUP BY h
+),
+rm AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT o.doc_id, unnest(range(o.s, o.s + {SPAN_K})) AS pos
+    FROM occ o JOIN canon c ON c.h = o.h
+    WHERE o.doc_id > c.canon_doc
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.tk['p'] AS pos, t.tk['tok'] AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(p) + 1),
+             i -> {{'p': i, 'tok': p[i]}})) AS tk
+    FROM parts
+  ) t
+  LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.tk['p']
+  WHERE rm.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS dedup_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT parts.doc_id,
+       CAST(len(parts.p) AS BIGINT)                         AS n_tokens,
+       CAST(len(parts.p) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.dedup_md5, md5(''))                     AS dedup_md5
+FROM parts LEFT JOIN agg ON agg.doc_id = parts.doc_id
+""",
+    doc=f"Exact-substring span REMOVAL (the transform half of Lee et al. "
+    f"2022 'Deduplicating Training Data Makes Language Models Better' — "
+    f"d_span_dedup is the diagnostic half): every duplicated {SPAN_K}-token "
+    "span occurrence OUTSIDE its canonical document (min doc_id holding the "
+    "span) has its token range deleted; each doc is rebuilt from its "
+    "surviving tokens in order. Output is the rebuilt text's md5 plus "
+    "removal counts, so rows stay small and hashable. Determinism: the "
+    "canonical doc is a min-aggregate, removal marks are a set — no "
+    "tie-break depends on partitioning. Scale: LINEAR like d_span_dedup — "
+    f"marks are at most {SPAN_K}x the dup-occurrence count and join back on "
+    "the (doc_id, pos) equi-key; token reassembly is a per-doc ordered "
+    "fold (sort_array(collect_list), doc-length-bounded). No pairwise "
+    "candidate term anywhere — the shape that deduplicates a 100 TB corpus "
+    "at substring granularity in three shuffles (span df, mark distinct, "
+    "doc rebuild).",
+)
+def d_span_removal(e) -> DataFrame:
+    d = e["documents"].repartition(32)
+    toks = F.split("text", " ")
+    occ = _span_occ(e)  # shared cached (doc_id, start, span-hash) frame
+    canon = occ.groupBy("h").agg(F.min("doc_id").alias("canon_doc"))
+    rm = (
+        occ.join(canon, "h")
+        .filter(F.col("doc_id") > F.col("canon_doc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (SPAN_K - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokens.join(rm, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    return (
+        d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("dedup_md5"), F.lit(empty_md5)).alias("dedup_md5"),
+        )
     )

@@ -142,7 +142,8 @@ _R4_DEFER = (
     # locally; driver rows next round):
     "j11_read_locality", "t_lm_perplexity", "t_zipf_slope", "d_span_dedup",
     "c_shard_layout", "t17_stream_sessions", "d_cluster_keeper",
-    "d_corpus_diff",
+    "d_corpus_diff", "m1_metasave", "m2_invalidate_sets",
+    "a18_misreplicated_scan", "d_span_removal", "c_dsir_weights",
 )
 
 
