@@ -967,3 +967,78 @@ def j11_read_locality(e) -> DataFrame:
         F.element_at("ordered", 1)["distance"].cast("int").alias("chosen_distance"),
         F.array_join(F.transform("ordered", lambda s: s["datanode_id"]), ",").alias("ordered_replicas"),
     )
+
+
+@register(
+    "j12_placement_verify",
+    oracle="""
+WITH nr AS (
+  SELECT CAST(COUNT(DISTINCT rack) AS BIGINT) AS num_racks FROM datanodes
+),
+blk AS (
+  SELECT b.block_id, b.file_id,
+         CAST(COUNT(DISTINCT CASE WHEN NOT r.is_corrupt THEN d.rack END)
+              AS BIGINT) AS n_racks
+  FROM blocks b
+  LEFT JOIN replicas r ON r.block_id = b.block_id
+  LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
+  GROUP BY b.block_id, b.file_id
+)
+SELECT i.path, blk.block_id, blk.n_racks,
+       CAST(LEAST(2, i.replication, nr.num_racks) AS BIGINT) AS min_racks,
+       CAST(LEAST(2, i.replication, nr.num_racks) - blk.n_racks AS BIGINT)
+                                                             AS rack_deficit
+FROM blk
+JOIN inodes i ON i.id = blk.file_id
+CROSS JOIN nr
+WHERE nr.num_racks > 1
+  AND LEAST(2, i.replication, nr.num_racks) - blk.n_racks > 0
+""",
+    doc="Block placement verification (BlockPlacementPolicyDefault."
+    "verifyBlockPlacement:537-553, called per block by fsck with "
+    "minRacks=min(2, replication), NamenodeFsck.java:332-336): the rack "
+    "deficit of every mis-replicated block — required racks "
+    "min(2, replication, cluster racks) minus the distinct racks its live "
+    "replicas occupy; single-rack clusters verify trivially (numRacks<=1 "
+    "-> 0), matching the reference's early return. Distinct from W2's "
+    "priority-3 queue: this is the fsck-side REPORT (path + deficit per "
+    "block), the queue is the scheduler's work list. Scale: one "
+    "count-distinct groupBy on block_id (replica-fanout-bounded input per "
+    "key), scalar rack count broadcast; no window, no self-join.",
+)
+def j12_placement_verify(e) -> DataFrame:
+    blocks, replicas, datanodes, inodes = (
+        e["blocks"],
+        e["replicas"],
+        e["datanodes"],
+        e["inodes"],
+    )
+    nr = datanodes.agg(F.countDistinct("rack").alias("num_racks"))
+    blk = (
+        blocks.join(replicas, "block_id", "left")
+        .join(
+            F.broadcast(datanodes.select("datanode_id", "rack")),
+            "datanode_id",
+            "left",
+        )
+        .groupBy("block_id", "file_id")
+        .agg(
+            F.countDistinct(
+                F.when(~F.col("is_corrupt"), F.col("rack"))
+            ).alias("n_racks")
+        )
+    )
+    min_racks = F.least(F.lit(2), F.col("replication"), F.col("num_racks")).cast("long")
+    return (
+        blk.join(inodes.select(F.col("id").alias("file_id"), "path", "replication"), "file_id")
+        .crossJoin(F.broadcast(nr))
+        .filter(F.col("num_racks") > 1)
+        .select(
+            "path",
+            "block_id",
+            "n_racks",
+            min_racks.alias("min_racks"),
+            (min_racks - F.col("n_racks")).cast("long").alias("rack_deficit"),
+        )
+        .filter(F.col("rack_deficit") > 0)
+    )

@@ -618,3 +618,111 @@ def t_zipf_slope(e) -> DataFrame:
         .cast("long")
         .alias("zipf_slope_e6"),
     )
+
+
+@register(
+    "t_heaps_fit",
+    oracle="""
+WITH ids AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+nb AS (
+  SELECT CAST(LEAST(63, (toks.doc_id - ids.lo) * 64 // (ids.hi - ids.lo + 1))
+              AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM toks CROSS JOIN ids GROUP BY 1
+),
+first AS (
+  SELECT t, MIN(doc_id) AS fd FROM toks GROUP BY t
+),
+tb AS (
+  SELECT CAST(LEAST(63, (first.fd - ids.lo) * 64 // (ids.hi - ids.lo + 1))
+              AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first CROSS JOIN ids GROUP BY 1
+),
+curve AS (
+  SELECT nb.b,
+         SUM(nb.n_toks) OVER (ORDER BY nb.b)               AS cum_n,
+         SUM(COALESCE(tb.new_types, 0)) OVER (ORDER BY nb.b) AS cum_v
+  FROM nb LEFT JOIN tb ON tb.b = nb.b
+),
+q AS (
+  SELECT CAST(FLOOR(log2(cum_n) * 1000000 + 1e-9) AS BIGINT) AS lx,
+         CAST(FLOOR(log2(cum_v) * 1000000 + 1e-9) AS BIGINT) AS ly
+  FROM curve WHERE cum_n > 0 AND cum_v > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(FLOOR((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly)) * 1000000.0
+            / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx))) AS BIGINT)
+           AS heaps_beta_e6
+FROM q
+""",
+    doc="Heaps'-law fit of vocabulary growth (beyond reference — the "
+    "companion corpus-health metric to t_zipf_slope: natural text grows "
+    "vocab ~ N^0.4-0.6; a fixed-template corpus plateaus near 0, pure "
+    "noise approaches 1): docs are bucketed into 64 equal-width doc_id "
+    "ranges, each token contributes a 'new type' to the bucket of its "
+    "FIRST occurrence (min doc_id — a plain min-aggregate, no ordered "
+    "scan), cumulative (tokens, types) per bucket form 64 curve points, "
+    "and the slope of log2 V on log2 N comes from the same "
+    "integer-quantized OLS moments as t_zipf_slope. Scale: the corpus "
+    "collapses map-side to 64 bucket rows + a vocabulary-bounded "
+    "first-occurrence table; the only window runs over 64 rows. The "
+    "bucket index uses double division — exact below 2^53 * bucket "
+    "count, i.e. any realistic doc_id space.",
+)
+def t_heaps_fit(e) -> DataFrame:
+    d = e["documents"].repartition(32)
+    ids = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+
+    def bucket(idcol):
+        return F.least(
+            F.lit(63),
+            F.floor((idcol - F.col("lo")) * 64 / (F.col("hi") - F.col("lo") + 1)),
+        ).cast("long")
+
+    nb = (
+        toks.crossJoin(F.broadcast(ids))
+        .groupBy(bucket(F.col("doc_id")).alias("b"))
+        .agg(F.count("*").alias("n_toks"))
+    )
+    first = toks.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    tb = (
+        first.crossJoin(F.broadcast(ids))
+        .groupBy(bucket(F.col("fd")).alias("b"))
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        nb.join(tb, "b", "left")
+        .select(
+            "b",
+            F.sum("n_toks").over(w).alias("cum_n"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0))).over(w).alias("cum_v"),
+        )
+    )
+    q = curve.filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0)).select(
+        F.floor(F.log2("cum_n") * 1000000 + 1e-9).cast("long").alias("lx"),
+        F.floor(F.log2("cum_v") * 1000000 + 1e-9).cast("long").alias("ly"),
+    )
+    g = q.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return g.select(
+        F.col("cnt").alias("n_points"),
+        F.floor(
+            (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1000000.0
+            / (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("heaps_beta_e6"),
+    )

@@ -90,7 +90,7 @@ def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, corpus, curation, dedup, multimodal, privacy, quality, similarity, text  # noqa: F401
-    from .streaming import rates, sessions  # noqa: F401  (t14/t17: driver-gated streaming execution)
+    from .streaming import joins, rates, sessions  # noqa: F401  (t14/t17/t18: driver-gated streaming execution)
 
 
 # Driver-verification ordering. The driver checks queries in dict order and
@@ -144,6 +144,7 @@ _R4_DEFER = (
     "c_shard_layout", "t17_stream_sessions", "d_cluster_keeper",
     "d_corpus_diff", "m1_metasave", "m2_invalidate_sets",
     "a18_misreplicated_scan", "d_span_removal", "c_dsir_weights",
+    "j12_placement_verify", "t_heaps_fit", "t18_stream_open_close",
 )
 
 
