@@ -572,10 +572,16 @@ def u3_excess_replicas(e) -> DataFrame:
     w = Window.partitionBy("block_id").orderBy(
         F.col("dfs_used").desc(), F.col("datanode_id")
     )
-    return (
+    # Cached like the W2 queue: the reference maintains excessReplicateMap
+    # as an in-memory structure (BlockManager.java:1572 fills it; metaSave
+    # dumps it) — and m2_invalidate_sets drains this exact frame, so the
+    # window never runs twice in a session.
+    return eager_cache(
+        e,
+        "u3_excess",
         live_reps.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("live") - F.col("replication"))
-        .select("block_id", "datanode_id")
+        .select("block_id", "datanode_id"),
     )
 
 

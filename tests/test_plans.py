@@ -202,3 +202,35 @@ def test_t15_genstamp_broadcasts_authority(spark, sf_dir):
     # the 1-row genstamp authority joins the block scan as a broadcast
     plan = _plan(spark, sf_dir, "t15_genstamp_blocks")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_span_removal_no_pairwise_join(spark, sf_dir):
+    # the removal transform must stay linear: marks anti-join back on the
+    # (doc_id, pos) equi-key — no pairwise candidate join anywhere
+    plan = _plan(spark, sf_dir, "d_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # surviving tokens = anti-join vs removal marks
+
+
+def test_metasave_reuses_cached_queue_and_broadcasts_nodes(spark, sf_dir):
+    # m1 iterates the CACHED W2 queue (the reference's in-memory
+    # neededReplications) and broadcasts the node dimension
+    plan = _plan(spark, sf_dir, "m1_metasave")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dsir_broadcasts_vocabulary_tables(spark, sf_dir):
+    # scoring joins corpus tokens to vocabulary-bounded count tables — both
+    # must broadcast so the token stream never shuffles for the join
+    plan = _plan(spark, sf_dir, "c_dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_heaps_fit_window_runs_over_bucketed_frame(spark, sf_dir):
+    # the only window (cumulative curve) runs AFTER the 64-bucket
+    # aggregation: partial HashAggregates collapse the corpus map-side
+    plan = _plan(spark, sf_dir, "t_heaps_fit")
+    # one Window node per cumulative sum, both over the 64-row bucket frame
+    assert 1 <= plan.count("Window") <= 2
+    assert plan.count("HashAggregate") >= 4  # nb, tb partial+final pairs
