@@ -119,14 +119,22 @@ _T18_HORIZON_MS = _PAIR_HORIZON_S * 1000
 
 
 def _stage_edits(e) -> str:
-    """Write the edits entity once to /tmp as a single parquet file."""
+    """Write the edits entity once to /tmp as a single parquet file.
+
+    Only OP_ADD/OP_CLOSE rows are staged — the join filters to exactly
+    these, so staging the other 16 opcodes would make the streaming source
+    read and discard ~85% of its input every drain (the production
+    equivalent: partition the changelog by opcode and subscribe to the two
+    partitions the join consumes)."""
     sf_dir = str(e["__sf_dir__"])
-    stage = "/tmp/t18_pairs_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _hashlib.md5(f"{sf_dir}|v2-addclose".encode()).hexdigest()[:12]
+    stage = "/tmp/t18_pairs_" + tag
     done = _os.path.join(stage, "_STAGED")
     if not _os.path.exists(done):
         (
             e["edits"]
             .select("txid", "op", "ts_ms", "path")
+            .filter(F.col("op").isin("OP_ADD", "OP_CLOSE"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
