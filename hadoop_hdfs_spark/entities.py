@@ -294,6 +294,48 @@ FROM blocks b
 WHERE b.block_id % 11 = 0
 """
 
+# Namenode audit log (FSNamesystem.java:131-175: tab-separated
+# ugi/ip/cmd/src/dst/perm records emitted on every successful namespace
+# operation). Unlike `edits`, the audit stream also carries READ traffic
+# (open/listStatus/fsck never hit the edit log), so it is the entity access
+# analytics run against. All 14 cmd literals audited by the reference
+# (FSNamesystem.java:774-5510 call sites) occur via event arithmetic; dst
+# only for the two-path verbs (rename/concat, :2068,:2117); perm mirrors
+# the `ugi:group:mode` rendering for the stat-returning verbs (:150-154).
+_AUDIT_SQL = """
+SELECT
+  CAST(event_id AS BIGINT)                                     AS audit_id,
+  'user' || CAST(user_id % 5 AS STRING)                        AS ugi,
+  '10.0.' || CAST(user_id % 16 AS STRING) || '.'
+          || CAST(event_id % 256 AS STRING)                    AS ip,
+  CASE WHEN event_type = 'click'    AND event_id % 31 = 0 THEN 'fsck'
+       WHEN event_type = 'click'    AND event_id % 5 = 0  THEN 'listStatus'
+       WHEN event_type = 'click'                          THEN 'open'
+       WHEN event_type = 'view'     AND event_id % 7 = 0  THEN 'setPermission'
+       WHEN event_type = 'view'     AND event_id % 7 = 1  THEN 'setOwner'
+       WHEN event_type = 'view'     AND event_id % 7 = 2  THEN 'setTimes'
+       WHEN event_type = 'view'                           THEN 'mkdirs'
+       WHEN event_type = 'purchase' AND event_id % 5 = 0  THEN 'append'
+       WHEN event_type = 'purchase' AND event_id % 5 = 1  THEN 'setReplication'
+       WHEN event_type = 'purchase'                       THEN 'create'
+       WHEN event_type = 'signup'   AND event_id % 9 = 0  THEN 'createSymlink'
+       WHEN event_type = 'signup'   AND event_id % 9 = 1  THEN 'concat'
+       WHEN event_type = 'signup'                         THEN 'rename'
+       ELSE 'delete' END                                       AS cmd,
+  '/ev/u' || CAST(user_id AS STRING) || '/f'
+           || CAST(event_id % 100 AS STRING)                   AS src,
+  CASE WHEN event_type = 'signup' AND event_id % 9 <> 0
+       THEN '/ev/u' || CAST(user_id AS STRING) || '/g'
+            || CAST(event_id % 100 AS STRING)
+       ELSE CAST(NULL AS STRING) END                           AS dst,
+  CASE WHEN event_type IN ('view', 'purchase')
+       THEN 'user' || CAST(user_id % 5 AS STRING) || ':grp'
+            || CAST(user_id % 3 AS STRING) || ':rwxr-xr-x'
+       ELSE CAST(NULL AS STRING) END                           AS perm,
+  CAST(1704067200000 + event_id * 60000 AS BIGINT)             AS ts_ms
+FROM events
+"""
+
 # Open-file leases (LeaseManager.java:63-83): one lease per file under
 # construction; holder keyed off the file id.
 _LEASES_SQL = """
@@ -314,6 +356,7 @@ ENTITY_SQL: dict[str, str] = {
     "edits": _EDITS_SQL,
     "leases": _LEASES_SQL,
     "pending_replication": _PENDING_REPLICATION_SQL,
+    "audit": _AUDIT_SQL,
 }
 
 

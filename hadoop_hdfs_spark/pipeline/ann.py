@@ -203,3 +203,198 @@ def s_knn_hyperplane_lsh(e) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "bucket", "cos_e6", "rank")
     )
+
+
+# Integer dot product over the e6-quantized vectors: BIGINT all the way
+# (64 dims x (1e6)^2 = 6.4e13 << 2^63), so the value is EXACT in any fold
+# order — the only float ops in the cosine are two correctly-rounded
+# sqrts, one division and one multiply, identical in both engines.
+_DUCK_IDOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _idot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _icos_e6(a, b):
+    return F.floor(
+        _idot(a, b).cast("double")
+        / (F.sqrt(_idot(a, a).cast("double")) * F.sqrt(_idot(b, b).cast("double")))
+        * 1000000
+    ).cast("long")
+
+
+_SEM_THRESH_E6 = 300_000  # fixture tail, matches d_embedding_cosine
+
+
+@register(
+    "d_semdedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i, CAST(FLOOR(AVG(xe[i])) AS BIGINT) AS c
+  FROM e, range(1, 65) t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY i) AS ce
+  FROM dims GROUP BY label
+),
+asg AS (
+  SELECT vec_id, xe, cell FROM (
+    SELECT e.vec_id, e.xe, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_reduce(list_transform(range(1, 65),
+                  i -> (e.xe[i] - cent.ce[i]) * (e.xe[i] - cent.ce[i])),
+                  (acc, x) -> acc + x) AS BIGINT), cent.cell) AS rk
+    FROM e CROSS JOIN cent
+  ) t WHERE rk = 1
+),
+base AS (
+  SELECT a.vec_id, a.cell, a.xe,
+         CAST(FLOOR(CAST({_DUCK_IDOT.format(a='a.xe', b='c.ce')} AS DOUBLE)
+              / (sqrt(CAST({_DUCK_IDOT.format(a='a.xe', b='a.xe')} AS DOUBLE))
+                 * sqrt(CAST({_DUCK_IDOT.format(a='c.ce', b='c.ce')} AS DOUBLE)))
+              * 1000000) AS BIGINT) AS cent_cos_e6
+  FROM asg a JOIN cent c ON c.cell = a.cell
+),
+pairs0 AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.cent_cos_e6 AS a_cc, b.cent_cos_e6 AS b_cc,
+         CAST(FLOOR(CAST({_DUCK_IDOT.format(a='a.xe', b='b.xe')} AS DOUBLE)
+              / (sqrt(CAST({_DUCK_IDOT.format(a='a.xe', b='a.xe')} AS DOUBLE))
+                 * sqrt(CAST({_DUCK_IDOT.format(a='b.xe', b='b.xe')} AS DOUBLE)))
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+sym AS (
+  SELECT a_id AS me, b_id AS other, a_cc AS me_cc, b_cc AS other_cc
+  FROM pairs0 WHERE cos_e6 >= {_SEM_THRESH_E6}
+  UNION ALL
+  SELECT b_id, a_id, b_cc, a_cc
+  FROM pairs0 WHERE cos_e6 >= {_SEM_THRESH_E6}
+)
+SELECT v.vec_id, v.cell, v.cent_cos_e6,
+       CAST(COUNT(s.other) AS BIGINT) AS n_dup_partners,
+       COALESCE(MAX(CASE WHEN s.other_cc < s.me_cc
+                          OR (s.other_cc = s.me_cc AND s.other < s.me)
+                    THEN 1 ELSE 0 END), 0) = 1 AS is_dropped
+FROM base v LEFT JOIN sym s ON s.me = v.vec_id
+GROUP BY v.vec_id, v.cell, v.cent_cos_e6
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup "
+    "over LEARNED clusters — one Lloyd's assignment places every vector "
+    "in its nearest k-means cell (the s_ivf_build iteration), pairwise "
+    "cosine runs ONLY within a cell, and of each above-threshold pair "
+    "the member FARTHER from its centroid is kept (the paper keeps "
+    "low-centroid-similarity examples to preserve diversity; one "
+    "greedy hop like d_embedding_cosine's keeper rule). Emits per-vector "
+    "cell, centroid-cosine, duplicate-partner count and the drop verdict. "
+    "Scale: the quadratic term is cell-bounded (corpus/k per cell), "
+    "centroids broadcast, and the integer-quantized dot products are "
+    "EXACT in any fold order — only sqrt/divide touch floats, so the "
+    "verdict is bit-stable across engines and partitionings.",
+)
+def d_semdedup(e) -> DataFrame:
+    xe = e["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+        ).alias("xe"),
+    )
+    xe = eager_cache(e, "ivf_xe", xe)  # shared with s_ivf_build
+    dims = (
+        xe.select("label", F.posexplode("xe").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("x")).cast("long").alias("c"))
+    )
+    cent = dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("ce")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("xe", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(sq_dist, "cell")
+    asg = (
+        xe.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "xe", "cell")
+    )
+    base = asg.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        "xe",
+        _icos_e6(F.col("xe"), F.col("ce")).alias("cent_cos_e6"),
+    )
+    base = eager_cache(e, "semdedup_base", base)  # self-join reads both sides
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cell").alias("cell_a"),
+        F.col("xe").alias("xa"),
+        F.col("cent_cos_e6").alias("a_cc"),
+    ).repartition(32)
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("cell_b"),
+        F.col("xe").alias("xb"),
+        F.col("cent_cos_e6").alias("b_cc"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "a_cc",
+            "b_cc",
+            _icos_e6(F.col("xa"), F.col("xb")).alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= _SEM_THRESH_E6)
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("me"),
+        F.col("b_id").alias("other"),
+        F.col("a_cc").alias("me_cc"),
+        F.col("b_cc").alias("other_cc"),
+    ).unionAll(
+        pairs.select(
+            F.col("b_id").alias("me"),
+            F.col("a_id").alias("other"),
+            F.col("b_cc").alias("me_cc"),
+            F.col("a_cc").alias("other_cc"),
+        )
+    )
+    beats_me = F.when(
+        (F.col("other_cc") < F.col("me_cc"))
+        | ((F.col("other_cc") == F.col("me_cc")) & (F.col("other") < F.col("me"))),
+        1,
+    ).otherwise(0)
+    return (
+        base.select("vec_id", "cell", "cent_cos_e6")
+        .join(sym, sym["me"] == F.col("vec_id"), "left")
+        .groupBy("vec_id", "cell", "cent_cos_e6")
+        .agg(
+            F.count("other").alias("n_dup_partners"),
+            (F.coalesce(F.max(beats_me), F.lit(0)) == 1).alias("is_dropped"),
+        )
+    )

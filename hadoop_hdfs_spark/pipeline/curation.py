@@ -525,3 +525,76 @@ def c_dsir_weights(e) -> DataFrame:
         F.sum("llr_e3").alias("llr_sum_e3"),
         F.floor(F.sum("llr_e3") * 1.0 / F.count("*")).cast("long").alias("avg_llr_e3"),
     )
+
+
+@register(
+    "c_epoch_shuffle",
+    oracle="""
+WITH p AS (
+  SELECT ep.epoch, d.doc_id,
+         md5(CAST(ep.epoch AS STRING) || '|' || CAST(d.doc_id AS STRING)) AS k
+  FROM documents d
+  CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) ep
+),
+b AS (SELECT epoch, doc_id, k, substr(k, 1, 2) AS bucket FROM p),
+c AS (SELECT epoch, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY epoch, bucket),
+o AS (SELECT epoch, bucket,
+             CAST(SUM(n) OVER (PARTITION BY epoch ORDER BY bucket) - n
+                  AS BIGINT) AS off
+      FROM c)
+SELECT epoch, doc_id, pos, CAST((pos - 1) % 16 AS INT) AS shard
+FROM (
+  SELECT b.epoch, b.doc_id,
+         CAST(o.off + ROW_NUMBER() OVER (PARTITION BY b.epoch, b.bucket
+                                         ORDER BY b.k, b.doc_id)
+              AS BIGINT) AS pos
+  FROM b JOIN o ON o.epoch = b.epoch AND o.bucket = b.bucket
+) t
+""",
+    doc="Deterministic per-epoch global training order: every epoch "
+    "re-shuffles the corpus by md5(epoch|doc_id) and assigns each doc a "
+    "global position plus a round-robin output shard — the reproducible "
+    "'shuffle each epoch' contract a training dataloader needs, with no "
+    "RNG state anywhere (re-running epoch 3 after a crash yields the "
+    "identical order). Scale: the global position is NOT a corpus-wide "
+    "window — the 2-hex-char key prefix pre-buckets rows into 256 ordered "
+    "ranges, per-bucket counts (a 256-row frame per epoch) prefix-sum "
+    "into offsets, and each row's position is offset + rank WITHIN its "
+    "bucket. The corpus shuffles once on (epoch, bucket); no single "
+    "partition ever holds an epoch's full order — the distributed "
+    "enumeration pattern range-partitioned sorts use, made explicit.",
+)
+def c_epoch_shuffle(e) -> DataFrame:
+    epochs = F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    b = (
+        e["documents"]
+        .select("doc_id", epochs)
+        .withColumn(
+            "k",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("bucket", F.substring("k", 1, 2))
+    )
+    c = b.groupBy("epoch", "bucket").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = c.select(
+        "epoch", "bucket", (F.sum("n").over(w_off) - F.col("n")).alias("off")
+    )
+    w_rk = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    pos = (F.col("off") + F.row_number().over(w_rk)).cast("long")
+    return (
+        b.join(F.broadcast(o), ["epoch", "bucket"])
+        .select("epoch", "doc_id", pos.alias("pos"))
+        .withColumn("shard", ((F.col("pos") - 1) % 16).cast("int"))
+    )

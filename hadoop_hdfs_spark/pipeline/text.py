@@ -726,3 +726,66 @@ def t_heaps_fit(e) -> DataFrame:
         .cast("long")
         .alias("heaps_beta_e6"),
     )
+
+
+@register(
+    "t_chunk_windows",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, toks,
+         CAST(unnest(generate_series(
+           0, (CASE WHEN n > 32 THEN n - 32 ELSE 0 END) // 16)) AS INT)
+           AS chunk_idx
+  FROM d
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 32) AS chunk
+  FROM ix
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM ch
+""",
+    doc="Retrieval-chunking transform: every document splits into "
+    "overlapping 32-token windows at stride 16 (the embed-and-index unit "
+    "a RAG pipeline feeds the encoder; 50% overlap so no answer span "
+    "straddles a chunk boundary unseen). Emits per-chunk token count and "
+    "content digest. Scale: pure map — tokens never leave their row "
+    "(sequence + slice inside the projection, no explode of the token "
+    "column, no shuffle at all); output is ~n_tokens/16 rows per doc, "
+    "written alongside the doc partition it came from. The digest gives "
+    "downstream chunk-level exact dedup the same 16-byte key "
+    "d_exact_dedup uses at doc level.",
+)
+def t_chunk_windows(e) -> DataFrame:
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("long")
+    n_chunks = 1 + F.floor(
+        F.greatest(n - 32, F.lit(0).cast("long")) / F.lit(16)
+    ).cast("int")
+    d = e["documents"].select(
+        "doc_id", toks.alias("toks"), n_chunks.alias("n_chunks")
+    )
+    chunk = F.slice("toks", F.col("chunk_idx") * 16 + 1, 32)
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )

@@ -88,7 +88,7 @@ def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
 
 def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
-    from .operators import admin, blocks, cluster, events, namespace, relational  # noqa: F401
+    from .operators import admin, audit, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, corpus, curation, dedup, multimodal, privacy, quality, similarity, text  # noqa: F401
     from .streaming import joins, rates, sessions  # noqa: F401  (t14/t17/t18: driver-gated streaming execution)
 
@@ -145,6 +145,9 @@ _R4_DEFER = (
     "d_corpus_diff", "m1_metasave", "m2_invalidate_sets",
     "a18_misreplicated_scan", "d_span_removal", "c_dsir_weights",
     "j12_placement_verify", "t_heaps_fit", "t18_stream_open_close",
+    # r3 batch 2 (pytest-oracle-verified at sf0.001; driver rows next round):
+    "au_usage_matrix", "au_hot_paths", "c_epoch_shuffle", "t_chunk_windows",
+    "d_semdedup",
 )
 
 

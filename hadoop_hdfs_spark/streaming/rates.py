@@ -125,14 +125,17 @@ def t14_stream_rates(e) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .drain import drain_partitions
+
+    with drain_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Materialize the drained sink off the temp view, then DROP the view:
     # repeated certification in a long-lived session must not accumulate
     # one memory-sink table per invocation. The result is (minutes x

@@ -206,14 +206,17 @@ def t17_stream_sessions(e) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .drain import drain_partitions
+
+    with drain_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
