@@ -139,7 +139,17 @@ FROM reach GROUP BY src
     "oracle row instead of a rows-only check.",
 )
 def d_near_dup_clusters(e) -> DataFrame:
-    return near_dup_clusters(d_minhash_lsh(e))
+    # Memoized per (session, sf): the labels are the input of keeper
+    # selection (d_cluster_keeper) — without the pin every downstream
+    # consumer would re-run the whole O(diameter) propagation loop. Thunk
+    # form: the loop runs jobs while BUILDING the frame, so it must not
+    # execute at all on a cache hit. The frame itself is
+    # localCheckpoint-truncated; the pin is label-table-sized.
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(
+        e, "cc_labels", lambda: near_dup_clusters(d_minhash_lsh(e))
+    )
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:

@@ -86,6 +86,25 @@ def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
     return c
 
 
+def eager_cache_thunk(e: dict, tag: str, thunk) -> DataFrame:
+    """Like :func:`eager_cache`, but the frame is built only on a cache
+    MISS. Needed when constructing the DataFrame itself runs jobs (the
+    iterative CC loop executes join+agg actions per round while BUILDING
+    its result): ``eager_cache(e, tag, expensive())`` evaluates
+    ``expensive()`` before the key is ever consulted, so the memoization
+    would never skip the work it exists to skip."""
+    probe = e["documents"] if "documents" in e else thunk()
+    key = (
+        probe.sparkSession.sparkContext.applicationId,
+        str(e.get("__sf_dir__", "?")),
+        tag,
+    )
+    if key in _CACHED:
+        _CACHED[key] = _CACHED.pop(key)
+        return _CACHED[key]
+    return eager_cache(e, tag, thunk())
+
+
 def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, audit, blocks, cluster, events, namespace, relational  # noqa: F401
