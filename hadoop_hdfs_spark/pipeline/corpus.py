@@ -339,3 +339,121 @@ def d_corpus_diff(e) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@register(
+    "c_corpus_verdict",
+    oracle=_duck_lsh_pairs_ctes() + f""",
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM lsh_pairs
+  UNION SELECT b_id, a_id FROM lsh_pairs
+  UNION SELECT a_id, a_id FROM lsh_pairs
+  UNION SELECT b_id, b_id FROM lsh_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+cc2 AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+keeper2 AS (
+  SELECT cc2.cluster_id,
+         FIRST(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS keeper_doc_id
+  FROM cc2 JOIN documents d ON d.doc_id = cc2.doc_id
+  GROUP BY cc2.cluster_id
+),
+exact2 AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS ex_keeper
+  FROM documents
+),
+ev2 AS (
+  SELECT DISTINCT unnest({{sh}}) AS h
+  FROM documents WHERE source = 'src0'
+),
+tr2 AS (
+  SELECT doc_id, unnest({{sh}}) AS h
+  FROM documents WHERE source <> 'src0'
+),
+hits2 AS (
+  SELECT tr2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM tr2 JOIN ev2 ON ev2.h = tr2.h
+  GROUP BY tr2.doc_id
+),
+v AS (
+  SELECT d.doc_id,
+         CASE WHEN d.source = 'src0'           THEN 'eval_heldout'
+              WHEN x.ex_keeper <> d.doc_id     THEN 'exact_dup'
+              WHEN k.keeper_doc_id IS NOT NULL
+               AND k.keeper_doc_id <> d.doc_id THEN 'near_dup'
+              WHEN COALESCE(h.n_overlap, 0) >= 5 THEN 'contaminated'
+              ELSE 'kept' END AS verdict
+  FROM documents d
+  JOIN exact2 x ON x.doc_id = d.doc_id
+  LEFT JOIN cc2 ON cc2.doc_id = d.doc_id
+  LEFT JOIN keeper2 k ON k.cluster_id = cc2.cluster_id
+  LEFT JOIN hits2 h ON h.doc_id = d.doc_id
+)
+SELECT v.doc_id, v.verdict,
+       CASE WHEN v.verdict = 'kept'
+            THEN CASE WHEN {{b}} < 90 THEN 'train'
+                      WHEN {{b}} < 95 THEN 'val'
+                      ELSE 'test' END
+            ELSE CAST(NULL AS STRING) END AS split
+FROM v
+""".format(
+        sh="""list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - 1),
+    i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             || ' ' || string_split(text, ' ')[i+2])))""",
+        b="(doc_id * 1103515245 + 12345) % 2147483648 % 100",
+    ),
+    doc="The end-to-end curation pipeline as ONE query — the composition a "
+    "corpus owner actually ships: per document, the first-failing stage in "
+    "precedence order (held-out eval slice -> exact dup loser -> near-dup "
+    "cluster non-keeper -> benchmark-contaminated) or 'kept' plus the "
+    "deterministic train/val/test split for survivors. Every stage reuses "
+    "the verified building block (exact digest keeper, memoized "
+    "LSH->connected-components labels + longest-doc keeper, broadcast "
+    "eval-shingle probe, LCG split) — the point is that the operators "
+    "COMPOSE: one Spark plan, one verdict column, same oracles chained as "
+    "CTEs. Scale: each stage is individually bounded (see its own plan "
+    "entry); the composition adds only doc-keyed equi-joins of "
+    "verdict-sized frames.",
+)
+def c_corpus_verdict(e) -> DataFrame:
+    from .curation import _BUCKET_SQL, c_decontaminate
+    from .dedup import d_exact_dedup
+
+    docs = e["documents"].select("doc_id", "source", F.md5("text").alias("dig"))
+    ex = d_exact_dedup(e).select(
+        F.col("text_md5").alias("dig"), F.col("keeper_doc_id").alias("ex_keeper")
+    )
+    cc = d_near_dup_clusters(e)  # memoized labels
+    keeper = d_cluster_keeper(e).select("cluster_id", "keeper_doc_id")
+    cont = c_decontaminate(e).select("doc_id", "n_overlap_shingles")
+    verdict = (
+        F.when(F.col("source") == "src0", "eval_heldout")
+        .when(F.col("ex_keeper") != F.col("doc_id"), "exact_dup")
+        .when(
+            F.col("keeper_doc_id").isNotNull()
+            & (F.col("keeper_doc_id") != F.col("doc_id")),
+            "near_dup",
+        )
+        .when(F.coalesce("n_overlap_shingles", F.lit(0)) >= 5, "contaminated")
+        .otherwise("kept")
+    )
+    bucket = F.expr(_BUCKET_SQL)
+    split = F.when(
+        F.col("verdict") == "kept",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+    ).otherwise(F.lit(None).cast("string"))
+    return (
+        docs.join(ex, "dig")
+        .join(cc, "doc_id", "left")
+        .join(F.broadcast(keeper), "cluster_id", "left")
+        .join(cont, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+        .select("doc_id", "verdict", split.alias("split"))
+    )
