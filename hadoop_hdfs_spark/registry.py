@@ -109,7 +109,7 @@ def _import_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from .operators import admin, audit, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, corpus, curation, dedup, multimodal, privacy, quality, similarity, text  # noqa: F401
-    from .streaming import joins, rates, sessions  # noqa: F401  (t14/t17/t18: driver-gated streaming execution)
+    from .streaming import dedup as sdedup, joins, rates, sessions  # noqa: F401  (t14/t17/t18/t19: driver-gated streaming execution)
 
 
 # Driver-verification ordering. The driver checks queries in dict order and
@@ -166,7 +166,7 @@ _R4_DEFER = (
     "j12_placement_verify", "t_heaps_fit", "t18_stream_open_close",
     # r3 batch 2 (pytest-oracle-verified at sf0.001; driver rows next round):
     "au_usage_matrix", "au_hot_paths", "c_epoch_shuffle", "t_chunk_windows",
-    "d_semdedup", "c_corpus_verdict",
+    "d_semdedup", "c_corpus_verdict", "t19_stream_dedup",
 )
 
 
