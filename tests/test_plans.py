@@ -234,3 +234,45 @@ def test_heaps_fit_window_runs_over_bucketed_frame(spark, sf_dir):
     # one Window node per cumulative sum, both over the 64-row bucket frame
     assert 1 <= plan.count("Window") <= 2
     assert plan.count("HashAggregate") >= 4  # nb, tb partial+final pairs
+
+
+def test_chunk_windows_zero_exchange(spark, sf_dir):
+    # retrieval chunking is a pure map: Generate inside WholeStageCodegen,
+    # no Exchange anywhere — chunking 100 TB must cost exactly one scan
+    plan = _plan(spark, sf_dir, "t_chunk_windows")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_hot_paths_is_distributed_topk(spark, sf_dir):
+    # the audit hot-path report must finish with TakeOrderedAndProject
+    # (25 rows per partition to the driver), never a global sort
+    plan = _plan(spark, sf_dir, "au_hot_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_usage_matrix_partial_aggregates(spark, sf_dir):
+    # partial-distinct expand: the audit stream shuffles (key, partials),
+    # never raw records twice — >= 2 HashAggregate stages
+    plan = _plan(spark, sf_dir, "au_usage_matrix")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_epoch_shuffle_no_global_window(spark, sf_dir):
+    # the per-epoch position must come from the (epoch, bucket) window plus
+    # a broadcast offset frame — a PARTITION BY epoch window over corpus
+    # rows would single-thread each epoch. The only epoch-partitioned
+    # window is the 512-row bucket-count prefix sum (child: HashAggregate).
+    plan = _plan(spark, sf_dir, "c_epoch_shuffle")
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(epoch" in plan and "bucket" in plan
+
+
+def test_semdedup_broadcasts_centroids(spark, sf_dir):
+    # the centroid table is cell-count-sized and must broadcast into both
+    # the assignment and the centroid-cosine joins; the argmin is pruned
+    # by WindowGroupLimit before the rk=1 filter
+    plan = _plan(spark, sf_dir, "d_semdedup")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
