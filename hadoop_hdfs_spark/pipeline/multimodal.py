@@ -285,3 +285,65 @@ def mm_feature_certify(e) -> DataFrame:
             F.concat_ws("", F.sort_array(F.collect_list("feature_digest")))
         ).alias("digest_of_digests"),
     )
+
+
+@register(
+    "mm_frame_certify",
+    oracle="""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT asset_id, h,
+         CAST(unnest(generate_series(
+           0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS BIGINT) AS frame_idx
+  FROM a
+)
+SELECT asset_id, frame_idx,
+       md5(substring(h, CAST(frame_idx * 512 + 1 AS BIGINT), 512))
+         AS frame_digest
+FROM fr
+""",
+    doc="Certification of the frame-sampling FAN-OUT stage (SURVEY §2.9's "
+    "1->N mapInPandas shape — mm_feature_certify gates 1->1): every asset "
+    "payload explodes into one row per 256-byte 'frame' with a per-frame "
+    "digest, the video-frame / audio-window sampling plumbing with the "
+    "codec stubbed to byte windows. Digests run over the UPPERCASE-HEX "
+    "rendering of each frame — the a9b convention, because DuckDB can "
+    "neither md5 a BLOB nor slice one; same information content, "
+    "independently computed in both engines. Scale: Arrow-batched, one "
+    "pass per payload, output rows stay in the input asset's partition; "
+    "row growth is bytes/256 — exactly the fan-out a real frame sampler "
+    "produces and the task sizing (input-split bytes) already accounts "
+    "for.",
+)
+def mm_frame_certify(e) -> DataFrame:
+    assets = documents_as_assets(e["documents"]).select("asset_id", "payload")
+
+    # Nested kernel => pickled by value, zero worker import requirements
+    # (same policy as mm_feature_certify).
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_digest": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = (payload or b"").hex().upper()
+                for i in range((len(h) + 511) // 512):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_digest"].append(
+                        hashlib.md5(h[i * 512 : (i + 1) * 512].encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("frame_digest", StringType(), False),
+        ]
+    )
+    return assets.mapInPandas(run, schema=schema)

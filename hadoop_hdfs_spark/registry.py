@@ -166,7 +166,7 @@ _R4_DEFER = (
     "j12_placement_verify", "t_heaps_fit", "t18_stream_open_close",
     # r3 batch 2 (pytest-oracle-verified at sf0.001; driver rows next round):
     "au_usage_matrix", "au_hot_paths", "c_epoch_shuffle", "t_chunk_windows",
-    "d_semdedup", "c_corpus_verdict", "t19_stream_dedup",
+    "d_semdedup", "c_corpus_verdict", "t19_stream_dedup", "mm_frame_certify",
 )
 
 
