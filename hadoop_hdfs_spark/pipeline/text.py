@@ -737,9 +737,13 @@ WITH d AS (
   FROM documents
 ),
 ix AS (
+  -- ceil, not floor: a doc with (n-32) % 16 <> 0 needs one final partial
+  -- window or its last <=15 tokens are never chunked (the coverage
+  -- property test pins this)
   SELECT doc_id, toks,
          CAST(unnest(generate_series(
-           0, (CASE WHEN n > 32 THEN n - 32 ELSE 0 END) // 16)) AS INT)
+           0, CAST(ceil((CASE WHEN n > 32 THEN n - 32 ELSE 0 END) / 16.0)
+                   AS BIGINT))) AS INT)
            AS chunk_idx
   FROM d
 ),
@@ -767,7 +771,8 @@ FROM ch
 def t_chunk_windows(e) -> DataFrame:
     toks = F.split("text", " ")
     n = F.size(toks).cast("long")
-    n_chunks = 1 + F.floor(
+    # ceil: the final partial window keeps the (n-32) % 16 tail covered
+    n_chunks = 1 + F.ceil(
         F.greatest(n - 32, F.lit(0).cast("long")) / F.lit(16)
     ).cast("int")
     d = e["documents"].select(

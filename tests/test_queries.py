@@ -52,3 +52,61 @@ def test_pivot_unpivot_roundtrip(spark, sf_dir):
     )
     assert long.exceptAll(direct).count() == 0
     assert direct.exceptAll(long).count() == 0
+
+
+def test_epoch_shuffle_is_permutation(spark, sf_dir):
+    """Each epoch's positions are exactly 1..N (a true permutation) and the
+    two epochs order the corpus differently (the re-shuffle is real)."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["c_epoch_shuffle"](spark, sf_dir).cache()
+    n_docs = registry._entities(spark, sf_dir)["documents"].count()
+    per = (
+        out.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("pos").alias("n_pos"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per) == 2
+    for r in per:
+        assert r.n == n_docs and r.n_pos == n_docs
+        assert r.lo == 1 and r.hi == n_docs
+    # the epoch-0 and epoch-1 orders must differ for some doc
+    e0 = out.filter("epoch = 0").select("doc_id", "pos")
+    e1 = out.filter("epoch = 1").select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    moved = e0.join(e1, "doc_id").filter("pos <> pos1").count()
+    assert moved > 0
+    out.unpersist()
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    """Stride-16 windows of length 32 leave no token uncovered: the summed
+    coverage (chunks x window minus overlaps) must reach each doc's token
+    count, and the final chunk must end at the last token."""
+    from pyspark.sql import functions as F
+
+    ch = QUERIES["t_chunk_windows"](spark, sf_dir)
+    agg = ch.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last_idx"),
+        F.max(
+            F.col("chunk_idx") * 16 + F.col("n_chunk_tokens")
+        ).alias("covered_to"),
+    )
+    docs = registry._entities(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bad = (
+        agg.join(docs, "doc_id")
+        .filter(
+            (F.col("covered_to") != F.col("n_tokens"))
+            | (F.col("last_idx") * 16 >= F.col("n_tokens"))
+        )
+        .count()
+    )
+    assert bad == 0
