@@ -45,6 +45,44 @@ def test_bare_driver_session_runs_contract():
     assert "BARE-DRIVER-OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-2000:]
 
 
+def test_rotation_queues_most_deserving_queries():
+    """The mechanized 50-slot rotation (registry._driver_order over the
+    CORRECTNESS_r*.json artifacts) must queue exactly the queries with the
+    greatest verification need: every never-verified or touched-this-round
+    query inside the budget, and nothing outside the first 50 staler than a
+    stale query inside it. Guards the r3 failure mode where a forgotten
+    hand-reorder hides a regression for a full round."""
+    from hadoop_hdfs_spark import registry
+
+    registry._import_operator_modules()
+    order = registry._driver_order(list(registry._REGISTRY))
+    latest = registry._latest_green_round()
+    budget = set(order[: registry._DRIVER_BUDGET])
+
+    needy = [
+        n for n in order
+        if n not in latest or n in registry._TOUCHED_THIS_ROUND
+    ]
+    assert len(needy) <= registry._DRIVER_BUDGET, (
+        f"{len(needy)} tier-0/1 queries exceed the {registry._DRIVER_BUDGET}"
+        " driver budget — some new/touched queries will not get a row this round"
+    )
+    assert set(needy) <= budget, sorted(set(needy) - budget)
+
+    stale_inside = [latest[n] for n in budget if n in latest]
+    outside = [latest[n] for n in order[registry._DRIVER_BUDGET:]]
+    if stale_inside and outside:
+        # stalest-first: nothing left outside is staler than what we queued
+        assert min(outside) >= max(
+            r for r in stale_inside
+            if r == min(stale_inside)
+        ), (min(outside), min(stale_inside))
+    # and every query outside the budget is at most 2 rounds stale given
+    # the current catalog size (pigeonhole floor for 126+ queries @ 50/round)
+    current_round = max(latest.values(), default=0) + 1
+    assert all(current_round - latest[n] <= 2 for n in order[registry._DRIVER_BUDGET:])
+
+
 def test_nn_throughput_harness_runs():
     """The NNThroughputBenchmark analog must emit positive ops/sec for every
     verb the reference harness defines."""
