@@ -76,9 +76,7 @@ def dedup_documents_stream(
 # contract is "at most one survivor per digest within the horizon", and
 # that is exactly what gets hash-checked.
 
-import hashlib as _hashlib
 import itertools as _itertools
-import os as _os
 
 from pyspark.sql import functions as _F
 
@@ -90,21 +88,19 @@ _T19_SEQ = _itertools.count(1)  # atomic under the GIL
 def _stage_documents(e) -> str:
     """Stage the documents fixture as ONE parquet file in /tmp so the
     availableNow drain is a single micro-batch (every duplicate meets its
-    original in state; nothing is split across batch boundaries)."""
-    sf_dir = str(e["__sf_dir__"])
-    tag = _hashlib.md5(f"{sf_dir}|t19-docs".encode()).hexdigest()[:12]
-    stage = "/tmp/t19_docs_" + tag
-    done = _os.path.join(stage, "_STAGED")
-    if not _os.path.exists(done):
-        (
-            e["documents"]
-            .select("doc_id", "text")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        open(done, "w").close()
-    return stage
+    original in state; nothing is split across batch boundaries). Keyed on
+    fixture content, built atomically (staging.staged_dir)."""
+    from .staging import staged_dir
+
+    return staged_dir(
+        str(e["__sf_dir__"]),
+        "t19_docs",
+        lambda p: e["documents"]
+        .select("doc_id", "text")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
 
 @register(

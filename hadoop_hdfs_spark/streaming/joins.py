@@ -109,8 +109,6 @@ def open_close_pairs_stream(
 # eviction; the join's event-time bound still declares the state-cleanup
 # contract a production run relies on.
 
-import hashlib as _hashlib
-import os as _os
 
 from ..registry import register
 
@@ -125,22 +123,20 @@ def _stage_edits(e) -> str:
     these, so staging the other 16 opcodes would make the streaming source
     read and discard ~85% of its input every drain (the production
     equivalent: partition the changelog by opcode and subscribe to the two
-    partitions the join consumes)."""
-    sf_dir = str(e["__sf_dir__"])
-    tag = _hashlib.md5(f"{sf_dir}|v2-addclose".encode()).hexdigest()[:12]
-    stage = "/tmp/t18_pairs_" + tag
-    done = _os.path.join(stage, "_STAGED")
-    if not _os.path.exists(done):
-        (
-            e["edits"]
-            .select("txid", "op", "ts_ms", "path")
-            .filter(F.col("op").isin("OP_ADD", "OP_CLOSE"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        open(done, "w").close()
-    return stage
+    partitions the join consumes). Keyed on fixture content, built
+    atomically (staging.staged_dir)."""
+    from .staging import staged_dir
+
+    return staged_dir(
+        str(e["__sf_dir__"]),
+        "t18_pairs",
+        lambda p: e["edits"]
+        .select("txid", "op", "ts_ms", "path")
+        .filter(F.col("op").isin("OP_ADD", "OP_CLOSE"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
 
 @register(

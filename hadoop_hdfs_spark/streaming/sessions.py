@@ -82,7 +82,6 @@ def edit_sessions_stream(
 # The sentinel row itself is filtered out AFTER the watermark node (it
 # advances the event-time clock but never enters session state).
 
-import hashlib as _hashlib
 import os as _os
 import shutil as _shutil
 from datetime import timedelta as _timedelta
@@ -95,16 +94,18 @@ def _stage_with_sentinel(sf_dir: str) -> str:
 
     The sentinel preserves the source file's EXACT arrow schema (fixture
     generations vary between timestamp[ns] and timestamp[us] physical
-    types) so the declared readStream schema reads both files.
+    types) so the declared readStream schema reads both files. Keyed on
+    fixture content, built atomically (staging.staged_dir).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from .staging import staged_dir
+
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    stage = "/tmp/t17_sessions_" + _hashlib.md5(src.encode()).hexdigest()[:12]
-    done = _os.path.join(stage, "_STAGED")
-    if not _os.path.exists(done):
+
+    def build(stage: str) -> None:
         _os.makedirs(stage, exist_ok=True)
         _shutil.copy(src, _os.path.join(stage, "events.parquet"))
         t = pq.read_table(src)
@@ -122,8 +123,8 @@ def _stage_with_sentinel(sf_dir: str) -> str:
             pa.Table.from_pylist([row], schema=t.schema),
             _os.path.join(stage, "zz_sentinel.parquet"),
         )
-        open(done, "w").close()
-    return stage
+
+    return staged_dir(str(sf_dir), "t17_sessions", build)
 
 
 _T17_SEQ = __import__("itertools").count(1)  # atomic under the GIL

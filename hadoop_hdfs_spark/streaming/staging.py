@@ -1,0 +1,66 @@
+"""Shared /tmp staging for the streaming certification drains (t17/t18/t19).
+
+The drains stage their fixture as a single parquet file so availableNow
+runs one micro-batch. Two hazards with a naive path-keyed cache (ADVICE r3):
+
+1. *Staleness*: keying only on the sf_dir path means a regenerated fixture
+   at the same path silently replays the OLD staged bytes while the DuckDB
+   oracle reads the fresh ones — a spurious hash mismatch that is miserable
+   to diagnose. Fix: fold a content fingerprint (name+size+mtime_ns of
+   every fixture parquet) into the stage key, so regeneration gets a fresh
+   stage directory automatically.
+2. *Torn stages*: marker-after-write is not atomic under concurrent runs.
+   Fix: build into a pid-suffixed temp dir, write the marker INSIDE it,
+   then rename into place — a visible stage dir therefore always carries a
+   complete marker, and the loser of a rename race discards its build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable
+
+_MARKER = "_STAGED"
+
+
+def fixture_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of a fixture directory: every parquet file's
+    (name, size, mtime_ns), hashed. Touching or regenerating any fixture
+    file changes the fingerprint and therefore the stage path."""
+    h = hashlib.md5()
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        st = os.stat(os.path.join(sf_dir, name))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def staged_dir(sf_dir: str, tag: str, build: Callable[[str], None]) -> str:
+    """Return a staged directory for (sf_dir, tag), building it at most
+    once per fixture content version. ``build(path)`` must create ``path``
+    and fill it (Spark's ``.write.parquet(path)`` qualifies)."""
+    key = hashlib.md5(
+        f"{sf_dir}|{tag}|{fixture_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    stage = f"/tmp/{tag}_{key}"
+    done = os.path.join(stage, _MARKER)
+    if os.path.exists(done):
+        return stage
+    tmp = f"{stage}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    open(os.path.join(tmp, _MARKER), "w").close()
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        if not os.path.exists(done):
+            # leftover torn stage from a crashed build at this exact
+            # fingerprint — replace it with our complete one
+            shutil.rmtree(stage, ignore_errors=True)
+            os.rename(tmp, stage)
+        else:  # lost the race to a complete concurrent build
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
