@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import eager_cache, register
+from ..session import fan_out
 
 N_PLANES = 8
 DIM = 64
@@ -58,7 +59,14 @@ def _spark_sig(vcol) -> F.Column:
 
 
 # shared with the brute/IVF paths — the fold order must stay bit-identical
-from .similarity import _DUCK_DOT, _DUCK_NORM, _DUCK_VECS, _dot  # noqa: E402
+from .similarity import (  # noqa: E402
+    _DUCK_DOT,
+    _DUCK_NORM,
+    _DUCK_VECS,
+    _dot,
+    _query_sample,
+)
+from .similarity import QUERY_K as _QK  # noqa: E402
 
 
 @register(
@@ -150,7 +158,7 @@ def s_ivf_build(e) -> DataFrame:
     oracle=f"""
 WITH e AS ({_DUCK_VECS}),
 sig AS (SELECT vec_id, label, v, {_duck_sig_expr('v')} AS bucket FROM e),
-q AS (SELECT * FROM sig WHERE vec_id % 100 = 0),
+q AS (SELECT * FROM sig ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_QK}),
 scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.bucket,
          CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
@@ -178,7 +186,7 @@ def s_knn_hyperplane_lsh(e) -> DataFrame:
     sig = eager_cache(
         e, "hyperplane_sig", vecs.withColumn("bucket", _spark_sig(F.col("v")))
     )  # eager: both join sides read it
-    q = sig.filter(F.col("vec_id") % 100 == 0).select(
+    q = _query_sample(sig).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("qbucket"),
         F.col("v").alias("qv"),
@@ -345,12 +353,14 @@ def d_semdedup(e) -> DataFrame:
         _icos_e6(F.col("xe"), F.col("ce")).alias("cent_cos_e6"),
     )
     base = eager_cache(e, "semdedup_base", base)  # self-join reads both sides
-    a = base.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cell").alias("cell_a"),
-        F.col("xe").alias("xa"),
-        F.col("cent_cos_e6").alias("a_cc"),
-    ).repartition(32)
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("cell").alias("cell_a"),
+            F.col("xe").alias("xa"),
+            F.col("cent_cos_e6").alias("a_cc"),
+        )
+    )
     b = base.select(
         F.col("vec_id").alias("b_id"),
         F.col("cell").alias("cell_b"),

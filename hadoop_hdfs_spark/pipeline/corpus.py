@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import fan_out
 from .dedup import _duck_lsh_pairs_ctes, d_minhash_lsh
 
 SALT_BUCKETS = 16
@@ -40,7 +41,7 @@ GROUP BY t
     "only — the oracle is the plain GROUP BY.",
 )
 def t_token_frequency_salted(e) -> DataFrame:
-    docs = e["documents"].repartition(32)
+    docs = fan_out(e["documents"])
     tok = docs.select(
         (F.col("doc_id") % SALT_BUCKETS).alias("salt"),
         F.explode(F.split("text", " ")).alias("token"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import fan_out
 
 # One LCG step (numerical-recipes constants), bucketed to [0, 100).
 # doc_id * 1103515245 stays far below 2^63 for any realistic corpus id.
@@ -492,7 +493,7 @@ GROUP BY d.doc_id, d.lang, d.source
     "as t_lm_perplexity, linear in corpus tokens.",
 )
 def c_dsir_weights(e) -> DataFrame:
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     toks_arr = F.split("text", " ")
     toks = d.select(
         "doc_id", "lang", "source", F.explode(toks_arr).alias("t")

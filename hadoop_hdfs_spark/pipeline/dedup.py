@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import eager_cache, register
+from ..session import fan_out
 
 N_HASH = 16
 N_BANDS = 4
@@ -54,7 +55,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
     """
     from ..functions import ngrams
 
-    docs = docs.repartition(32)
+    docs = fan_out(docs)
     return docs.select("doc_id", "lang", ngrams(F.col("text"), 3).alias("sh"))
 
 
@@ -400,7 +401,7 @@ def d_embedding_cosine(e) -> DataFrame:
     vecs = eager_cache(e, "cosine_vecs", vecs)  # eager: self-join reads both branches
     # left side repartitioned — one parquet file must not mean one task for
     # the O(pairs-in-bucket) cosine work
-    a = vecs.repartition(32).select(
+    a = fan_out(vecs).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label_a"),
         F.col("v").alias("va"),
@@ -731,7 +732,7 @@ def _span_occ(e) -> DataFrame:
     shared by d_span_dedup (which only needs the hash column) and
     d_span_removal (which needs positions) — one corpus-token-sized frame
     instead of two."""
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     toks = F.split("text", " ")
     occ_arr = F.when(
         F.size(toks) >= SPAN_K,
@@ -866,7 +867,7 @@ FROM parts LEFT JOIN agg ON agg.doc_id = parts.doc_id
     "doc rebuild).",
 )
 def d_span_removal(e) -> DataFrame:
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     toks = F.split("text", " ")
     occ = _span_occ(e)  # shared cached (doc_id, start, span-hash) frame
     canon = occ.groupBy("h").agg(F.min("doc_id").alias("canon_doc"))

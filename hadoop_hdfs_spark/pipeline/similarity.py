@@ -14,6 +14,15 @@ Two paths, per the standard ANN playbook:
 Scores are emitted as floor(cos * 1e6) BIGINTs: DuckDB and Spark both fold
 left-to-right over double lists, and flooring removes any residual ulp from
 the comparator's view.
+
+The QUERY SET is a FIXED-SIZE sample: the QUERY_K vectors with the lowest
+md5(vec_id) (deterministic in both engines, uniform over the corpus). A
+proportional sample (the r2-era ``vec_id % 100``) made every driver-gated
+kNN query quadratic in corpus size — both join sides grew with the data
+(scale_probe r3: 49-69x at 10x). With K pinned, the brute-force side is
+K x N = LINEAR, so the recall gate itself is runnable at 100 TB — the
+NNThroughputBenchmark pattern of fixed op counts
+(NNThroughputBenchmark.java:59-90) applied to index acceptance.
 """
 
 from __future__ import annotations
@@ -31,6 +40,23 @@ _DUCK_VECS = """
 """
 _DUCK_DOT = "list_reduce(list_transform(range(1, 65), i -> a.v[i] * q.v[i]), (acc, x) -> acc + x)"
 _DUCK_NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {t}.v[i] * {t}.v[i]), (acc, x) -> acc + x))"
+
+
+QUERY_K = 100
+# DuckDB side of the fixed-K query sample; {src} is the vector CTE name.
+_DUCK_QSET = (
+    "SELECT * FROM {src} "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT " + str(QUERY_K)
+)
+
+
+def _query_sample(vecs: DataFrame) -> DataFrame:
+    """The fixed-K query set: lowest md5(vec_id), ties by vec_id. Spark
+    plans this as TakeOrderedAndProject (distributed top-K, no global
+    sort); K is constant, so every downstream join is K x corpus."""
+    return vecs.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(QUERY_K)
 
 
 def _vecs(e) -> DataFrame:
@@ -57,7 +83,7 @@ def _cosine(a, b):
     "s_knn_bruteforce",
     oracle=f"""
 WITH e AS ({_DUCK_VECS}),
-q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+q AS ({_DUCK_QSET.format(src='e')}),
 scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
@@ -79,7 +105,7 @@ WHERE rk <= 10
 )
 def s_knn_bruteforce(e) -> DataFrame:
     vecs = _vecs(e)
-    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+    q = _query_sample(vecs).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     a = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("av"))
@@ -106,7 +132,7 @@ def s_knn_bruteforce(e) -> DataFrame:
     "s_knn_ivf",
     oracle=f"""
 WITH e AS ({_DUCK_VECS}),
-q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+q AS ({_DUCK_QSET.format(src='e')}),
 scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.label,
          CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
@@ -127,7 +153,7 @@ WHERE rk <= 5
 )
 def s_knn_ivf(e) -> DataFrame:
     vecs = _vecs(e)
-    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+    q = _query_sample(vecs).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
@@ -239,7 +265,7 @@ def s_quantize_int8(e) -> DataFrame:
     "s_knn_recall",
     oracle=f"""
 WITH e AS ({_DUCK_VECS}),
-q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+q AS ({_DUCK_QSET.format(src='e')}),
 bs AS (
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
@@ -347,7 +373,7 @@ _SPARK_CLUSTERED_VECS = (
     "s_knn_recall_clustered",
     oracle=f"""
 WITH e AS ({_DUCK_CLUSTERED_VECS}),
-q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+q AS ({_DUCK_QSET.format(src='e')}),
 bs AS (
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          CAST(FLOOR({_DUCK_DOT} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='q')})
@@ -402,7 +428,7 @@ def s_knn_recall_clustered(e) -> DataFrame:
     vecs = e["embeddings"].select(
         "vec_id", "label", F.expr(_SPARK_CLUSTERED_VECS).alias("v")
     )
-    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+    q = _query_sample(vecs).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),

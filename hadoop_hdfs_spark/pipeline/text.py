@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import eager_cache, register
+from ..session import fan_out
 
 
 @register(
@@ -291,7 +292,7 @@ def t_fingerprint(e) -> DataFrame:
     # pure array expressions — per-row compute, ZERO shuffles (the
     # explode->window->groupBy formulation costs two shuffles for the same
     # answer; at 100 TB this version is embarrassingly parallel)
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     toks = F.split("text", " ")
     # <3-token docs are filtered BEFORE the sequence() (which would descend
     # and fault element_at under ANSI mode) — and filtering, not an empty
@@ -375,7 +376,7 @@ WHERE rk <= 5
 def t_top_bigrams(e) -> DataFrame:
     # single parquet file = single input partition; spread the CPU-heavy
     # bigram explode across cores (a cluster reads many files and skips this)
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     toks = F.split("text", " ")
     # <2-token guard mirrors DuckDB's empty range(); sequence() would descend
     bigrams = F.when(
@@ -503,7 +504,7 @@ GROUP BY doc_id
     "vocab scalar broadcast.",
 )
 def t_lm_perplexity(e) -> DataFrame:
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     toks = F.split("text", " ")
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -676,7 +677,7 @@ FROM q
     "count, i.e. any realistic doc_id space.",
 )
 def t_heaps_fit(e) -> DataFrame:
-    d = e["documents"].repartition(32)
+    d = fan_out(e["documents"])
     ids = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
 

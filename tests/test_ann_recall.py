@@ -32,7 +32,9 @@ def test_recall_is_perfect_on_clustered_data(clustered):
     agg = rec.agg(
         F.min("recall_permille").alias("mn"), F.count("*").alias("n")
     ).collect()[0]
-    assert agg.n == 3  # vec_id % 100 == 0 -> queries 0, 100, 200
+    from hadoop_hdfs_spark.pipeline.similarity import QUERY_K
+
+    assert agg.n == QUERY_K  # fixed-K sample: lowest md5(vec_id)
     assert agg.mn == 1000, rec.orderBy("query_id").collect()
 
 
