@@ -896,3 +896,282 @@ def j10_replication_targets(e) -> DataFrame:
             (F.col("rack_collision") == 0).alias("adds_new_rack"),
         )
     )
+
+
+# ------------------------------------------------------------ J4c: iterative
+# balancer convergence (Balancer.java:1302 run(iteration,...), the
+# :1380-1404 iteration loop, exit conditions :137-163): one J4b rack-aware
+# pairing round is ONE Balancer iteration; the reference loops until the
+# cluster is balanced or no progress can be made. This operator runs that
+# loop as a driver fixpoint (the d_near_dup_clusters pattern: tiny
+# node-count-sized state frame, eager localCheckpoint per round to truncate
+# lineage) and emits the per-iteration bytes-moved trajectory.
+#
+# Determinism: all arithmetic is BIGINT. Utilization is quantized to
+# "permille-of-percent" units um = dfs_used*100000 DIV capacity (so the 10%
+# threshold is the integer 10_000), excess/deficit to bytes via
+# (um-am)*capacity DIV 100000 — no float ever crosses an aggregation, so
+# Spark and the unrolled DuckDB oracle agree bit-for-bit. The cluster
+# average is INVARIANT under moves (bytes only change hands), so it is
+# computed once.
+#
+# The per-source-per-iteration cap mirrors the reference's
+# MAX_SIZE_TO_MOVE (10 GB, Balancer.java:101-106), scaled to the fixture's
+# 1-4 GB node capacities (512 MB ~ the same cap:capacity ratio as
+# 10 GB : 100 TB-era disks) so the trajectory genuinely spans several
+# iterations instead of converging in one.
+
+_BAL_THRESHOLD_M = 10_000  # 10% threshold in permille-of-percent units
+_BAL_MAX_MOVE = 512 * 1024 * 1024
+_BAL_MAX_ITERS = 15
+
+
+def _j4c_oracle_sql() -> str:
+    """Bounded-iteration unrolling of the balancer loop: _BAL_MAX_ITERS
+    copies of (classify -> same-rack pairing -> residual pairing -> apply
+    moves), chained through state_k CTEs. Iterations after convergence
+    produce zero pairs and therefore no trajectory row, matching the Spark
+    loop's early break exactly. Every multiply-referenced CTE is
+    MATERIALIZED — DuckDB re-evaluates plain CTEs per reference, which
+    is exponential across a chained unrolling."""
+    cap = _BAL_MAX_MOVE
+    thr = _BAL_THRESHOLD_M
+    parts = [
+        "WITH tot AS (SELECT CAST(SUM(dfs_used) * 100000 // SUM(capacity)"
+        " AS BIGINT) AS am FROM datanodes),\n"
+        "bstate_0 AS MATERIALIZED (SELECT datanode_id, rack, capacity, dfs_used FROM datanodes)"
+    ]
+    for k in range(1, _BAL_MAX_ITERS + 1):
+        p, c = k - 1, k
+        parts.append(f"""
+bu_{c} AS MATERIALIZED (
+  SELECT s.*, s.dfs_used * 100000 // s.capacity AS um, t.am
+  FROM bstate_{p} s, tot t
+),
+bover_{c} AS MATERIALIZED (
+  SELECT datanode_id, rack,
+         (um - am) * capacity // 100000 AS excess,
+         ROW_NUMBER() OVER (PARTITION BY rack
+                            ORDER BY (um - am) * capacity // 100000 DESC,
+                                     datanode_id) AS rk
+  FROM bu_{c} WHERE um > am + {thr}
+),
+bunder_{c} AS MATERIALIZED (
+  SELECT datanode_id, rack,
+         (am - um) * capacity // 100000 AS deficit,
+         ROW_NUMBER() OVER (PARTITION BY rack
+                            ORDER BY (am - um) * capacity // 100000 DESC,
+                                     datanode_id) AS rk
+  FROM bu_{c} WHERE um < am - {thr}
+),
+bsame_{c} AS MATERIALIZED (
+  SELECT s.datanode_id AS source, t.datanode_id AS target,
+         LEAST(s.excess, t.deficit, {cap}) AS moved
+  FROM bover_{c} s JOIN bunder_{c} t ON s.rack = t.rack AND s.rk = t.rk
+),
+bro_{c} AS (
+  SELECT datanode_id, excess,
+         ROW_NUMBER() OVER (ORDER BY excess DESC, datanode_id) AS rk
+  FROM bover_{c} o
+  WHERE NOT EXISTS (SELECT 1 FROM bsame_{c} m WHERE m.source = o.datanode_id)
+),
+bru_{c} AS (
+  SELECT datanode_id, deficit,
+         ROW_NUMBER() OVER (ORDER BY deficit DESC, datanode_id) AS rk
+  FROM bunder_{c} x
+  WHERE NOT EXISTS (SELECT 1 FROM bsame_{c} m WHERE m.target = x.datanode_id)
+),
+bmoves_{c} AS MATERIALIZED (
+  SELECT * FROM bsame_{c}
+  UNION ALL
+  SELECT s.datanode_id, t.datanode_id, LEAST(s.excess, t.deficit, {cap})
+  FROM bro_{c} s JOIN bru_{c} t ON s.rk = t.rk
+),
+btraj_{c} AS (
+  SELECT CAST({c} AS INT) AS iteration,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(moved) AS BIGINT) AS bytes_moved,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bover_{c}) AS over_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bunder_{c}) AS under_nodes
+  FROM bmoves_{c} HAVING COUNT(*) > 0
+),
+bout_{c} AS (SELECT source AS datanode_id, SUM(moved) AS b
+             FROM bmoves_{c} GROUP BY source),
+bin_{c} AS (SELECT target AS datanode_id, SUM(moved) AS b
+            FROM bmoves_{c} GROUP BY target),
+bstate_{c} AS MATERIALIZED (
+  SELECT s.datanode_id, s.rack, s.capacity,
+         s.dfs_used - COALESCE(o.b, 0) + COALESCE(i.b, 0) AS dfs_used
+  FROM bstate_{p} s
+  LEFT JOIN bout_{c} o USING (datanode_id)
+  LEFT JOIN bin_{c} i USING (datanode_id)
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM btraj_{k}" for k in range(1, _BAL_MAX_ITERS + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"\nSELECT iteration, n_pairs, bytes_moved, over_nodes, under_nodes"
+          f" FROM ({union}) t"
+    )
+
+
+@register(
+    "j4c_balancer_convergence",
+    oracle=_j4c_oracle_sql(),
+    doc="Iterative balancer convergence (Balancer.java:1302 run(iteration), "
+    "the :1380-1404 loop, exit rules :137-163): repeat the J4b "
+    "same-rack-first pairing, apply each round's capped moves "
+    "(min(excess, deficit, 512 MB) per pair — MAX_SIZE_TO_MOVE scaled to "
+    "fixture capacities) to the node state, iterate until no pair can be "
+    "formed (balanced, or no counterpart left) or the iteration cap; emit "
+    "the per-iteration (pairs, bytes_moved, over/under counts) "
+    "trajectory. Driver-fixpoint shape (the d_near_dup_clusters pattern): "
+    "the state frame is node-count-sized, each round is two broadcastable "
+    "joins + rack-partitioned windows, lineage truncated per round with "
+    "eager localCheckpoint — at 100k nodes this is still a dimension-"
+    "table-sized loop, completely independent of block/byte volume. "
+    "Oracle: the same loop unrolled to a bounded-iteration CTE chain; "
+    "post-convergence iterations pair nothing and emit nothing in both "
+    "engines, so the trajectories agree without signaling the break "
+    "round. All-BIGINT arithmetic (permille-of-percent utilization), so "
+    "no float fold order exists to disagree on.",
+)
+def j4c_balancer_convergence(e) -> DataFrame:
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(e, "j4c_traj", lambda: _j4c_run(e))
+
+
+def _j4c_run(e) -> DataFrame:
+    spark = e["datanodes"].sparkSession
+    nodes = e["datanodes"].select("datanode_id", "rack", "capacity", "dfs_used")
+    tot = nodes.agg(
+        F.sum("dfs_used").alias("su"), F.sum("capacity").alias("sc")
+    ).collect()[0]
+    am = int(tot.su * 100000 // tot.sc)  # invariant under moves
+    state = nodes.localCheckpoint(eager=True)
+    traj: list[tuple[int, int, int, int, int]] = []
+    for k in range(1, _BAL_MAX_ITERS + 1):
+        u = state.withColumn(
+            "um", F.expr("dfs_used * 100000 DIV capacity")
+        )
+        over = (
+            u.filter(F.col("um") > am + _BAL_THRESHOLD_M)
+            .select(
+                "datanode_id",
+                "rack",
+                F.expr(f"(um - {am}) * capacity DIV 100000").alias("excess"),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("rack").orderBy(
+                        F.col("excess").desc(), "datanode_id"
+                    )
+                ),
+            )
+        )
+        under = (
+            u.filter(F.col("um") < am - _BAL_THRESHOLD_M)
+            .select(
+                "datanode_id",
+                "rack",
+                F.expr(f"({am} - um) * capacity DIV 100000").alias("deficit"),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("rack").orderBy(
+                        F.col("deficit").desc(), "datanode_id"
+                    )
+                ),
+            )
+        )
+        same = (
+            over.alias("s")
+            .join(
+                under.alias("t"),
+                (F.col("s.rack") == F.col("t.rack"))
+                & (F.col("s.rk") == F.col("t.rk")),
+            )
+            .select(
+                F.col("s.datanode_id").alias("source"),
+                F.col("t.datanode_id").alias("target"),
+                F.least(
+                    "s.excess", "t.deficit", F.lit(_BAL_MAX_MOVE)
+                ).alias("moved"),
+            )
+        )
+        ro = over.join(
+            same.select(F.col("source").alias("datanode_id")),
+            "datanode_id",
+            "left_anti",
+        ).withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.orderBy(F.col("excess").desc(), "datanode_id")
+            ),
+        )
+        ru = under.join(
+            same.select(F.col("target").alias("datanode_id")),
+            "datanode_id",
+            "left_anti",
+        ).withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.orderBy(F.col("deficit").desc(), "datanode_id")
+            ),
+        )
+        cross = (
+            ro.alias("s")
+            .join(ru.alias("t"), F.col("s.rk2") == F.col("t.rk2"))
+            .select(
+                F.col("s.datanode_id").alias("source"),
+                F.col("t.datanode_id").alias("target"),
+                F.least(
+                    "s.excess", "t.deficit", F.lit(_BAL_MAX_MOVE)
+                ).alias("moved"),
+            )
+        )
+        moves = same.unionAll(cross).localCheckpoint(eager=True)
+        stats = moves.agg(
+            F.count("*").alias("n"), F.sum("moved").alias("b")
+        ).collect()[0]
+        if stats.n == 0:  # balanced, or no counterpart left: Balancer exit
+            break
+        cls = u.agg(
+            F.sum(
+                F.when(F.col("um") > am + _BAL_THRESHOLD_M, 1).otherwise(0)
+            ).alias("o"),
+            F.sum(
+                F.when(F.col("um") < am - _BAL_THRESHOLD_M, 1).otherwise(0)
+            ).alias("d"),
+        ).collect()[0]
+        traj.append((k, int(stats.n), int(stats.b), int(cls.o), int(cls.d)))
+        outb = moves.groupBy(F.col("source").alias("datanode_id")).agg(
+            F.sum("moved").alias("ob")
+        )
+        inb = moves.groupBy(F.col("target").alias("datanode_id")).agg(
+            F.sum("moved").alias("ib")
+        )
+        state = (
+            state.join(outb, "datanode_id", "left")
+            .join(inb, "datanode_id", "left")
+            .select(
+                "datanode_id",
+                "rack",
+                "capacity",
+                (
+                    F.col("dfs_used")
+                    - F.coalesce(F.col("ob"), F.lit(0))
+                    + F.coalesce(F.col("ib"), F.lit(0))
+                ).alias("dfs_used"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        traj,
+        "iteration int, n_pairs bigint, bytes_moved bigint,"
+        " over_nodes bigint, under_nodes bigint",
+    )
