@@ -1,0 +1,76 @@
+"""Dedicated blob corpus for the content-checksum operators (judge r3 #7).
+
+a9b_content_checksum used to default to the sf directory's own parquet
+files — real bytes, but a SELF-REFERENTIAL fixture: the benchmark's input
+grew with engine artifacts (parquet encoding overhead, row-group layout),
+so the 10x scale probe measured parquet growth, not the checksum kernel.
+This module generates a deterministic blob corpus with a FIXED byte volume
+per scale factor (BYTES_PER_SF * sf across N_FILES files, sizes in a fixed
+1..N ratio), so the probe ratio for a9b is the kernel's honest linearity.
+
+Determinism: only Python ever GENERATES the bytes (both engines then read
+the same files), so the generator just has to be seed-stable — md5-derived
+PCG64 seeds per file, content a pure function of (sf, file index, version).
+Built atomically (marker inside a pid-suffixed build dir, renamed into
+place) under /tmp; regeneration is automatic when _GEN_VERSION changes
+because the version is in the directory name.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+BYTES_PER_SF = 1_600_000_000  # total corpus bytes at sf = 1.0
+N_FILES = 10
+_GEN_VERSION = "v1"
+
+
+def blob_fixture_dir(sf: float) -> str:
+    """Return (building on first use) the blob corpus directory for ``sf``."""
+    total = max(int(sf * BYTES_PER_SF), N_FILES * 1024)
+    tag = f"sf{sf:g}_{_GEN_VERSION}"
+    d = f"/tmp/spark_graft_blobs_{tag}"
+    done = os.path.join(d, ".done")  # dot-name: invisible to both glob scans
+    if os.path.exists(done):
+        return d
+    import numpy as np
+
+    tmp = f"{d}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    denom = N_FILES * (N_FILES + 1) // 2
+    for i in range(N_FILES):
+        size = max(total * (i + 1) // denom, 1024)
+        seed = int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:16], 16)
+        rng = np.random.default_rng(seed)
+        data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        with open(os.path.join(tmp, f"blob_{i:03d}.bin"), "wb") as f:
+            f.write(data)
+    open(os.path.join(tmp, ".done"), "w").close()
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.exists(done):
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
+        else:  # concurrent build won; theirs is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def resolve_blob_corpus() -> tuple[str, str]:
+    """(directory, filename glob) for the content-checksum corpus.
+
+    ``SPARK_GRAFT_BLOB_DIR`` still overrides (any directory of parquet or
+    .bin files — the glob adapts to what is there); the default is the
+    generated fixture at the driver's correctness scale factor."""
+    env = os.environ.get("SPARK_GRAFT_BLOB_DIR")
+    d = env if env else blob_fixture_dir(0.01)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        names = []
+    glob = "*.parquet" if any(n.endswith(".parquet") for n in names) else "*.bin"
+    return d, glob

@@ -632,11 +632,14 @@ def a9_file_checksum(e) -> DataFrame:
 
 # The content-checksum corpus. Pinned at import because the DuckDB oracle
 # must name the identical files in STATIC SQL text (read_blob takes a
-# literal glob); defaults to the driver's correctness scale factor.
-# tests/conftest.py points it at the test SF; bench.py at the bench SF.
-_BLOB_DIR = __import__("os").environ.get(
-    "SPARK_GRAFT_BLOB_DIR", "/root/testdata/sf0.01"
-)
+# literal glob); defaults to the DEDICATED deterministic blob fixture at
+# the driver's correctness scale factor (fixed byte volume per SF — see
+# blobfixture.py; the old sf-dir-parquet default made the fixture grow
+# with engine artifacts). tests/conftest.py points SPARK_GRAFT_BLOB_DIR at
+# the test-SF fixture; bench.py at the bench-SF fixture.
+from ..blobfixture import resolve_blob_corpus as _resolve_blob_corpus
+
+_BLOB_DIR, _BLOB_GLOB = _resolve_blob_corpus()
 
 
 @register(
@@ -645,7 +648,7 @@ _BLOB_DIR = __import__("os").environ.get(
 WITH f AS (
   SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
          hex(content) AS h, octet_length(content) AS n
-  FROM read_blob('{_BLOB_DIR}/*.parquet')
+  FROM read_blob('{_BLOB_DIR}/{_BLOB_GLOB}')
 ),
 chunks AS (
   SELECT file_name, n,
@@ -689,7 +692,7 @@ FROM blk GROUP BY file_name
 )
 def a9b_content_checksum(e) -> DataFrame:
     spark = e["region"].sparkSession
-    blobs = spark.read.format("binaryFile").load(f"{_BLOB_DIR}/*.parquet")
+    blobs = spark.read.format("binaryFile").load(f"{_BLOB_DIR}/{_BLOB_GLOB}")
     f = blobs.select(
         F.reverse(F.split("path", "/"))[0].alias("file_name"),
         F.col("content").alias("c"),
@@ -856,6 +859,104 @@ def w6_salvage_runs(e) -> DataFrame:
         .agg(F.count("*").alias("run_len"))
     )
     return runs.groupBy("file_id").agg(F.max("run_len").alias("longest_valid_run"))
+
+
+@register(
+    "w6b_lost_found_move",
+    oracle=f"""
+WITH lfc AS ({_BLOCK_REPL}),
+lff AS (
+  SELECT file_id, block_id, seq, live,
+         SUM(CASE WHEN live = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY file_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM lfc
+),
+lfcorrupt AS (SELECT DISTINCT file_id FROM lff WHERE live = 0),
+lfsalv AS (
+  SELECT f.file_id, f.block_id, f.seq, f.run_id
+  FROM lff f JOIN lfcorrupt USING (file_id)
+  WHERE f.live > 0
+),
+lfranked AS (
+  SELECT s.file_id, i.path, s.block_id, s.seq,
+         CAST(DENSE_RANK() OVER (PARTITION BY s.file_id ORDER BY s.run_id)
+              - 1 AS INT) AS chain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.file_id, s.run_id
+                                 ORDER BY s.seq) - 1 AS INT) AS new_seq
+  FROM lfsalv s JOIN inodes i ON i.id = s.file_id
+)
+SELECT file_id,
+       '/lost+found' || path                                 AS lf_dir,
+       chain,
+       '/lost+found' || path || '/' || CAST(chain AS STRING) AS chain_path,
+       block_id,
+       new_seq
+FROM lfranked
+""",
+    doc="W6b fsck -move TRANSFORM half (NamenodeFsck.lostFoundMove:401-430, "
+    "lostFoundInit:570-583) — the action w6_salvage_runs only reports: for "
+    "every corrupt file (>= 1 block with no live replica), emit the "
+    "/lost+found inode layout the move creates — a directory "
+    "'/lost+found'||path per file, one CHAIN file per maximal run of "
+    "accessible blocks (the reference closes the chain stream at each "
+    "missing block and opens '<target>/<chain++>' at the next accessible "
+    "one), and the salvaged blocks renumbered 0..len-1 within their chain "
+    "(the moved file's new block sequence). Files whose every block is "
+    "missing yield the mkdirs but no chains — hence no block rows here. "
+    "Scale: one blocks|><|replicas rollup (the shared _BLOCK_REPL shape), "
+    "a semi-join to corrupt files, and per-file windows whose partitions "
+    "are bounded by a file's block count; the inode join brings the path "
+    "in by file id. No namespace-wide window, nothing driver-side.",
+)
+def w6b_lost_found_move(e) -> DataFrame:
+    counts = _block_replica_counts(e)
+    w_run = (
+        Window.partitionBy("file_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = counts.withColumn(
+        "run_id", F.sum(F.when(F.col("live") == 0, 1).otherwise(0)).over(w_run)
+    )
+    corrupt = flagged.filter(F.col("live") == 0).select("file_id").distinct()
+    salv = flagged.join(corrupt, "file_id", "left_semi").filter(
+        F.col("live") > 0
+    )
+    ranked = (
+        salv.join(
+            e["inodes"].select(F.col("id").alias("file_id"), "path"), "file_id"
+        )
+        .withColumn(
+            "chain",
+            (
+                F.dense_rank().over(
+                    Window.partitionBy("file_id").orderBy("run_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+        .withColumn(
+            "new_seq",
+            (
+                F.row_number().over(
+                    Window.partitionBy("file_id", "run_id").orderBy("seq")
+                )
+                - 1
+            ).cast("int"),
+        )
+    )
+    lf_dir = F.concat(F.lit("/lost+found"), F.col("path"))
+    return ranked.select(
+        "file_id",
+        lf_dir.alias("lf_dir"),
+        "chain",
+        F.concat(lf_dir, F.lit("/"), F.col("chain").cast("string")).alias(
+            "chain_path"
+        ),
+        "block_id",
+        "new_seq",
+    )
 
 
 @register(
