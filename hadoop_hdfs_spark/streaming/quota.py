@@ -54,6 +54,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import register
 from .replay import apply_edits_batch
 
 _CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
@@ -154,6 +155,37 @@ def verify_quota_batch(
     live, exists = _initial_counts(state, tracked)
     rejections: list[QuotaRejection] = []
 
+    # Index structures keep the fold near-linear in |ops| (a naive
+    # every-tracked-path sweep per op is O(ops x tracked) — quadratic in a
+    # segment where most op paths are distinct):
+    # - containment of a path WITHIN tracked x  <=>  x is an ancestor
+    #   prefix of the path — O(depth) dict probes;
+    # - tracked paths WITHIN a subtree p — a bisect range scan over the
+    #   sorted tracked list ([p+"/", p+"0") plus p itself; "0" = "/"+1).
+    import bisect
+
+    tracked_sorted = sorted(tracked)
+
+    def ancestors_in_tracked(p: str) -> list[str]:
+        out = []
+        if p in tracked:
+            out.append(p)
+        i = p.find("/", 1)
+        while i != -1:
+            a = p[:i]
+            if a in tracked:
+                out.append(a)
+            i = p.find("/", i + 1)
+        return out
+
+    def tracked_within(p: str) -> list[str]:
+        lo = bisect.bisect_left(tracked_sorted, p + "/")
+        hi = bisect.bisect_left(tracked_sorted, p + "0")
+        out = tracked_sorted[lo:hi]
+        if p in tracked:
+            out.append(p)
+        return out
+
     def compose(s: str, d: str, x: str) -> str:
         return s + x[len(d):]
 
@@ -162,11 +194,8 @@ def verify_quota_batch(
         if op in _CREATE_OPS:
             if exists.get(p, False):
                 continue  # already present: no new entry, no charge
-            violated = [
-                x
-                for x, q in quotas.items()
-                if _within(x, p) and live[x] + 1 > q
-            ]
+            anc = ancestors_in_tracked(p)
+            violated = [x for x in anc if x in quotas and live[x] + 1 > quotas[x]]
             if violated:
                 deepest = max(violated, key=len)
                 rejections.append(
@@ -175,33 +204,32 @@ def verify_quota_batch(
                     )
                 )
                 continue
-            for x in tracked:
-                if _within(x, p):
-                    live[x] += 1
+            for x in anc:
+                live[x] += 1
             exists[p] = True
         elif op == "OP_DELETE":
             r = live.get(p, 0)
             if r == 0:
                 continue
-            pre = dict(live)
-            for x in tracked:
-                if _within(x, p):
-                    live[x] = pre[x] - r
-                elif _within(p, x):
+            for x in ancestors_in_tracked(p):
+                live[x] -= r
+            for x in tracked_within(p):
+                if x != p:
                     live[x] = 0
-            for x in tracked:
-                if _within(p, x):
-                    exists[x] = False
+                exists[x] = False
+            live[p] = 0
+            if p in exists:
+                exists[p] = False
         elif op == "OP_RENAME" and dst:
             s_cnt = live.get(p, 0)
             if s_cnt == 0 or live.get(dst, 0) > 0:
                 continue  # empty source / occupied destination: no-op
+            anc_s = set(ancestors_in_tracked(p))
+            anc_d = set(ancestors_in_tracked(dst))
             violated = [
                 x
-                for x, q in quotas.items()
-                if _within(x, dst)
-                and not _within(x, p)
-                and live[x] + s_cnt > q
+                for x in anc_d - anc_s
+                if x in quotas and live[x] + s_cnt > quotas[x]
             ]
             if violated:
                 deepest = max(violated, key=len)
@@ -211,25 +239,24 @@ def verify_quota_batch(
                     )
                 )
                 continue
-            pre_live, pre_exists = dict(live), dict(exists)
-            for x in tracked:
-                in_s, in_d = _within(x, p), _within(x, dst)
-                if in_s and in_d:
-                    continue
-                if in_s:
-                    live[x] = pre_live[x] - s_cnt
-                elif in_d:
-                    live[x] = pre_live[x] + s_cnt
-                elif _within(p, x):
-                    live[x] = 0
-                elif _within(dst, x):
-                    c = compose(p, dst, x)
-                    live[x] = pre_live.get(c, 0)
-            for x in tracked:
-                if _within(p, x):
-                    exists[x] = False
-                elif _within(dst, x):
-                    exists[x] = pre_exists.get(compose(p, dst, x), False)
+            in_src = tracked_within(p)  # includes p itself when tracked
+            pre_live = {x: live.get(x, 0) for x in in_src}
+            pre_exists = {x: exists.get(x, False) for x in in_src}
+            for x in anc_s - anc_d:
+                live[x] -= s_cnt
+            for x in anc_d - anc_s:
+                live[x] += s_cnt
+            for x in in_src:
+                live[x] = 0
+                exists[x] = False
+            for x in tracked_within(dst):
+                if x == dst:
+                    continue  # handled by the ancestor delta (live[dst]+=S)
+                c = compose(p, dst, x)
+                live[x] = pre_live.get(c, live.get(c, 0))
+                exists[x] = pre_exists.get(c, exists.get(c, False))
+            if dst in tracked:
+                exists[dst] = pre_exists.get(p, exists.get(p, False))
     return rejections
 
 
@@ -248,3 +275,94 @@ def apply_edits_batch_enforcing(
         )
         batch = batch.join(F.broadcast(rej), "txid", "left_anti")
     return apply_edits_batch(state, batch), rejections
+
+
+# ----------------------------------------------------------- driver gate
+# t1b: the quota-enforcement semantics under the driver's hash oracle, not
+# just pytest. Scope chosen to be EXACTLY SQL-expressible so the fold's
+# sequential accept/reject logic gets hash-checked: a creates-only segment
+# (one group-commit batch, txid <= _T1B_TXID_CAP) verified against
+# DISJOINT per-user-directory quotas derived from the batch itself (every
+# '/ev/u<k>' with k % 5 == 0 gets ns_quota = _T1B_QUOTA; the namespace
+# state contributes nothing under /ev, so initial usage is zero). With
+# disjoint dirs, creates-only and empty initial usage, the sequential
+# semantics collapse to a closed form the oracle states with two windows:
+# a create is rejected iff its path's FIRST occurrence ranks beyond the
+# dir's capacity among first-occurrences (repeat creates of an ACCEPTED
+# path are exists-no-ops; repeats of a rejected path re-check a dir that
+# is full forever, since nothing frees space in a creates-only batch).
+
+_T1B_QUOTA = 3
+_T1B_TXID_CAP = 4096  # one segment — the group-commit batch boundary
+
+
+@register(
+    "t1b_quota_rejections",
+    oracle=f"""
+WITH qcr AS (
+  SELECT txid, op, path, '/ev/' || split_part(path, '/', 3) AS quota_dir
+  FROM edits
+  WHERE op IN ('OP_ADD', 'OP_MKDIR', 'OP_SYMLINK')
+    AND txid <= {_T1B_TXID_CAP}
+    AND CAST(substr(split_part(path, '/', 3), 2) AS BIGINT) % 5 = 0
+),
+qfc AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid) AS pn
+  FROM qcr
+),
+qfirsts AS (
+  SELECT path, ROW_NUMBER() OVER (PARTITION BY quota_dir ORDER BY txid) AS rk
+  FROM qfc WHERE pn = 1
+)
+SELECT c.txid, c.op, c.path, c.quota_dir,
+       CAST({_T1B_QUOTA} AS BIGINT) AS ns_quota,
+       CAST({_T1B_QUOTA} AS BIGINT) AS used
+FROM qcr c JOIN qfirsts f ON f.path = c.path
+WHERE f.rk > {_T1B_QUOTA}
+""",
+    doc="Quota enforcement under the driver's hash gate "
+    "(FSDirectory.verifyQuota:1564-1605 as the T1 replay applies it): run "
+    "the REAL verify_quota_batch driver fold over one creates-only edit "
+    "segment with per-user-directory namespace quotas and emit every "
+    "rejection (txid, path, violated dir, quota, usage at refusal). The "
+    "oracle restates the sequential accept/reject process in closed form "
+    "— valid exactly because the gated scope has disjoint quota dirs, "
+    "creates only, and zero initial usage, so 'rejected' == 'first "
+    "occurrence ranks beyond capacity' — which makes this a genuine "
+    "cross-engine check of the fold's ordering, repeat-create no-op, and "
+    "capacity logic. Scale: initial usage counts are one distributed "
+    "broadcast-join aggregation over the namespace; the sequential part "
+    "folds one bounded segment (the reference loader is the same "
+    "single-threaded loop); quota dirs are an admin-bounded set.",
+)
+def t1b_quota_rejections(e) -> DataFrame:
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(e, "t1b_quota", lambda: _t1b_run(e))
+
+
+def _t1b_run(e) -> DataFrame:
+    spark = e["edits"].sparkSession
+    batch = e["edits"].filter(
+        F.col("op").isin(*_CREATE_OPS) & (F.col("txid") <= _T1B_TXID_CAP)
+    )
+    user_dir = F.concat(F.lit("/ev/"), F.split("path", "/").getItem(2))
+    quota_rows = (
+        batch.select(user_dir.alias("d"))
+        .filter(
+            F.expr("CAST(substr(split(d, '/')[2], 2) AS BIGINT) % 5 = 0")
+        )
+        .distinct()
+        .collect()
+    )
+    quotas = {r["d"]: _T1B_QUOTA for r in quota_rows}
+    state = e["inodes"].select("path", F.lit(True).alias("exists"))
+    rejections = verify_quota_batch(state, batch, quotas)
+    return spark.createDataFrame(
+        [
+            (r.txid, r.op, r.path, r.quota_dir, r.ns_quota, r.used)
+            for r in rejections
+        ],
+        "txid long, op string, path string, quota_dir string,"
+        " ns_quota long, used long",
+    )
