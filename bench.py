@@ -38,12 +38,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # with the dataset, not with parquet artifact overhead.
 from hadoop_hdfs_spark.blobfixture import blob_fixture_dir  # noqa: E402
 
+def _parse_sf(sf_dir: str, default: float) -> float:
+    """sf from a directory name: 'sf0.1', 'sf1', 'sf1_<hash>' all parse."""
+    import re
+
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else default
+
+
 _bench_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-_bench_sf = (
-    float(_bench_sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    if "sf" in _bench_sf_dir
-    else 0.1
-)
+_bench_sf = _parse_sf(_bench_sf_dir, 0.1)
 os.environ.setdefault("SPARK_GRAFT_BLOB_DIR", blob_fixture_dir(_bench_sf))
 
 from hadoop_hdfs_spark import registry
@@ -52,7 +56,7 @@ from hadoop_hdfs_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = _parse_sf(sf_dir, -1.0)
     spark = get_spark("hadoop-hdfs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     detail_path = os.environ.get(
