@@ -247,10 +247,15 @@ def scale_probe() -> None:
             SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(blob_sf),
             SPARK_GRAFT_SKIP_SF1="1",  # the probe runs both SFs itself
         )
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(here, "bench.py")],
-            env=env, check=True, capture_output=True, text=True,
+            env=env, capture_output=True, text=True,
         )
+        if proc.returncode != 0:  # surface the inner failure, don't swallow it
+            raise RuntimeError(
+                f"probe bench at {tag} failed (rc={proc.returncode}):\n"
+                + proc.stderr[-4000:]
+            )
         with open(os.path.join(here, "bench_detail.json")) as f:
             results[tag] = json.load(f)
     q01, q1 = results["sf0.1"]["queries"], results["sf1"]["queries"]
