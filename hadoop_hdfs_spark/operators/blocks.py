@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..entities import HEARTBEAT_EXPIRY_MS, NOW_MS
 from ..registry import eager_cache, register
+from ..session import fan_out
 
 # Shared DuckDB fragment: per-block replica rollup.
 _BLOCK_REPL = """
@@ -684,65 +685,104 @@ FROM blk GROUP BY file_name
     "(DuckDB has neither crc32 nor blob slicing, so both engines hash the "
     "hex rendering — same information content, independently computed); "
     "s1_binary_block_scan keeps a real crc32 leg Spark-side. Scale shape: "
-    "chunk digests collapse map-side inside one whole-stage-codegen "
-    "projection (transform over sequence — the multi-MB hex string never "
-    "crosses an exchange); the shuffle moves only (file, block_idx, "
-    "chunk_md5) rows. a9_file_checksum (block-metadata digest) stays "
-    "registered for the metadata-only plan shape.",
+    "a RANGE-SHARDED positional read (HDFS pread semantics) — the plan is "
+    "(path, offset, length) rows at 16 MiB block-aligned shards, each "
+    "task reads ONLY its range and emits finished (file, block_idx, "
+    "block_md5) rows, so executor memory is bounded by the shard size "
+    "regardless of file or corpus size and the shuffle moves only block "
+    "rows (the prior binaryFile whole-file scan held entire files as "
+    "single rows — OOM at 300 MB files, impossible at 100 TB). "
+    "a9_file_checksum (block-metadata digest) stays registered for the "
+    "metadata-only plan shape.",
 )
 def a9b_content_checksum(e) -> DataFrame:
     spark = e["region"].sparkSession
-    blobs = spark.read.format("binaryFile").load(f"{_BLOB_DIR}/{_BLOB_GLOB}")
-    f = blobs.select(
-        F.reverse(F.split("path", "/"))[0].alias("file_name"),
-        F.col("content").alias("c"),
-        F.col("length").alias("n"),
-    )
-    # The chunk digester is an Arrow-batched kernel, NOT a JVM
-    # higher-order function — measured pathology, not preference: HOFs run
-    # interpreted, and the lambda's outer reference to the blob column
-    # re-evaluates its BoundReference PER ELEMENT, where
-    # UnsafeRow.getBinary COPIES the full blob — O(chunks x filesize)
-    # memcpy (a 10 MB file = ~200 GB of copying, ~70 s; the string-slicing
-    # variant was quadratic in UTF8String.substring as well). The Arrow
-    # path transfers each blob once and slices zero-copy in Python:
-    # O(filesize). Per row: md5 over the UPPERCASE hex of each 512-byte
-    # slice — byte-identical to the oracle's md5(substring(hex(content))).
-    # Nested def => pickled by value, no worker import requirements.
-    from pyspark.sql.functions import pandas_udf
+    import glob as _glob
+    import os as _os
 
-    @pandas_udf("array<string>")
-    def chunk_digests(contents: pd.Series) -> pd.Series:
+    # Range-sharded positional read — the binaryFile whole-file scan it
+    # replaces materialized each file as ONE row (a 300 MB blob at sf1 x
+    # concurrent tasks OOMed an 8 GB driver, and a 100 TB corpus makes
+    # whole-file rows impossible at any heap size). The plan is (path,
+    # offset, length) rows — HDFS pread semantics (DFSClient.read:1054's
+    # positional leg) — each shard 16 MiB, a multiple of the 64 KiB
+    # 'block' span, so every block's 128 chunks live in exactly one shard
+    # and the kernel emits finished (file, block_idx, block_md5) rows.
+    # Executor memory is bounded by the shard size regardless of file or
+    # corpus size; the shuffle moves only block rows. On a cluster the
+    # open/seek/read becomes the store's ranged GET; local[*] shares the
+    # filesystem, same as binaryFile's listing did.
+    shard = 16 * 1024 * 1024
+    span = 128 * 512  # one 'block': 128 chunks x 512 B
+    files = [
+        (_os.path.basename(p), p, _os.path.getsize(p))
+        for p in sorted(_glob.glob(_os.path.join(_BLOB_DIR, _BLOB_GLOB)))
+    ]
+    # Only the FILE list touches the driver (one row per file, as any
+    # listing does); the per-shard rows are derived distributedly, so a
+    # million-shard corpus never materializes its plan driver-side.
+    plan_df = fan_out(
+        spark.createDataFrame(files, "file_name string, path string, n long")
+        .filter(F.col("n") > 0)
+        .select(
+            "file_name",
+            "path",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.col("n") / F.lit(shard)).cast("long") - 1
+                )
+            ).alias("shard_idx"),
+        )
+        .select(
+            "file_name",
+            "path",
+            (F.col("shard_idx") * shard).alias("offset"),
+            F.least(
+                F.lit(shard), F.col("n") - F.col("shard_idx") * shard
+            ).alias("length"),
+            "n",
+        )
+    )
+
+    # Per shard: read ONLY the byte range, digest each 512-byte chunk as
+    # md5 over its UPPERCASE hex (byte-identical to the oracle's
+    # md5(substring(hex(content))) — DuckDB has neither crc32 nor blob
+    # slicing; s1_binary_block_scan keeps a real crc32 leg Spark-side),
+    # then roll each 64 KiB span into its block MD5 before anything
+    # leaves the task. Nested def => pickled by value.
+    def shard_block_md5s(batches):
         import hashlib
 
-        def per(c) -> list[str]:
-            if c is None:
-                return []
-            return [
-                hashlib.md5(c[i : i + 512].hex().upper().encode()).hexdigest()
-                for i in range(0, len(c), 512)
-            ]
+        for pdf in batches:
+            out = {"file_name": [], "n": [], "block_idx": [], "block_md5": []}
+            for fn, path, off, ln, n in zip(
+                pdf["file_name"], pdf["path"], pdf["offset"],
+                pdf["length"], pdf["n"],
+            ):
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    data = fh.read(int(ln))
+                base = int(off) // span
+                for b in range(0, len(data), span):
+                    piece = data[b : b + span]
+                    cat = "".join(
+                        hashlib.md5(
+                            piece[i : i + 512].hex().upper().encode()
+                        ).hexdigest()
+                        for i in range(0, len(piece), 512)
+                    )
+                    out["file_name"].append(fn)
+                    out["n"].append(int(n))
+                    out["block_idx"].append(base + b // span)
+                    out["block_md5"].append(
+                        hashlib.md5(cat.encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
 
-        return contents.map(per)
-
-    cmd5 = f.select(
-        "file_name",
-        "n",
-        F.posexplode(chunk_digests(F.col("c"))).alias("chunk_idx", "chunk_md5"),
-    )
-    blk = cmd5.groupBy(
-        "file_name", F.expr("chunk_idx DIV 128").alias("block_idx")
-    ).agg(
-        F.max("n").alias("n"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk_md5"))),
-                    lambda s: s["chunk_md5"],
-                ),
-                "",
-            )
-        ).alias("block_md5"),
+    blk = plan_df.mapInPandas(
+        shard_block_md5s,
+        "file_name string, n long, block_idx long, block_md5 string",
     )
     return blk.groupBy("file_name").agg(
         F.max("n").cast("long").alias("byte_len"),

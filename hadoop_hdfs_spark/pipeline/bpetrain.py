@@ -97,6 +97,123 @@ bpt_{k} AS (
     )
 
 
+def _bpe_tokenize_oracle() -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    # reuse the training chain's CTEs, then apply the 6 merges IN ORDER to a
+    # whole-document wrapped representation (words separated by chr(30), so
+    # no merge pattern can span a word boundary) and count surviving symbols
+    train = _bpe_oracle()
+    chain = train[: train.rindex("\nSELECT merge_idx")]  # drop final SELECT
+    expr = "repr"
+    for k in range(1, _BPE_MERGES + 1):
+        expr = (
+            f"replace({expr}, {sep}||m{k}.l||{sep2}||m{k}.r||{sep}, "
+            f"{sep}||m{k}.l||m{k}.r||{sep})"
+        )
+    froms = ", ".join(
+        f"bpb_{k} m{k}" for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""{chain},
+bpdoc AS (
+  SELECT doc_id, length(text) AS n_chars_m,
+         array_to_string(
+           list_transform(string_split(text, ' '), w ->
+             {sep} || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]),
+               {sep2}) || {sep}),
+           chr(30)) AS repr,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_words,
+       CAST((length(r2) - length(replace(r2, {sep2}, ''))) // 2
+            + n_words AS BIGINT) AS n_tokens,
+       CAST(CAST(n_chars_m AS BIGINT) * 1000000
+            // ((length(r2) - length(replace(r2, {sep2}, ''))) // 2
+                + n_words) AS BIGINT) AS chars_per_token_e6
+FROM (
+  SELECT doc_id, n_words, n_chars_m, {expr} AS r2
+  FROM bpdoc, {froms}
+) t"""
+
+
+@register(
+    "t_bpe_tokenize",
+    oracle=_bpe_tokenize_oracle(),
+    doc="Apply the trained BPE merge table corpus-wide: wrap every "
+    "character of every word in chr(31) sentinels (words separated by "
+    "chr(30), so no merge can cross a word boundary), replay the 6 "
+    "merges IN TRAINING ORDER as chained string replaces, then count "
+    "surviving symbols per document arithmetically (separator-pair count "
+    "+ word count — the tokens never materialize as rows). Pure map, "
+    "ZERO shuffle, whole-stage codegen end to end; the merge table "
+    "arrives as 6 collected literals (broadcast-sized by construction). "
+    "Emits (doc_id, n_words, n_tokens, chars_per_token_e6) — the "
+    "tokens-per-doc accounting a training-data pipeline bills by. "
+    "Precondition (holds for the fixtures, asserted in tests): text has "
+    "no empty words and no chr(30)/chr(31). Oracle: the training chain's "
+    "CTEs cross-joined (six 1-row merge tables) into the same chained "
+    "replace.",
+)
+def t_bpe_tokenize(e) -> DataFrame:
+    merges = sorted(
+        (r.merge_idx, r.lhs, r.rhs)
+        for r in t_bpe_train(e).select("merge_idx", "lhs", "rhs").collect()
+    )
+    sep2 = _SEP + _SEP
+    words = F.split("text", " ")
+    repr_col = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit(_SEP),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(w)),
+                        lambda i: w.substr(i, F.lit(1)),
+                    ),
+                    sep2,
+                ),
+                F.lit(_SEP),
+            ),
+        ),
+        "\x1e",
+    )
+    for _, l, r in merges:
+        repr_col = F.replace(
+            repr_col, F.lit(_SEP + l + sep2 + r + _SEP), F.lit(_SEP + l + r + _SEP)
+        )
+    return (
+        e["documents"]
+        .select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.length(repr_col).cast("long").alias("len_all"),
+            F.length(F.replace(repr_col, F.lit(sep2), F.lit("")))
+            .cast("long")
+            .alias("len_nosep"),
+            F.length("text").cast("long").alias("n_chars_m"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr(
+                "CAST((len_all - len_nosep) DIV 2 + n_words AS BIGINT)"
+            ).alias("n_tokens"),
+            "n_chars_m",
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr(
+                "CAST(n_chars_m * 1000000 DIV n_tokens AS BIGINT)"
+            ).alias("chars_per_token_e6"),
+        )
+    )
+
+
 @register(
     "t_bpe_train",
     oracle=_bpe_oracle(),

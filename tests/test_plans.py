@@ -187,15 +187,17 @@ def test_t7_pending_filter_pushed_to_scan(spark, sf_dir):
     assert "Filter" in plan
 
 
-def test_a9b_checksum_keeps_partial_aggregates(spark, sf_dir):
-    # chunk digests collapse map-side: both the per-block and per-file
-    # rollups keep partial HashAggregate/ObjectHashAggregate stages so the
-    # shuffle moves 32-char digests, never the multi-MB hex column
+def test_a9b_checksum_range_sharded_read(spark, sf_dir):
+    # the content scan is a RANGE-SHARDED positional read: the Arrow
+    # kernel consumes (path, offset, length) plan rows and emits finished
+    # per-block digests, so no whole-file binary rows exist anywhere and
+    # the shuffle moves only 32-char digest rows
     plan = _plan(spark, sf_dir, "a9b_content_checksum")
+    assert "MapInPandas" in plan  # the shard kernel
+    assert "binaryFile" not in plan  # no whole-file materialization
     assert (
-        plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+        plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 1
     )
-    assert "Generate" in plan  # posexplode of the chunk-digest array
 
 
 def test_t15_genstamp_broadcasts_authority(spark, sf_dir):
