@@ -241,10 +241,15 @@ def scale_probe() -> None:
     sf1_dir = _materialize_sf1(base_dir)
     results = {}
     for tag, d, blob_sf in (("sf0.1", base_dir, 0.1), ("sf1", sf1_dir, 1.0)):
+        # Per-tag detail path, set EXPLICITLY: the child honors an inherited
+        # SPARK_GRAFT_BENCH_DETAIL, which would send both probe runs to the
+        # same (or an unrelated) file and make the ratios read stale data.
+        detail_path = f"/tmp/spark_graft_probe_detail_{tag}.json"
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=d,
             SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(blob_sf),
+            SPARK_GRAFT_BENCH_DETAIL=detail_path,
             SPARK_GRAFT_SKIP_SF1="1",  # the probe runs both SFs itself
         )
         proc = subprocess.run(
@@ -256,7 +261,7 @@ def scale_probe() -> None:
                 f"probe bench at {tag} failed (rc={proc.returncode}):\n"
                 + proc.stderr[-4000:]
             )
-        with open(os.path.join(here, "bench_detail.json")) as f:
+        with open(detail_path) as f:
             results[tag] = json.load(f)
     q01, q1 = results["sf0.1"]["queries"], results["sf1"]["queries"]
     ratios = {

@@ -53,8 +53,16 @@ def blob_fixture_dir(sf: float) -> str:
         os.rename(tmp, d)
     except OSError:
         if not os.path.exists(done):
+            # Torn target with no marker: clear it and retry — but a
+            # CONCURRENT builder may complete between the rmtree and this
+            # rename, so re-check the marker instead of raising (ADVICE r4).
             shutil.rmtree(d, ignore_errors=True)
-            os.rename(tmp, d)
+            try:
+                os.rename(tmp, d)
+            except OSError:
+                if not os.path.exists(done):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
         else:  # concurrent build won; theirs is complete
             shutil.rmtree(tmp, ignore_errors=True)
     return d

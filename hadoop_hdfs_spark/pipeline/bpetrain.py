@@ -105,14 +105,22 @@ def _bpe_tokenize_oracle() -> str:
     # no merge pattern can span a word boundary) and count surviving symbols
     train = _bpe_oracle()
     chain = train[: train.rindex("\nSELECT merge_idx")]  # drop final SELECT
+    # Merge CTEs join as LEFT JOIN ON TRUE with COALESCE'd identity
+    # patterns (ADVICE r4): if the corpus yields fewer than _BPE_MERGES
+    # merges, an empty bpb_k must act as a NO-OP replace — chr(29) never
+    # occurs in the wrapped repr (precondition asserted alongside the
+    # chr(30)/chr(31) one), so replace(x, chr(29), '') is the identity —
+    # instead of a zero-row cross join that would spuriously hash-mismatch
+    # the Spark side (which simply applies the shorter merge list).
     expr = "repr"
     for k in range(1, _BPE_MERGES + 1):
         expr = (
-            f"replace({expr}, {sep}||m{k}.l||{sep2}||m{k}.r||{sep}, "
-            f"{sep}||m{k}.l||m{k}.r||{sep})"
+            f"replace({expr}, "
+            f"coalesce({sep}||m{k}.l||{sep2}||m{k}.r||{sep}, chr(29)), "
+            f"coalesce({sep}||m{k}.l||m{k}.r||{sep}, ''))"
         )
-    froms = ", ".join(
-        f"bpb_{k} m{k}" for k in range(1, _BPE_MERGES + 1)
+    froms = " ".join(
+        f"LEFT JOIN bpb_{k} m{k} ON TRUE" for k in range(1, _BPE_MERGES + 1)
     )
     return f"""{chain},
 bpdoc AS (
@@ -134,7 +142,7 @@ SELECT doc_id, n_words,
                 + n_words) AS BIGINT) AS chars_per_token_e6
 FROM (
   SELECT doc_id, n_words, n_chars_m, {expr} AS r2
-  FROM bpdoc, {froms}
+  FROM bpdoc {froms}
 ) t"""
 
 

@@ -295,8 +295,15 @@ def mm_feature_certify(e) -> DataFrame:
     # export) and when the driver runs from the repo cwd, but NOT
     # guaranteed for an arbitrary bare session. A nested function pickles
     # by value, so this driver-gated query carries zero import
-    # requirements to the workers. tests/test_streaming.py pins this
-    # inline kernel equal to decode_kernel/extract_features.
+    # requirements to the workers. Scope of the gate (ADVICE r4): this
+    # inline kernel is the STUB arithmetic of decode_kernel — which is
+    # also exactly what extract_features computes on THESE payloads even
+    # with PIL installed, because the fixture payloads are UTF-8 text
+    # bytes that no image codec decodes (Image.open raises -> stub
+    # fallback). The PIL swap-in leg is certified separately by
+    # tests/test_multimodal_codec.py; tests/test_streaming.py pins this
+    # inline kernel equal to decode_kernel/extract_features on the
+    # fixture payloads.
     assets = documents_as_assets(e["documents"])
 
     def run(batches):

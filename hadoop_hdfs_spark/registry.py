@@ -128,26 +128,23 @@ def _import_operator_modules() -> None:
 # records rows for the FIRST 50 ONLY (observed in CORRECTNESS_r01/r02), so
 # the catalog order is a per-round rotation budget. Since round 4 the
 # rotation is MECHANIZED from the CORRECTNESS_r*.json artifacts at import
-# time (judge directive r3 #8) — no hand-curated frozensets to roll forward:
+# time (judge directive r3 #8); since round 5 the last manual input — a
+# hand-maintained touched-this-round list, which missed two changed
+# queries in r4 — is replaced by the committed semantic-fingerprint
+# manifest (manifest.py, judge directive r4 #1):
 #
 #   tier 0: queries with NO green driver row yet (new registrations),
-#   tier 1: queries semantically changed this round (_TOUCHED_THIS_ROUND —
-#           the one remaining hand-maintained list, reset each round),
+#   tier 1: queries whose current fingerprint (oracle SQL + optimized
+#           plan + sf0.001 result hash) differs from the fingerprint
+#           their latest green row verified — or that the manifest does
+#           not know (conservative),
 #   tier 2: everything else, STALEST green row first.
 #
 # tests/test_driver_contract.py asserts the invariant: every tier-0/1 query
-# is inside the 50-slot budget, and no query outside the first 50 is staler
-# than a tier-2 query inside it.
+# is inside the 50-slot budget, no query outside the first 50 is staler
+# than a tier-2 query inside it, the manifest matches the working tree
+# (freshness), and a synthetic fingerprint edit lands in tier 1.
 _DRIVER_BUDGET = 50
-
-# Semantically changed this round — their last green row no longer vouches
-# for the current code, so they must re-verify ahead of merely-stale rows.
-# r4: the recall gates switched to a fixed-K query set (judge #2) and
-# a9b's default blob corpus moved to the dedicated deterministic fixture
-# (judge #7).
-_TOUCHED_THIS_ROUND = frozenset({
-    "s_knn_recall", "s_knn_recall_clustered", "a9b_content_checksum",
-})
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -180,13 +177,18 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
-def _driver_order(names) -> list[str]:
+def _driver_order(names, manifest: dict | None = None) -> list[str]:
+    from .manifest import load_manifest, touched_queries
+
     latest = _latest_green_round()
+    m = manifest if manifest is not None else load_manifest()
+    touched = touched_queries(m)
+    known = set(m.get("queries", {}))
 
     def tier(n: str) -> int:
         if n not in latest:
             return 0
-        if n in _TOUCHED_THIS_ROUND:
+        if n in touched or n not in known:
             return 1
         return 2
 

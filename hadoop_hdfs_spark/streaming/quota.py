@@ -35,12 +35,14 @@ Semantics (flat-path namespace model, matching ``apply_edits_batch``):
 
 Subtree counts are maintained exactly through the fold with containment
 algebra over the TRACKED path set (quota dirs + batch op paths + rename
-compositions, closed to a bounded depth): a rename landing entries inside
-a tracked directory reads the pre-move count of the composed source path
-(``src + (x - dst)``), which is itself tracked. Composition closure runs 3
-passes — enough for rename chains of depth 3 within one batch; deeper
-chains fall back to a conservative 0 (under-count, accept-biased) and are
-excluded from the property-test generator.
+compositions, closed transitively): a rename landing entries inside a
+tracked directory reads the pre-move count of the composed source path
+(``src + (x - dst)``), which is itself tracked. The composition closure
+is TIME-CONSISTENT: renames are walked once in descending txid order, so
+each composed path is closed only through strictly earlier renames — the
+exact set the fold consults, finite by construction (a naive unordered
+fixpoint diverges on valid two-rename ping-pongs). A pathological batch
+that still explodes the tracked set raises loudly (no silent under-count).
 
 Property-tested against a sequential interpreter that replays the same ops
 over explicit path SETS (tests/test_quota_property.py): same rejected
@@ -83,18 +85,33 @@ def _tracked_paths(
         t.add(o["path"])
         if o.get("dst"):
             t.add(o["dst"])
-    # composition closure: a rename landing inside tracked x needs the
-    # composed source path's count; 3 passes bound chained renames
-    renames = [(o["path"], o["dst"]) for o in ops if o["op"] == "OP_RENAME" and o.get("dst")]
-    for _ in range(3):
-        new = set()
-        for s, d in renames:
-            for x in t:
-                if _within(d, x):
-                    new.add(s + x[len(d):])
-        if new <= t:
-            break
-        t |= new
+    # Composition closure, TIME-CONSISTENT (ADVICE r4 — the old fixed
+    # 3 passes silently under-counted deeper chains, and a naive fixpoint
+    # over the unordered rename list genuinely diverges on valid inputs:
+    # two renames can ping-pong compositions forever). The fold only ever
+    # needs a composed path's count at times BEFORE the rename that
+    # composed it, so walk the renames ONCE in DESCENDING txid order:
+    # when rename (s, d) is processed, the set already holds every path
+    # whose count must be correct at any later time, and each addition
+    # (s + x[len(d):]) only needs correctness at strictly earlier times —
+    # handled by the remaining (earlier) renames. One pass, exact, and
+    # terminating by construction.
+    renames = sorted(
+        (o["txid"], o["path"], o["dst"])
+        for o in ops
+        if o["op"] == "OP_RENAME" and o.get("dst")
+    )
+    limit = max(10_000, 100 * len(t))
+    for _, s, d in reversed(renames):
+        t |= {s + x[len(d):] for x in t if _within(d, x)}
+        if len(t) > limit:
+            # Per-dst growth is geometric only for pathologically nested
+            # rename stacks; refuse loudly rather than degrade silently.
+            raise ValueError(
+                "quota verification degraded: rename pre-image closure "
+                f"exceeded {limit} tracked paths for a {len(renames)}-rename "
+                "batch — split the segment or reduce maxFilesPerTrigger"
+            )
     return t
 
 

@@ -58,9 +58,16 @@ def staged_dir(sf_dir: str, tag: str, build: Callable[[str], None]) -> str:
     except OSError:
         if not os.path.exists(done):
             # leftover torn stage from a crashed build at this exact
-            # fingerprint — replace it with our complete one
+            # fingerprint — replace it with our complete one. A CONCURRENT
+            # builder may complete between the rmtree and this rename, so
+            # re-check the marker instead of raising (ADVICE r4).
             shutil.rmtree(stage, ignore_errors=True)
-            os.rename(tmp, stage)
+            try:
+                os.rename(tmp, stage)
+            except OSError:
+                if not os.path.exists(done):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
         else:  # lost the race to a complete concurrent build
             shutil.rmtree(tmp, ignore_errors=True)
     return stage

@@ -71,6 +71,21 @@ def test_bpe_matches_sequential_model(spark, sf_dir):
     assert got == expected
 
 
+def test_sentinels_absent_from_corpus(sf_dir):
+    """Precondition of the wrapped-replace trick AND the oracle's identity
+    pattern: chr(29) (no-op replace pattern for missing merges), chr(30)
+    (word separator) and chr(31) (symbol sentinel) must not occur in the
+    fixture text."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text LIKE '%' || chr(29) || '%' "
+        "   OR text LIKE '%' || chr(30) || '%' "
+        "   OR text LIKE '%' || chr(31) || '%'"
+    ).fetchone()[0]
+    assert n == 0
+
+
 def test_sequential_model_greedy_merge_shapes():
     """Pin the greedy non-overlapping semantics the engines must share:
     'a a a' -> [aa, a] and interleaved pairs merge independently."""

@@ -47,21 +47,25 @@ def test_bare_driver_session_runs_contract():
 
 def test_rotation_queues_most_deserving_queries():
     """The mechanized 50-slot rotation (registry._driver_order over the
-    CORRECTNESS_r*.json artifacts) must queue exactly the queries with the
-    greatest verification need: every never-verified or touched-this-round
-    query inside the budget, and nothing outside the first 50 staler than a
-    stale query inside it. Guards the r3 failure mode where a forgotten
-    hand-reorder hides a regression for a full round."""
-    from hadoop_hdfs_spark import registry
+    CORRECTNESS_r*.json artifacts + the fingerprint manifest) must queue
+    exactly the queries with the greatest verification need: every
+    never-verified or fingerprint-changed query inside the budget, and
+    nothing outside the first 50 staler than a stale query inside it.
+    Guards the r3 failure mode where a forgotten hand-reorder hides a
+    regression for a full round."""
+    from hadoop_hdfs_spark import manifest, registry
 
     registry._import_operator_modules()
     order = registry._driver_order(list(registry._REGISTRY))
     latest = registry._latest_green_round()
     budget = set(order[: registry._DRIVER_BUDGET])
 
+    m = manifest.load_manifest()
+    touched = manifest.touched_queries(m)
+    known = set(m.get("queries", {}))
     needy = [
         n for n in order
-        if n not in latest or n in registry._TOUCHED_THIS_ROUND
+        if n not in latest or n in touched or n not in known
     ]
     assert len(needy) <= registry._DRIVER_BUDGET, (
         f"{len(needy)} tier-0/1 queries exceed the {registry._DRIVER_BUDGET}"
@@ -81,6 +85,57 @@ def test_rotation_queues_most_deserving_queries():
     # the current catalog size (pigeonhole floor for 126+ queries @ 50/round)
     current_round = max(latest.values(), default=0) + 1
     assert all(current_round - latest[n] <= 2 for n in order[registry._DRIVER_BUDGET:])
+
+
+def test_manifest_is_fresh_and_complete():
+    """The committed fingerprint manifest must match the working tree:
+    every source file's hash as recorded, every registered query present.
+    A code change without `python -m hadoop_hdfs_spark.manifest` fails
+    here — a stale manifest (the r4 hand-list failure mode) cannot ship."""
+    from hadoop_hdfs_spark import manifest, registry
+
+    m = manifest.load_manifest()
+    assert m.get("queries"), "QUERY_MANIFEST.json missing — regenerate it"
+    current_files = manifest.source_file_hashes()
+    stale = {
+        p
+        for p in set(current_files) | set(m["files"])
+        if current_files.get(p) != m["files"].get(p)
+    }
+    assert not stale, (
+        f"manifest stale for {sorted(stale)}: run "
+        "`python -m hadoop_hdfs_spark.manifest` and commit the result"
+    )
+    registry._import_operator_modules()
+    missing = set(registry._REGISTRY) - set(m["queries"])
+    assert not missing, f"queries missing from manifest: {sorted(missing)}"
+
+
+def test_synthetic_fingerprint_edit_lands_in_tier_1():
+    """Mechanized touched-detection: flip one green query's fingerprint in
+    an in-memory manifest and the rotation must pull it inside the budget,
+    ahead of every merely-stale query — with NO hand-list involved."""
+    import copy
+
+    from hadoop_hdfs_spark import manifest, registry
+
+    registry._import_operator_modules()
+    names = list(registry._REGISTRY)
+    latest = registry._latest_green_round()
+    m = copy.deepcopy(manifest.load_manifest())
+    # pick the green query with the FRESHEST row — the one staleness alone
+    # would queue last, so tier 1 is what moves it
+    victim = max((n for n in names if n in latest), key=lambda n: latest[n])
+    m["queries"][victim]["fingerprint"] = "0" * 64
+    order = registry._driver_order(names, manifest=m)
+    budget = order[: registry._DRIVER_BUDGET]
+    assert victim in budget
+    # it must precede every tier-2 (merely stale) query
+    tier2 = [
+        n for n in order
+        if n in latest and n != victim and n not in manifest.touched_queries(m)
+    ]
+    assert order.index(victim) < min(order.index(n) for n in tier2)
 
 
 def test_nn_throughput_harness_runs():

@@ -5,8 +5,9 @@ ground-truth sequential semantics (FSDirectory.verifyQuota walk per
 mutation) — and the property requires the driver-fold enforcement to
 reject exactly the same txids AND produce the same final namespace after
 the merge. Generator scope matches the documented contract: flat-path
-model, renames never target an occupied destination subtree's interior
-beyond the 3-pass composition closure (plain chains are included)."""
+model; rename chains of ANY depth within one batch are in scope (the
+time-consistent pre-image closure is exact), only renames into/onto the
+own subtree are filtered — the reference itself refuses those."""
 
 from __future__ import annotations
 

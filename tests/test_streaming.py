@@ -383,7 +383,36 @@ def test_replay_snapshot_retention(spark, sf_dir, tmp_path):
     ]
     assert len(committed) <= 2, committed
     assert os.path.isdir(snap + "_v999999")  # uncommitted left alone
-    assert load_latest_snapshot(spark, snap).count() > 0
+    before = sorted(
+        map(tuple, load_latest_snapshot(spark, snap).collect())
+    )
+    assert len(before) > 0
+    # Prune harder: the latest version must survive BYTE-IDENTICAL even
+    # though its untouched partitions are hardlinks into versions the
+    # sweep deletes (link count drops, inode data must not).
+    from hadoop_hdfs_spark.streaming.replay import _prune_snapshot_versions
+
+    latest_dir = max(committed, key=lambda p: int(p.rsplit("_v", 1)[1]))
+    bytes_before = {
+        f: open(os.path.join(dp, f), "rb").read()
+        for dp, _, fs in os.walk(latest_dir)
+        for f in fs
+    }
+    _prune_snapshot_versions(snap, keep=1)
+    committed_after = [
+        p
+        for p in glob.glob(snap + "_v*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    assert committed_after == [latest_dir]
+    assert os.path.isdir(snap + "_v999999")  # still untouched
+    bytes_after = {
+        f: open(os.path.join(dp, f), "rb").read()
+        for dp, _, fs in os.walk(latest_dir)
+        for f in fs
+    }
+    assert bytes_after == bytes_before
+    assert sorted(map(tuple, load_latest_snapshot(spark, snap).collect())) == before
 
 
 def test_mm_certify_kernel_matches_library_stage(spark, sf_dir):
