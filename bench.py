@@ -236,15 +236,21 @@ def scale_probe() -> None:
     queries whose wall-clock ratio exceeds the data ratio (10x)."""
     import subprocess
 
+    import tempfile
+
     here = os.path.dirname(os.path.abspath(__file__))
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1_dir = _materialize_sf1(base_dir)
     results = {}
+    # Per-run scratch dir: a fixed /tmp name would let two concurrent
+    # probes on one host overwrite each other's detail files and silently
+    # mix results into the ratios (ADVICE r5).
+    scratch = tempfile.mkdtemp(prefix="spark_graft_probe_")
     for tag, d, blob_sf in (("sf0.1", base_dir, 0.1), ("sf1", sf1_dir, 1.0)):
         # Per-tag detail path, set EXPLICITLY: the child honors an inherited
         # SPARK_GRAFT_BENCH_DETAIL, which would send both probe runs to the
         # same (or an unrelated) file and make the ratios read stale data.
-        detail_path = f"/tmp/spark_graft_probe_detail_{tag}.json"
+        detail_path = os.path.join(scratch, f"detail_{tag}.json")
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=d,

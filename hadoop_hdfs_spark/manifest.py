@@ -90,8 +90,42 @@ def load_manifest() -> dict:
         return {"queries": {}, "files": {}}
 
 
+def _tree_indent(line: str) -> int:
+    """Length of the tree-rendering prefix (spaces and :, +, -, | glyphs)."""
+    return len(re.match(r"^[\s:+|-]*", line).group(0))
+
+
+def _strip_cached_plan_bodies(plan: str) -> str:
+    """Drop the physical plan bodies printed beneath InMemoryRelation nodes.
+
+    An InMemoryRelation is a LEAF of the logical plan, but toString renders
+    its cachedPlan (a physical AdaptiveSparkPlan) indented beneath it — and
+    that body is NOT stable run to run: plan_id counters are session-global,
+    and AQE re-plans in place, so the same cache captured before/after
+    materialization prints raw Exchanges vs ShuffleQueryStage/ReusedExchange
+    subtrees (observed drifting 14 queries into tier 1 with zero code
+    change, r6). The InMemoryRelation line itself (output schema + storage
+    level) is kept; semantic changes inside a cached frame's construction
+    are still caught by the fingerprint's RESULT-hash component.
+    """
+    out = []
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        out.append(line)
+        i += 1
+        if "InMemoryRelation" in line:
+            base = _tree_indent(line)
+            while i < len(lines) and _tree_indent(lines[i]) > base:
+                i += 1
+    return "\n".join(out)
+
+
 def _normalize_plan(plan: str) -> str:
+    plan = _strip_cached_plan_bodies(plan)
     plan = re.sub(r"#\d+", "#", plan)  # expression ids vary per session
+    plan = re.sub(r"plan_id=\d+", "plan_id=", plan)  # session-global counter
     # parquet scans stringify a bounded file list with per-run ellipsis
     # counts; the location list is pinned by FINGERPRINT_SF_DIR anyway
     plan = re.sub(r"\.\.\. \d+ more fields", "...", plan)
@@ -136,13 +170,31 @@ def compute_fingerprints(spark) -> dict[str, str]:
     return out
 
 
-def regenerate(spark=None) -> dict:
+def regenerate(spark=None, rebase_green: bool = False) -> dict:
     """Promote green fingerprints from new CORRECTNESS rows, recompute
-    current fingerprints from the working tree, write the manifest."""
+    current fingerprints from the working tree, write the manifest.
+
+    ``rebase_green`` is the one-time migration path for a FINGERPRINT
+    ALGORITHM change (e.g. a _normalize_plan hardening): old-algorithm
+    green fingerprints can never equal new-algorithm current ones, which
+    would flood every green query into tier 1. It is honest ONLY when the
+    working tree is semantically identical to what the green rows verified
+    — i.e. the committed manifest's touched set is empty — which the flag
+    asserts before crediting ``green_fingerprint := current``."""
     from . import registry
 
     old = load_manifest()["queries"]
     latest = registry._latest_green_round()
+    if rebase_green:
+        pre_touched = {
+            n for n, e in old.items()
+            if e.get("green_fingerprint")
+            and e["fingerprint"] != e["green_fingerprint"]
+        }
+        assert not pre_touched, (
+            "rebase-green requires a clean committed manifest (no touched "
+            f"queries), found: {sorted(pre_touched)}"
+        )
 
     own_session = spark is None
     if own_session:
@@ -163,11 +215,17 @@ def regenerate(spark=None) -> dict:
         if name in latest and latest[name] > green_round:
             # A green row landed since the manifest last recorded one. The
             # fingerprint the driver verified is the one that was COMMITTED
-            # when it ran (prev["fingerprint"]); bootstrap (no prior
-            # manifest) credits the current one — those queries re-verify
-            # by staleness in the same round anyway.
-            green_fp = prev.get("fingerprint", fp)
+            # when it ran (prev["fingerprint"]). A query the old manifest
+            # never fingerprinted (deleted then re-registered under the
+            # same name, or a pre-manifest row) gets green_fingerprint
+            # None — "a green row exists that no known fingerprint can be
+            # credited with" — which touched_queries() flags as tier 1, so
+            # the row is re-earned instead of silently credited to code it
+            # never verified (ADVICE r5).
+            green_fp = prev.get("fingerprint")
             green_round = latest[name]
+        if rebase_green and green_round > 0 and prev.get("green_fingerprint"):
+            green_fp = fp  # algorithm migration: tree verified green as-is
         queries[name] = {
             "fingerprint": fp,
             "green_fingerprint": green_fp,
@@ -194,11 +252,16 @@ def touched_queries(manifest: dict | None = None) -> set[str]:
         g = entry.get("green_fingerprint")
         if g is not None and entry.get("fingerprint") != g:
             out.add(name)
+        elif g is None and entry.get("green_round", 0) > 0:
+            # a green row the manifest cannot attribute to any committed
+            # fingerprint (re-registered name / pre-manifest row): the
+            # current code must re-earn it (ADVICE r5)
+            out.add(name)
     return out
 
 
 if __name__ == "__main__":
-    m = regenerate()
+    m = regenerate(rebase_green="--rebase-green" in sys.argv)
     stale = sorted(touched_queries(m))
     print(
         json.dumps(
