@@ -278,6 +278,24 @@ SELECT
 FROM events
 """
 
+# The block list an OP_ADD/OP_CLOSE edit carries (FSEditLogLoader.java
+# op switch :181-479: both ops read a Block[] payload — addNode/
+# unprotectedAddFile charge the bytes to every quota'd ancestor via
+# FSDirectory.updateCount). Relationally that variable-length payload is a
+# side table keyed by txid: 1..3 blocks per op, sizes 1..50 MiB, all pure
+# txid arithmetic so both engines derive identical rows.
+_EDIT_BLOCKS_SQL = """
+SELECT
+  e.txid                                                       AS txid,
+  r.r                                                          AS block_seq,
+  CAST(1 + ((e.txid * 131 + r.r * 37) % 50) AS BIGINT)
+      * 1048576                                                AS num_bytes
+FROM edits e
+JOIN (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2) r
+  ON r.r <= e.txid % 3
+WHERE e.op IN ('OP_ADD', 'OP_CLOSE')
+"""
+
 # In-flight replication work awaiting datanode confirmation
 # (PendingReplicationBlocks.java:38-55: block -> {timeStamp,
 # numReplicasInProgress}; entries are added when the NN hands work to a
@@ -354,6 +372,7 @@ ENTITY_SQL: dict[str, str] = {
     "replicas": _REPLICAS_SQL,
     "inodes": _INODES_SQL,
     "edits": _EDITS_SQL,
+    "edit_blocks": _EDIT_BLOCKS_SQL,
     "leases": _LEASES_SQL,
     "pending_replication": _PENDING_REPLICATION_SQL,
     "audit": _AUDIT_SQL,

@@ -29,9 +29,22 @@ Semantics (flat-path namespace model, matching ``apply_edits_batch``):
   quota subtree is free, as in the reference); renames of empty sources or
   onto occupied destinations are no-ops (HDFS rename requires a
   non-existing destination).
-- ds (byte) quota is NOT modeled: the changelog projection carries no
-  block-size payload (entities edits schema), so there is nothing to sum.
-  Documented delegation, not an approximation.
+- ds (byte) quota IS modeled (r6): the changelog's OP_ADD/OP_CLOSE block
+  payload lives in the ``edit_blocks`` side table (the relational form of
+  the Block[] the reference op carries, FSEditLogLoader.java:181-479), and
+  the fold maintains subtree BYTE counts beside entry counts — the
+  nsCount/dsCount pair INodeDirectoryWithQuota.java:91-111 caches,
+  verified per mutation like FSDirectory.verifyQuota:1564-1605 checks
+  both. The ds charge of an op is its block-byte sum times the op's
+  carried replication (default 1) — the reference derives the multiplier
+  from the file's replication; this changelog's OP_ADD always carries
+  one, so the walk being verified is identical. OP_CLOSE on an existing
+  path RESIZES it (close finalizes the block list): a positive byte delta
+  is quota-checked, a shrink always applies. Creates charge both counts;
+  deletes free both; renames move both, rejected only when a quota'd
+  directory GAINS beyond either limit. When a directory violates both
+  dimensions the namespace quota is reported (the reference throws
+  NSQuotaExceededException before the DS check).
 
 Subtree counts are maintained exactly through the fold with containment
 algebra over the TRACKED path set (quota dirs + batch op paths + rename
@@ -73,14 +86,16 @@ class QuotaRejection:
     op: str
     path: str
     quota_dir: str
-    ns_quota: int
-    used: int  # live entries within quota_dir when the op was refused
+    quota_type: str  # 'NS' (entry count) or 'DS' (bytes)
+    limit: int  # the violated quota in its own dimension
+    used: int  # usage within quota_dir (entries or bytes) when refused
 
 
 def _tracked_paths(
-    quotas: dict[str, int], ops: list[dict]
+    quotas: dict[str, int], ops: list[dict],
+    ds_quotas: dict[str, int] | None = None,
 ) -> set[str]:
-    t = set(quotas)
+    t = set(quotas) | set(ds_quotas or ())
     for o in ops:
         t.add(o["path"])
         if o.get("dst"):
@@ -117,14 +132,19 @@ def _tracked_paths(
 
 def _initial_counts(
     state: DataFrame, tracked: set[str]
-) -> tuple[dict[str, int], dict[str, bool]]:
+) -> tuple[dict[str, int], dict[str, bool], dict[str, int], dict[str, int]]:
     """One distributed pass: for every tracked path, the count of existing
-    state entries within its subtree, and whether the exact path exists.
-    Broadcast the (bounded) tracked set against the (large) state frame —
-    the A1 ancestor-explosion shape with the dimension side pre-known."""
+    state entries within its subtree, whether the exact path exists, the
+    BYTE sum within its subtree, and the exact path's own byte size (the
+    nsCount/dsCount seed, INodeDirectoryWithQuota.java:91-111; a state
+    frame without a ``length`` column counts zero bytes). Broadcast the
+    (bounded) tracked set against the (large) state frame — the A1
+    ancestor-explosion shape with the dimension side pre-known."""
     spark = state.sparkSession
     if not tracked:
-        return {}, {}
+        return {}, {}, {}, {}
+    if "length" not in state.columns:
+        state = state.withColumn("length", F.lit(0).cast("long"))
     tdf = spark.createDataFrame([(t,) for t in sorted(tracked)], "t string")
     live = state.filter(F.coalesce("exists", F.lit(False)))
     joined = live.join(
@@ -133,11 +153,14 @@ def _initial_counts(
         | F.col("path").startswith(F.concat("t", F.lit("/"))),
     )
     counts = {
-        r["t"]: r["n"]
+        r["t"]: (r["n"], r["b"], r["self_len"])
         for r in joined.groupBy("t")
         .agg(
             F.count("*").alias("n"),
-            F.max(F.col("path") == F.col("t")).alias("self_exists"),
+            F.sum(F.coalesce("length", F.lit(0))).alias("b"),
+            F.max(
+                F.when(F.col("path") == F.col("t"), F.coalesce("length", F.lit(0)))
+            ).alias("self_len"),
         )
         .collect()
     }
@@ -148,28 +171,60 @@ def _initial_counts(
         .select("t", F.lit(True).alias("e"))
         .collect()
     }
-    init_count = {t: counts.get(t, 0) for t in tracked}
+    init_count = {t: counts.get(t, (0, 0, None))[0] for t in tracked}
     init_exists = {t: exact.get(t, False) for t in tracked}
-    return init_count, init_exists
+    init_bytes = {t: int(counts.get(t, (0, 0, None))[1] or 0) for t in tracked}
+    init_psize = {t: int(counts.get(t, (0, 0, None))[2] or 0) for t in tracked}
+    return init_count, init_exists, init_bytes, init_psize
 
 
 def verify_quota_batch(
-    state: DataFrame, batch: DataFrame, quotas: dict[str, int]
+    state: DataFrame,
+    batch: DataFrame,
+    quotas: dict[str, int],
+    ds_quotas: dict[str, int] | None = None,
+    blocks: DataFrame | None = None,
 ) -> list[QuotaRejection]:
     """The driver fold: replay the batch's mutation ops in txid order over
-    subtree counters seeded from ``state``, refusing quota-overflowing
-    creates/renames. Returns the rejections (empty list = all ops fit)."""
+    subtree entry AND byte counters seeded from ``state``, refusing
+    quota-overflowing creates/renames/closes. ``ds_quotas`` maps directory
+    -> byte limit; ``blocks`` is the (txid, block_seq, num_bytes) side
+    table carrying each OP_ADD/OP_CLOSE's block payload (the
+    ``edit_blocks`` entity). Returns the rejections (empty = all fit)."""
+    ds_quotas = ds_quotas or {}
+    verb_ops = [*_CREATE_OPS, "OP_DELETE", "OP_RENAME"]
+    if ds_quotas:
+        # OP_CLOSE only RESIZES — observable solely through byte quotas
+        verb_ops.append("OP_CLOSE")
     ops = [
         r.asDict()
-        for r in batch.filter(
-            F.col("op").isin(*_CREATE_OPS, "OP_DELETE", "OP_RENAME")
-        )
-        .select("txid", "op", "path", "dst")
+        for r in batch.filter(F.col("op").isin(*verb_ops))
+        .select("txid", "op", "path", "dst", "replication")
         .orderBy("txid")
         .collect()
     ]
-    tracked = _tracked_paths(quotas, ops)
-    live, exists = _initial_counts(state, tracked)
+    # Per-op byte charge: block-byte sum x carried replication (default 1),
+    # aggregated DISTRIBUTEDLY then semi-joined to the bounded op list —
+    # the payload table scales with the changelog, the collect with the
+    # batch.
+    charges: dict[int, int] = {}
+    if blocks is not None and ops:
+        txids = batch.sparkSession.createDataFrame(
+            [(o["txid"],) for o in ops], "txid long"
+        )
+        charges = {
+            r["txid"]: int(r["b"])
+            for r in blocks.join(F.broadcast(txids), "txid", "left_semi")
+            .groupBy("txid")
+            .agg(F.sum("num_bytes").alias("b"))
+            .collect()
+        }
+
+    def charge(o: dict) -> int:
+        return (o.get("replication") or 1) * charges.get(o["txid"], 0)
+
+    tracked = _tracked_paths(quotas, ops, ds_quotas)
+    live, exists, nbytes, psize = _initial_counts(state, tracked)
     rejections: list[QuotaRejection] = []
 
     # Index structures keep the fold near-linear in |ops| (a naive
@@ -206,85 +261,137 @@ def verify_quota_batch(
     def compose(s: str, d: str, x: str) -> str:
         return s + x[len(d):]
 
+    def violation(
+        anc, ns_delta: int, ds_delta: int
+    ) -> tuple[str, str] | None:
+        """Deepest quota'd ancestor in ``anc`` the deltas would overflow;
+        at one dir NS is reported before DS (the reference's verifyQuota
+        throws NSQuotaExceededException before checking diskspace)."""
+        bad = []
+        if ns_delta > 0:
+            bad += [
+                (x, "NS") for x in anc
+                if x in quotas and live[x] + ns_delta > quotas[x]
+            ]
+        if ds_delta > 0:
+            bad += [
+                (x, "DS") for x in anc
+                if x in ds_quotas and nbytes[x] + ds_delta > ds_quotas[x]
+            ]
+        if not bad:
+            return None
+        return max(bad, key=lambda t: (len(t[0]), t[1] == "NS"))
+
+    def reject(txid, op, p, hit) -> None:
+        x, kind = hit
+        limit = quotas[x] if kind == "NS" else ds_quotas[x]
+        used = live[x] if kind == "NS" else nbytes[x]
+        rejections.append(QuotaRejection(txid, op, p, x, kind, limit, used))
+
     for o in ops:
         op, p, dst, txid = o["op"], o["path"], o.get("dst"), o["txid"]
         if op in _CREATE_OPS:
             if exists.get(p, False):
                 continue  # already present: no new entry, no charge
+            b = charge(o)
             anc = ancestors_in_tracked(p)
-            violated = [x for x in anc if x in quotas and live[x] + 1 > quotas[x]]
-            if violated:
-                deepest = max(violated, key=len)
-                rejections.append(
-                    QuotaRejection(
-                        txid, op, p, deepest, quotas[deepest], live[deepest]
-                    )
-                )
+            hit = violation(anc, 1, b)
+            if hit:
+                reject(txid, op, p, hit)
                 continue
             for x in anc:
                 live[x] += 1
+                nbytes[x] += b
             exists[p] = True
+            if p in tracked:
+                psize[p] = b
+        elif op == "OP_CLOSE":
+            # close finalizes the block list: the path's size becomes the
+            # op's charge; only a GROWTH is quota-checked (shrink frees)
+            if not exists.get(p, False):
+                continue
+            delta = charge(o) - psize.get(p, 0)
+            anc = ancestors_in_tracked(p)
+            if delta > 0:
+                hit = violation(anc, 0, delta)
+                if hit:
+                    reject(txid, op, p, hit)
+                    continue
+            for x in anc:
+                nbytes[x] += delta
+            if p in tracked:
+                psize[p] += delta
         elif op == "OP_DELETE":
             r = live.get(p, 0)
             if r == 0:
                 continue
+            b = nbytes.get(p, 0)
             for x in ancestors_in_tracked(p):
                 live[x] -= r
+                nbytes[x] -= b
             for x in tracked_within(p):
                 if x != p:
                     live[x] = 0
+                    nbytes[x] = 0
                 exists[x] = False
+                psize[x] = 0
             live[p] = 0
+            nbytes[p] = 0
             if p in exists:
                 exists[p] = False
         elif op == "OP_RENAME" and dst:
             s_cnt = live.get(p, 0)
             if s_cnt == 0 or live.get(dst, 0) > 0:
                 continue  # empty source / occupied destination: no-op
+            s_bytes = nbytes.get(p, 0)
             anc_s = set(ancestors_in_tracked(p))
             anc_d = set(ancestors_in_tracked(dst))
-            violated = [
-                x
-                for x in anc_d - anc_s
-                if x in quotas and live[x] + s_cnt > quotas[x]
-            ]
-            if violated:
-                deepest = max(violated, key=len)
-                rejections.append(
-                    QuotaRejection(
-                        txid, op, p, deepest, quotas[deepest], live[deepest]
-                    )
-                )
+            hit = violation(anc_d - anc_s, s_cnt, s_bytes)
+            if hit:
+                reject(txid, op, p, hit)
                 continue
             in_src = tracked_within(p)  # includes p itself when tracked
             pre_live = {x: live.get(x, 0) for x in in_src}
+            pre_bytes = {x: nbytes.get(x, 0) for x in in_src}
+            pre_psize = {x: psize.get(x, 0) for x in in_src}
             pre_exists = {x: exists.get(x, False) for x in in_src}
             for x in anc_s - anc_d:
                 live[x] -= s_cnt
+                nbytes[x] -= s_bytes
             for x in anc_d - anc_s:
                 live[x] += s_cnt
+                nbytes[x] += s_bytes
             for x in in_src:
                 live[x] = 0
+                nbytes[x] = 0
+                psize[x] = 0
                 exists[x] = False
             for x in tracked_within(dst):
                 if x == dst:
                     continue  # handled by the ancestor delta (live[dst]+=S)
                 c = compose(p, dst, x)
                 live[x] = pre_live.get(c, live.get(c, 0))
+                nbytes[x] = pre_bytes.get(c, nbytes.get(c, 0))
+                psize[x] = pre_psize.get(c, psize.get(c, 0))
                 exists[x] = pre_exists.get(c, exists.get(c, False))
             if dst in tracked:
                 exists[dst] = pre_exists.get(p, exists.get(p, False))
+                psize[dst] = pre_psize.get(p, psize.get(p, 0))
     return rejections
 
 
 def apply_edits_batch_enforcing(
-    state: DataFrame, batch: DataFrame, quotas: dict[str, int]
+    state: DataFrame,
+    batch: DataFrame,
+    quotas: dict[str, int],
+    ds_quotas: dict[str, int] | None = None,
+    blocks: DataFrame | None = None,
 ) -> tuple[DataFrame, list[QuotaRejection]]:
     """``apply_edits_batch`` with quota enforcement: verify, withhold the
     rejected ops (anti-join on txid), merge the rest. Returns
     (new_state, rejections) — callers log the rejections where the
     reference would have thrown QuotaExceededException."""
-    rejections = verify_quota_batch(state, batch, quotas)
+    rejections = verify_quota_batch(state, batch, quotas, ds_quotas, blocks)
     if rejections:
         spark = batch.sparkSession
         rej = spark.createDataFrame(
@@ -358,6 +465,125 @@ def t1b_quota_rejections(e) -> DataFrame:
     return eager_cache_thunk(e, "t1b_quota", lambda: _t1b_run(e))
 
 
+# ----------------------------------------------------------- driver gate
+# t1c: the DS (byte) quota dimension under the driver's hash oracle. Scope:
+# one creates-only segment restricted to the FIRST OP_ADD per path (both
+# engines state the same restriction), per-user-directory byte quotas on
+# the k % 5 == 3 dirs. With disjoint dirs, distinct paths, and zero
+# initial usage under /ev, the sequential semantics are a CONDITIONAL
+# prefix scan — accept while the accumulated accepted bytes + this op's
+# charge fit, reject (without accumulating) otherwise — which unlike the
+# ns case is NOT a rank threshold: a large op can reject while a later
+# small op still fits. The oracle states that scan EXACTLY as a recursive
+# CTE stepping per rank within each dir (DuckDB executes all dirs
+# breadth-first per step), so the fold's byte accounting, replication
+# multiplier, and skip-on-reject behavior are all hash-checked.
+
+_T1C_DS_QUOTA = 256 * 1048576  # 256 MiB per user directory
+_T1C_TXID_CAP = 4096
+
+
+@register(
+    "t1c_ds_quota_rejections",
+    oracle=f"""
+WITH t1c_scoped AS (
+  SELECT txid, path, quota_dir, charge,
+         ROW_NUMBER() OVER (PARTITION BY quota_dir ORDER BY txid) AS rk
+  FROM (
+    SELECT e.txid, e.path,
+           '/ev/' || split_part(e.path, '/', 3) AS quota_dir,
+           CAST(COALESCE(e.replication, 1) AS BIGINT) * bb.b AS charge,
+           ROW_NUMBER() OVER (PARTITION BY e.path ORDER BY e.txid) AS pn
+    FROM edits e
+    JOIN (SELECT txid, CAST(SUM(num_bytes) AS BIGINT) AS b
+          FROM edit_blocks GROUP BY txid) bb ON bb.txid = e.txid
+    WHERE e.op = 'OP_ADD' AND e.txid <= {_T1C_TXID_CAP}
+      AND CAST(substr(split_part(e.path, '/', 3), 2) AS BIGINT) % 5 = 3
+  ) WHERE pn = 1
+),
+t1c_fold AS (
+  SELECT quota_dir, CAST(0 AS BIGINT) AS rk, CAST(0 AS BIGINT) AS acc
+  FROM (SELECT DISTINCT quota_dir FROM t1c_scoped)
+  UNION ALL
+  SELECT s.quota_dir, s.rk,
+         CASE WHEN f.acc + s.charge > {_T1C_DS_QUOTA} THEN f.acc
+              ELSE f.acc + s.charge END AS acc
+  FROM t1c_fold f
+  JOIN t1c_scoped s ON s.quota_dir = f.quota_dir AND s.rk = f.rk + 1
+)
+SELECT s.txid, 'OP_ADD' AS op, s.path, s.quota_dir,
+       CAST({_T1C_DS_QUOTA} AS BIGINT) AS ds_quota,
+       f.acc AS used_bytes
+FROM t1c_scoped s
+JOIN t1c_fold f ON f.quota_dir = s.quota_dir AND f.rk = s.rk - 1
+WHERE f.acc + s.charge > {_T1C_DS_QUOTA}
+""",
+    doc="Diskspace (byte) quota enforcement under the driver's hash gate "
+    "(FSDirectory.verifyQuota:1564-1605 checks the dsCount "
+    "INodeDirectoryWithQuota.java:91-111 caches beside nsCount; the "
+    "OP_ADD byte payload is the Block[] the op carries, "
+    "FSEditLogLoader.java:181-479, modeled as the edit_blocks side "
+    "table): run the REAL verify_quota_batch driver fold with per-user-"
+    "directory byte quotas over one creates-only first-occurrence-per-"
+    "path segment and emit every rejection with the byte usage at "
+    "refusal. The oracle restates the sequential accept/reject byte scan "
+    "as a per-directory recursive CTE — exact because the gated scope "
+    "has disjoint dirs, distinct paths, and zero initial usage — so the "
+    "charge arithmetic (block-byte sum x carried replication), the "
+    "skip-on-reject accumulator, and the ordering are all cross-engine "
+    "checked. Scale: the payload aggregation is distributed; the "
+    "sequential part folds one bounded segment (the reference loader is "
+    "the same single-threaded loop); quota dirs are an admin-bounded "
+    "set.",
+)
+def t1c_ds_quota_rejections(e) -> DataFrame:
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(e, "t1c_quota", lambda: _t1c_run(e))
+
+
+def _t1c_run(e) -> DataFrame:
+    from pyspark.sql import Window
+
+    spark = e["edits"].sparkSession
+    user_seg = F.split("path", "/").getItem(2)
+    adds = e["edits"].filter(
+        (F.col("op") == "OP_ADD")
+        & (F.col("txid") <= _T1C_TXID_CAP)
+        & (F.expr("CAST(substr(split(path, '/')[2], 2) AS BIGINT) % 5 = 3"))
+    )
+    scoped = (
+        adds.withColumn(
+            "pn",
+            F.row_number().over(
+                Window.partitionBy("path").orderBy("txid")
+            ),
+        )
+        .filter(F.col("pn") == 1)
+        .drop("pn")
+    )
+    quota_rows = (
+        scoped.select(F.concat(F.lit("/ev/"), user_seg).alias("d"))
+        .distinct()
+        .collect()
+    )
+    ds_quotas = {r["d"]: _T1C_DS_QUOTA for r in quota_rows}
+    state = e["inodes"].select(
+        "path", F.lit(True).alias("exists"), "length"
+    )
+    rejections = verify_quota_batch(
+        state, scoped, {}, ds_quotas=ds_quotas, blocks=e["edit_blocks"]
+    )
+    return spark.createDataFrame(
+        [
+            (r.txid, r.op, r.path, r.quota_dir, r.limit, r.used)
+            for r in rejections
+        ],
+        "txid long, op string, path string, quota_dir string,"
+        " ds_quota long, used_bytes long",
+    )
+
+
 def _t1b_run(e) -> DataFrame:
     spark = e["edits"].sparkSession
     batch = e["edits"].filter(
@@ -377,7 +603,7 @@ def _t1b_run(e) -> DataFrame:
     rejections = verify_quota_batch(state, batch, quotas)
     return spark.createDataFrame(
         [
-            (r.txid, r.op, r.path, r.quota_dir, r.ns_quota, r.used)
+            (r.txid, r.op, r.path, r.quota_dir, r.limit, r.used)
             for r in rejections
         ],
         "txid long, op string, path string, quota_dir string,"

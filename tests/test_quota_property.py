@@ -156,4 +156,191 @@ def test_rejection_records_deepest_violated_dir(spark):
     rej = verify_quota_batch(state, batch, {"/a": 1, "/a/b": 1})
     assert len(rej) == 1
     assert rej[0].quota_dir == "/a/b"
-    assert rej[0].ns_quota == 1 and rej[0].used == 1
+    assert rej[0].quota_type == "NS"
+    assert rej[0].limit == 1 and rej[0].used == 1
+
+
+# ---------------------------------------------------------------- ds (bytes)
+
+def simulate_ds(
+    initial: dict[str, int],
+    ops: list[dict],
+    quotas: dict[str, int],
+    ds_quotas: dict[str, int],
+):
+    """Sequential ground truth with BYTE accounting: explicit path->size
+    map, diskspace checked per mutation like FSDirectory.verifyQuota's
+    dsCount leg (growth-only, shrink always applies)."""
+    sizes = dict(initial)
+    rejected = []
+
+    def sub_bytes(x):
+        return sum(b for e, b in sizes.items() if _within(x, e))
+
+    def sub_count(x):
+        return len([e for e in sizes if _within(x, e)])
+
+    for o in sorted(ops, key=lambda o: o["txid"]):
+        op, p, dst, b = o["op"], o["path"], o.get("dst"), o.get("bytes", 0)
+        if op in ("OP_ADD", "OP_MKDIR", "OP_SYMLINK"):
+            if p in sizes:
+                continue
+            if any(
+                _within(x, p) and sub_count(x) + 1 > q
+                for x, q in quotas.items()
+            ) or any(
+                b > 0 and _within(x, p) and sub_bytes(x) + b > q
+                for x, q in ds_quotas.items()
+            ):
+                rejected.append(o["txid"])
+                continue
+            sizes[p] = b
+        elif op == "OP_CLOSE":
+            if p not in sizes:
+                continue
+            delta = b - sizes[p]
+            if delta > 0 and any(
+                _within(x, p) and sub_bytes(x) + delta > q
+                for x, q in ds_quotas.items()
+            ):
+                rejected.append(o["txid"])
+                continue
+            sizes[p] = b
+        elif op == "OP_DELETE":
+            for e in [e for e in sizes if _within(p, e)]:
+                del sizes[e]
+        elif op == "OP_RENAME" and dst:
+            moved = {e: s for e, s in sizes.items() if _within(p, e)}
+            if not moved or any(_within(dst, e) for e in sizes):
+                continue
+            mb = sum(moved.values())
+            if any(
+                _within(x, dst) and not _within(x, p)
+                and sub_count(x) + len(moved) > q
+                for x, q in quotas.items()
+            ) or any(
+                mb > 0 and _within(x, dst) and not _within(x, p)
+                and sub_bytes(x) + mb > q
+                for x, q in ds_quotas.items()
+            ):
+                rejected.append(o["txid"])
+                continue
+            for e in moved:
+                del sizes[e]
+            for e, s in moved.items():
+                sizes[dst + e[len(p):]] = s
+    return sizes, rejected
+
+
+ds_op_strategy = st.one_of(
+    st.tuples(
+        st.sampled_from(["OP_ADD", "OP_CLOSE", "OP_DELETE"]),
+        paths,
+        st.integers(min_value=0, max_value=5),
+    ).map(lambda t: {"op": t[0], "path": t[1], "dst": None, "bytes": t[2]}),
+    st.tuples(st.just("OP_RENAME"), paths, paths).map(
+        lambda t: {"op": t[0], "path": t[1], "dst": t[2], "bytes": 0}
+    ),
+)
+
+
+@st.composite
+def ds_scenarios(draw):
+    initial = {
+        p: draw(st.integers(min_value=0, max_value=3))
+        for p in draw(st.sets(paths, max_size=6))
+    }
+    raw_ops = draw(st.lists(ds_op_strategy, min_size=1, max_size=10))
+    ops = []
+    for i, o in enumerate(raw_ops):
+        if o["op"] == "OP_RENAME" and (
+            _within(o["path"], o["dst"]) or _within(o["dst"], o["path"])
+        ):
+            continue
+        ops.append({**o, "txid": i + 1})
+    quotas = {
+        d: draw(st.integers(min_value=0, max_value=5))
+        for d in draw(st.sets(paths, max_size=2))
+    }
+    ds_quotas = {
+        d: draw(st.integers(min_value=0, max_value=8))
+        for d in draw(st.sets(paths, max_size=3))
+    }
+    return initial, ops, quotas, ds_quotas
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ds_scenarios())
+def test_ds_enforcement_matches_sequential_interpreter(spark, scenario):
+    initial, ops, quotas, ds_quotas = scenario
+    if not ops:
+        return
+    state = spark.createDataFrame(
+        [(p, True, 0, b) for p, b in sorted(initial.items())]
+        or [("/__none__", False, 0, 0)],
+        "path string, exists boolean, exist_txid long, length long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (o["txid"], o["op"], 1000 + o["txid"], o["path"], o["dst"],
+             None, None, None, None)
+            for o in ops
+        ],
+        "txid long, op string, ts_ms long, path string, dst string,"
+        " replication int, perm string, owner string, gen_stamp long",
+    )
+    # one block per byte-bearing op; replication NULL -> multiplier 1, so
+    # the op's charge IS its generated byte count
+    blocks = spark.createDataFrame(
+        [(o["txid"], 0, o["bytes"]) for o in ops if o["bytes"]]
+        or [(-1, 0, 0)],
+        "txid long, block_seq int, num_bytes long",
+    )
+    _, want_rejected = simulate_ds(initial, ops, quotas, ds_quotas)
+    got = verify_quota_batch(
+        state, batch, quotas, ds_quotas=ds_quotas, blocks=blocks
+    )
+    assert sorted(r.txid for r in got) == sorted(want_rejected), (
+        ops, quotas, ds_quotas, got,
+    )
+
+
+def test_ds_close_resize_and_replication_multiplier(spark):
+    """OP_CLOSE growth is checked, shrink applies, and the charge is
+    block-bytes x the op's carried replication."""
+    state = spark.createDataFrame(
+        [("/a/f", True, 0, 4)], "path string, exists boolean,"
+        " exist_txid long, length long"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "OP_ADD", 1001, "/a/g", None, 3, None, None, None),
+            (2, "OP_CLOSE", 1002, "/a/f", None, None, None, None, None),
+            (3, "OP_CLOSE", 1003, "/a/g", None, None, None, None, None),
+        ],
+        "txid long, op string, ts_ms long, path string, dst string,"
+        " replication int, perm string, owner string, gen_stamp long",
+    )
+    blocks = spark.createDataFrame(
+        [(1, 0, 2), (2, 0, 1), (3, 0, 9)],
+        "txid long, block_seq int, num_bytes long",
+    )
+    # /a holds 4 bytes. txid 1: OP_ADD charge 3*2=6 -> 10 <= 12 OK.
+    # txid 2: close shrinks /a/f 4->1 (never checked) -> 7.
+    # txid 3: close grows /a/g 6->9, delta 3 -> 10 <= 12 OK.
+    rej = verify_quota_batch(
+        state, batch, {}, ds_quotas={"/a": 12}, blocks=blocks
+    )
+    assert rej == []
+    # same batch under a tighter quota: txid 1 rejected (6 > 5 headroom
+    # over 4), txid 3's growth then fits only if /a/g exists — it doesn't
+    # (the add was refused), so the close is a no-op, and txid 2's shrink
+    # still applies.
+    rej = verify_quota_batch(
+        state, batch, {}, ds_quotas={"/a": 9}, blocks=blocks
+    )
+    assert [(r.txid, r.quota_type, r.used) for r in rej] == [(1, "DS", 4)]
