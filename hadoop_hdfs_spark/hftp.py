@@ -178,6 +178,88 @@ def register(spark) -> None:
     spark.dataSource.register(HftpDataSource)
 
 
+# ----------------------------------------------------------- driver gate
+# s5: the S5 connector under the driver's hash oracle, not just pytest.
+# The Spark leg exercises the REAL pipeline — inodes -> servlet XML
+# fixture on disk -> urllib fetch -> SAX parse -> in-reader filter/
+# exclude/root params (ListPathsServlet.java:141-186, query-param
+# semantics :91-96) — while the oracle states the expected HdfsFileStatus
+# rows directly from the inodes CTE. Any loss or corruption anywhere in
+# the writer -> fetch -> parse -> filter chain breaks the hash match, so
+# this pins the full round trip, not only the filter algebra.
+
+_S5_ROOT = "/r1"
+_S5_FILTER = "[no][0-9]*[02468]"  # even-keyed nation dirs + order files
+
+
+def _hftp_fixture(inodes: DataFrame, sf_dir: str) -> str:
+    """Write (once, atomically) the listing XML for this SF's namespace."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_hftp_{tag}.xml"
+    if not os.path.exists(path):
+        fd, tmp = tempfile.mkstemp(
+            prefix="hftp_", suffix=".xml", dir="/tmp"
+        )
+        os.close(fd)
+        write_hftp_listing(inodes, tmp)
+        os.replace(tmp, path)  # atomic: concurrent builders both win
+    return path
+
+
+def _s5_register() -> None:
+    from .registry import eager_cache_thunk, register as _register_query
+
+    @_register_query(
+        "s5_hftp_listing_scan",
+        oracle=f"""
+SELECT path,
+       is_dir AS isdir,
+       CAST(length AS BIGINT) AS length,
+       CAST(replication AS INT) AS block_replication,
+       CAST(preferred_block_size AS BIGINT) AS blocksize,
+       CAST(mtime_ms AS BIGINT) AS modification_time_ms,
+       CAST(atime_ms AS BIGINT) AS access_time_ms,
+       perm AS permission, owner, grp
+FROM inodes
+WHERE (path = '{_S5_ROOT}' OR path LIKE '{_S5_ROOT}/%')
+  AND (path = '{_S5_ROOT}'
+       OR regexp_full_match(regexp_extract(path, '[^/]+$'), '{_S5_FILTER}'))
+  AND NOT regexp_full_match(regexp_extract(path, '[^/]+$'), '\\..*\\.crc')
+""",
+        doc="S5 HFTP listing scan under the driver's hash gate "
+        "(HftpFileSystem.java:83,329-386 + ListPathsServlet.java:141-186): "
+        "emit the servlet XML for this SF's namespace, read it back "
+        "through the registered `hftp` Python Data Source with root/"
+        "filter/exclude pushed into the reader, and hash-match the parsed "
+        "HdfsFileStatus rows against the namespace stated directly in "
+        "SQL. Scale: the listing is a namespace-scale metadata page; the "
+        "reader stripes rows round-robin across partitions so a huge "
+        "listing fans out instead of landing on one task.",
+    )
+    def s5_hftp_listing_scan(e) -> DataFrame:
+        spark = e["inodes"].sparkSession
+
+        def build() -> DataFrame:
+            register(spark)
+            path = _hftp_fixture(e["inodes"], str(e["__sf_dir__"]))
+            return (
+                spark.read.format("hftp")
+                .option("url", "file://" + path)
+                .option("root", _S5_ROOT)
+                .option("filter", _S5_FILTER)
+                .load()
+            )
+
+        return eager_cache_thunk(e, "s5_hftp", build)
+
+
+_s5_register()
+
+
 def range_read(url: str, offset: int, length: int) -> bytes:
     """ByteRangeInputStream analog: positional read via HTTP ``Range:``.
 
