@@ -5,6 +5,8 @@ and the multi-namespace federation rollup.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -325,23 +327,130 @@ def t5_block_report_upsert(e) -> DataFrame:
     )
 
 
+# s1 scans the same pinned blob corpus as a9b (blobfixture.py): the DuckDB
+# oracle needs the identical files in static SQL text.
+from ..blobfixture import resolve_blob_corpus as _resolve_blob_corpus
+
+_S1_BLOB_DIR, _S1_BLOB_GLOB = _resolve_blob_corpus()
+_S1_SPAN = 65536  # one 'block' per read — the 64 KiB span a9b rolls up
+
+
+def block_scan_df(spark) -> DataFrame:
+    """S1 positional block read over the blob corpus: one row per 64 KiB
+    block, each task seek+reading ONLY that block's 512-byte head (HDFS
+    pread, DFSClient.read positional leg) — the a9b range-sharded shape,
+    so executor memory is bounded at any file or corpus size. Emits the
+    oracle-matched columns plus a real crc32 over the RAW head bytes
+    (head_crc32), which the registered query drops: DuckDB has no crc32,
+    so that leg is pinned by a library test against the JVM's independent
+    implementation (tests/test_a9b_sharding.py) instead."""
+    import glob as _glob
+    import os as _os
+
+    from ..session import fan_out
+
+    files = [
+        (_os.path.basename(p), p, _os.path.getsize(p))
+        for p in sorted(
+            _glob.glob(_os.path.join(_S1_BLOB_DIR, _S1_BLOB_GLOB))
+        )
+    ]
+    plan_df = fan_out(
+        spark.createDataFrame(files, "file_name string, path string, n long")
+        .filter(F.col("n") > 0)
+        .select(
+            "file_name",
+            "path",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("n") / F.lit(_S1_SPAN)).cast("long") - 1,
+                )
+            ).alias("block_idx"),
+        )
+    )
+
+    def read_heads(batches):
+        import hashlib
+        import zlib
+
+        for pdf in batches:
+            out = {
+                "file_name": [], "block_idx": [], "offset": [],
+                "block_len": [], "magic_hex": [], "head_md5": [],
+                "head_crc32": [],
+            }
+            for fn, path, n, bi in zip(
+                pdf["file_name"], pdf["path"], pdf["n"], pdf["block_idx"]
+            ):
+                off = int(bi) * _S1_SPAN
+                blen = min(_S1_SPAN, int(n) - off)
+                with open(path, "rb") as fh:
+                    fh.seek(off)
+                    head = fh.read(min(512, blen))
+                hx = head.hex().upper()
+                out["file_name"].append(fn)
+                out["block_idx"].append(int(bi))
+                out["offset"].append(off)
+                out["block_len"].append(blen)
+                out["magic_hex"].append(hx[:8])
+                out["head_md5"].append(
+                    hashlib.md5(hx.encode()).hexdigest()
+                )
+                out["head_crc32"].append(zlib.crc32(head))
+            yield pd.DataFrame(out)
+
+    return plan_df.mapInPandas(
+        read_heads,
+        "file_name string, block_idx long, offset long, block_len long,"
+        " magic_hex string, head_md5 string, head_crc32 long",
+    )
+
+
 @register(
     "s1_binary_block_scan",
-    oracle=None,  # binaryFile is a Spark-only source; driver records rows-only
-    doc="S1 block read (BlockSender.java:46-182): scan raw files as binary "
-    "blocks via the binaryFile source; per-block length, 4-byte magic "
-    "sniff, and crc32 over the head chunk (the per-512B CRC analog). "
-    "Range reads = substring slicing on the content column.",
+    oracle=f"""
+WITH s1f AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+         hex(content) AS h, octet_length(content) AS n
+  FROM read_blob('{_S1_BLOB_DIR}/{_S1_BLOB_GLOB}')
+),
+s1b AS (
+  SELECT file_name, n,
+         unnest(range(0, CAST(ceil(n / {_S1_SPAN}.0) AS BIGINT))) AS block_idx,
+         h
+  FROM s1f
+)
+SELECT file_name,
+       CAST(block_idx AS BIGINT) AS block_idx,
+       CAST(block_idx * {_S1_SPAN} AS BIGINT) AS offset,
+       CAST(LEAST({_S1_SPAN}, n - block_idx * {_S1_SPAN}) AS BIGINT) AS block_len,
+       substring(h, CAST(block_idx * {2 * _S1_SPAN} + 1 AS BIGINT), 8) AS magic_hex,
+       md5(substring(h, CAST(block_idx * {2 * _S1_SPAN} + 1 AS BIGINT), 1024)) AS head_md5
+FROM s1b
+""",
+    doc="S1 block read over REAL BYTES, hash-matched (BlockSender.java:"
+    "46-182 streams a block; DFSClient's positional pread): one row per "
+    "64 KiB block of the pinned blob corpus, each task seek+reading only "
+    "its block's 512-byte head — per-block length, 4-byte magic sniff "
+    "(uppercase hex, DuckDB hex() rendering), and the head digest as md5 "
+    "over the hex rendering (the a9b convention: DuckDB has neither "
+    "crc32 nor blob slicing, so both engines hash the hex — same "
+    "information, independently computed). The REAL crc32-over-raw-bytes "
+    "leg stays Spark-side in block_scan_df.head_crc32, pinned against "
+    "the JVM's independent crc32 in tests. Scale: the plan is (path, "
+    "offset) rows derived distributedly from the file listing; executor "
+    "memory is bounded by the 512-byte head read regardless of corpus "
+    "size.",
 )
 def s1_binary_block_scan(e) -> DataFrame:
+    from ..registry import eager_cache_thunk
+
     spark = e["region"].sparkSession
-    sf_dir = e["__sf_dir__"]
-    blobs = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
-    return blobs.select(
-        F.reverse(F.split(F.col("path"), "/"))[0].alias("file_name"),
-        F.col("length").alias("byte_len"),
-        F.substring(F.col("content"), 1, 4).cast("string").alias("magic"),
-        F.crc32(F.substring(F.col("content"), 1, 512)).alias("head_crc32"),
+    return eager_cache_thunk(
+        e, "s1_block_scan",
+        lambda: block_scan_df(spark).drop("head_crc32"),
     )
 
 @register(

@@ -70,3 +70,37 @@ def test_a9b_zero_byte_file_is_skipped(spark, sf_dir, tmp_path, monkeypatch):
     e = _entities(spark, sf_dir)
     names = {r.file_name for r in blocks_mod.a9b_content_checksum(e).collect()}
     assert names == {"edge_one.bin"}
+
+
+def test_s1_head_crc32_matches_jvm_crc32(spark, tmp_path, monkeypatch):
+    """The s1 crc32 leg (kernel zlib.crc32 over raw head bytes) against the
+    JVM's independent CRC32 on the same bytes — the cross-implementation
+    check the DuckDB oracle cannot provide (no crc32 in DuckDB)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_hdfs_spark.operators import admin as admin_mod
+
+    contents = {}
+    for i, size in enumerate([1, 4, 511, 512, 513, 65536, 65537, 200000]):
+        name = f"crc_{i:02d}.bin"
+        data = hashlib.sha256(name.encode()).digest() * (size // 32 + 1)
+        contents[name] = data[:size]
+        (tmp_path / name).write_bytes(contents[name])
+    monkeypatch.setattr(admin_mod, "_S1_BLOB_DIR", str(tmp_path))
+    monkeypatch.setattr(admin_mod, "_S1_BLOB_GLOB", "crc_*.bin")
+
+    got = admin_mod.block_scan_df(spark).collect()
+    assert len(got) == sum(
+        (len(d) + 65535) // 65536 for d in contents.values()
+    )
+    heads = spark.createDataFrame(
+        [
+            (r.file_name, r.block_idx,
+             bytearray(contents[r.file_name][r.offset : r.offset + 512]))
+            for r in got
+        ],
+        "file_name string, block_idx long, head binary",
+    ).select("file_name", "block_idx", F.crc32("head").alias("jvm_crc32"))
+    jvm = {(r.file_name, r.block_idx): r.jvm_crc32 for r in heads.collect()}
+    for r in got:
+        assert r.head_crc32 == jvm[(r.file_name, r.block_idx)], r
