@@ -126,6 +126,11 @@ def _normalize_plan(plan: str) -> str:
     plan = _strip_cached_plan_bodies(plan)
     plan = re.sub(r"#\d+", "#", plan)  # expression ids vary per session
     plan = re.sub(r"plan_id=\d+", "plan_id=", plan)  # session-global counter
+    # lambda variable ids (`lambda x_148#`) draw from another session-global
+    # counter: any edit that changes how many lambda expressions earlier
+    # REGISTRATIONS build shifts every later query's ids (observed drifting
+    # 10 untouched queries into tier 1 after a trainer rewrite, r6)
+    plan = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_", plan)
     # parquet scans stringify a bounded file list with per-run ellipsis
     # counts; the location list is pinned by FINGERPRINT_SF_DIR anyway
     plan = re.sub(r"\.\.\. \d+ more fields", "...", plan)
@@ -177,24 +182,20 @@ def regenerate(spark=None, rebase_green: bool = False) -> dict:
     ``rebase_green`` is the one-time migration path for a FINGERPRINT
     ALGORITHM change (e.g. a _normalize_plan hardening): old-algorithm
     green fingerprints can never equal new-algorithm current ones, which
-    would flood every green query into tier 1. It is honest ONLY when the
-    working tree is semantically identical to what the green rows verified
-    — i.e. the committed manifest's touched set is empty — which the flag
-    asserts before crediting ``green_fingerprint := current``."""
+    would flood every green query into tier 1. A query is rebased
+    (``green_fingerprint := current``) ONLY if the old manifest showed it
+    clean (fingerprint == green_fingerprint — the tree is semantically
+    what its green row verified); already-touched queries keep their old
+    green fingerprint and so stay in tier 1 to re-earn their row."""
     from . import registry
 
     old = load_manifest()["queries"]
     latest = registry._latest_green_round()
-    if rebase_green:
-        pre_touched = {
-            n for n, e in old.items()
-            if e.get("green_fingerprint")
-            and e["fingerprint"] != e["green_fingerprint"]
-        }
-        assert not pre_touched, (
-            "rebase-green requires a clean committed manifest (no touched "
-            f"queries), found: {sorted(pre_touched)}"
-        )
+    pre_clean = {
+        n for n, e in old.items()
+        if e.get("green_fingerprint")
+        and e["fingerprint"] == e["green_fingerprint"]
+    }
 
     own_session = spark is None
     if own_session:
@@ -224,7 +225,7 @@ def regenerate(spark=None, rebase_green: bool = False) -> dict:
             # never verified (ADVICE r5).
             green_fp = prev.get("fingerprint")
             green_round = latest[name]
-        if rebase_green and green_round > 0 and prev.get("green_fingerprint"):
+        if rebase_green and name in pre_clean:
             green_fp = fp  # algorithm migration: tree verified green as-is
         queries[name] = {
             "fingerprint": fp,
