@@ -16,17 +16,26 @@ share no characters and the engines' left-to-right non-overlapping
 ``replace`` implements precisely BPE's merge order — no fold/UDF needed,
 and chr(31) is verified absent from the corpus alphabet.
 
-Scale: the corpus is touched ONCE (word count, partial-agg'd); every
-iteration after that runs on the frequency-truncated vocabulary (top
-``_BPE_VOCAB`` words), a dimension-sized frame — pair counting is a
-vocab-bounded groupBy and the merge is a map. At 100 TB the word-count
-scan dominates and parallelizes perfectly; the loop cost is independent
-of corpus size, exactly how production BPE trainers batch it. The oracle
-unrolls the same loop into materialized CTEs (plain CTEs re-evaluate per
-reference — exponential across a chained unrolling).
+Scale: the corpus is touched ONCE (word count, partial-agg'd); the merge
+loop then runs IN MEMORY over the collected frequency-top vocabulary
+(``train_merges`` — a ``vocab_size``-row dimension), exactly how
+production BPE trainers batch it: at 100 TB the word-count scan dominates
+and parallelizes perfectly, while per-merge cost is O(vocab), independent
+of corpus size, so a 30k-merge production vocabulary is a few seconds of
+driver time (property-tested at 300 merges against an independent
+sentinel-string implementation, tests/test_bpe_property.py). The declared
+``t_bpe_train`` keeps the 6-merge pin because its oracle unrolls the loop
+into materialized CTEs (plain CTEs re-evaluate per reference —
+exponential across a chained unrolling); ``bpe_train(e, n_merges)`` is
+the configurable production path. Corpus-wide APPLY at production merge
+counts is ``bpe_apply``: encode the distinct-word vocabulary once, then
+the corpus joins the encoded vocabulary — the chained-replace form the
+declared ``t_bpe_tokenize`` uses cannot express a 30k-merge table.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -244,84 +253,154 @@ def t_bpe_train(e) -> DataFrame:
     return eager_cache_thunk(e, "bpe_train_merges", lambda: _bpe_train_run(e))
 
 
-def _bpe_train_run(e) -> DataFrame:
-    spark = e["documents"].sparkSession
-    sep2 = _SEP + _SEP
-    vocab = (
-        e["documents"]
-        .select(F.explode(F.split("text", " ")).alias("word"))
+def train_merges(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int, int]]:
+    """Greedy BPE merge training over a bounded (word, count) vocabulary,
+    in memory. Semantics identical to the engine form the oracle unrolls:
+    pair counts sum word counts over ALL adjacent positions (overlapping
+    occurrences each count), argmax total order (count DESC, lhs, rhs),
+    the merge itself is left-to-right NON-overlapping per word (the
+    sentinel-replace semantics), and n_symbols is the distinct symbol
+    count across the merged vocabulary. Per-merge cost is O(vocab x
+    avg word length) — independent of corpus size by construction, which
+    is what makes a 30k-merge production vocabulary tractable: the corpus
+    is only ever touched by the distributed word count that produced
+    ``word_counts``."""
+    reprs = {w: tuple(w) for w, _ in word_counts}
+    counts = dict(word_counts)
+    traj: list[tuple[int, str, str, int, int]] = []
+    for k in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in reprs.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:  # all words are single symbols: nothing left
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = l + r
+        for w, syms in reprs.items():
+            if l not in syms:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = tuple(out)
+        n_symbols = len({s for syms in reprs.values() for s in syms})
+        traj.append((k, l, r, c, n_symbols))
+    return traj
+
+
+def corpus_word_counts(
+    docs: DataFrame, vocab_size: int, text_col: str = "text"
+) -> list[tuple[str, int]]:
+    """The ONE corpus-scale pass: frequency-top word vocabulary, partial-
+    agg'd word count then a bounded top-k — the collected list is
+    ``vocab_size`` rows, a dimension."""
+    rows = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "word")
-        .limit(_BPE_VOCAB)
-        .select(
-            "word",
-            "cnt",
-            F.concat(
-                F.lit(_SEP),
-                F.array_join(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("word")),
-                        lambda i: F.col("word").substr(i, F.lit(1)),
-                    ),
-                    sep2,
-                ),
-                F.lit(_SEP),
-            ).alias("repr"),
-        )
-        .localCheckpoint(eager=True)
+        .limit(vocab_size)
+        .collect()
     )
-    traj: list[tuple[int, str, str, int, int]] = []
-    for k in range(1, _BPE_MERGES + 1):
-        syms = F.split(
-            F.regexp_replace("repr", f"^{_SEP}|{_SEP}$", ""), sep2
-        )
-        pairs = (
-            vocab.select("cnt", syms.alias("syms"))
-            .select(
-                "cnt",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not pairs:  # all words are single symbols: nothing left to merge
-            break
-        best = pairs[0]
-        vocab = vocab.select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("repr"),
-                F.lit(_SEP + best.l + sep2 + best.r + _SEP),
-                F.lit(_SEP + best.l + best.r + _SEP),
-            ).alias("repr"),
-        ).localCheckpoint(eager=True)
-        n_symbols = (
-            vocab.select(
-                F.explode(
-                    F.split(
-                        F.regexp_replace("repr", f"^{_SEP}|{_SEP}$", ""), sep2
-                    )
-                ).alias("s")
-            )
-            .agg(F.countDistinct("s").alias("n"))
-            .collect()[0]
-            .n
-        )
-        traj.append((k, best.l, best.r, int(best.c), int(n_symbols)))
+    return [(r.word, int(r.cnt)) for r in rows]
+
+
+def bpe_train(
+    e, n_merges: int = _BPE_MERGES, vocab_size: int = _BPE_VOCAB
+) -> DataFrame:
+    """Configurable-merge BPE training: distributed corpus word count,
+    then the in-memory merge loop over the bounded vocabulary (the way
+    production tokenizer trainers batch it — the loop cost is independent
+    of corpus size; the corpus-sized scan happens exactly once)."""
+    spark = e["documents"].sparkSession
+    traj = train_merges(
+        corpus_word_counts(e["documents"], vocab_size), n_merges
+    )
     return spark.createDataFrame(
         traj,
         "merge_idx int, lhs string, rhs string, pair_count bigint, "
         "n_symbols bigint",
+    )
+
+
+def _bpe_train_run(e) -> DataFrame:
+    return bpe_train(e, _BPE_MERGES, _BPE_VOCAB)
+
+
+def bpe_apply(
+    docs: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide BPE apply for PRODUCTION-SCALE merge tables (the
+    chained-replace form t_bpe_tokenize declares cannot express a
+    30k-merge vocabulary — the expression tree grows with the merge
+    count). Shape: encode the DISTINCT words (a vocabulary-bounded frame,
+    Heaps' law) once with an Arrow-batched kernel replaying the collected
+    merge table in training order per word, then the corpus JOINS the
+    encoded vocabulary on word and sums per document — the corpus-scale
+    operations are one explode + one join + one groupBy, with per-merge
+    cost paid only on distinct words, never per corpus row. Emits
+    (doc_id, n_words, n_tokens).
+
+    The merge table arrives collected+broadcast (a tokenizer vocabulary
+    is bounded — 30k-100k rows, KBs per executor)."""
+    rules = [
+        (r.lhs, r.rhs)
+        for r in merges.orderBy("merge_idx").select("lhs", "rhs").collect()
+    ]
+    spark = docs.sparkSession
+    brules = spark.sparkContext.broadcast(rules)
+
+    def encode(batches):
+        for pdf in batches:
+            toks = []
+            for w in pdf["word"]:
+                syms = list(w)
+                for l, r in brules.value:
+                    if l not in syms:
+                        continue
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == l
+                            and syms[i + 1] == r
+                        ):
+                            out.append(l + r)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                toks.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "word_tokens": toks})
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab_tokens = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(encode, "word string, word_tokens long")
+    )
+    return (
+        words.join(vocab_tokens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("word_tokens").cast("long").alias("n_tokens"),
+        )
     )

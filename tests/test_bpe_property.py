@@ -97,3 +97,98 @@ def test_sequential_model_greedy_merge_shapes():
     assert merges2[0][1:4] == ("a", "b", 10)
     # second merge joins the two 'ab' symbols
     assert merges2[1][1:4] == ("ab", "ab", 5)
+
+
+# ---------------------------------------------------- production-scale path
+# The product trainer (train_merges) walks symbol LISTS; this reference
+# walks the SENTINEL STRING form (chr(31)-wrapped chars, Python's
+# left-to-right non-overlapping str.replace as the merge) — the same
+# independence the oracle's string CTEs provide, but runnable at hundreds
+# of merges.
+
+_S = "\x1f"
+
+
+def _string_bpe(word_counts: dict[str, int], n_merges: int):
+    sep2 = _S + _S
+    reprs = {w: _S + sep2.join(w) + _S for w in word_counts}
+    merges = []
+    for k in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for w, rep in reprs.items():
+            syms = rep.strip(_S).split(sep2)
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += word_counts[w]
+        if not pair_counts:
+            break
+        (l, r), c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        reprs = {
+            w: rep.replace(_S + l + sep2 + r + _S, _S + l + r + _S)
+            for w, rep in reprs.items()
+        }
+        n_symbols = len(
+            {s for rep in reprs.values() for s in rep.strip(_S).split(sep2)}
+        )
+        merges.append((k, l, r, c, n_symbols))
+    return merges, reprs
+
+
+def _synthetic_vocab(n_words: int = 300) -> dict[str, int]:
+    """Deterministic md5-derived vocabulary over a 4-letter alphabet —
+    enough shared substructure that hundreds of merges exist."""
+    import hashlib
+
+    vocab: dict[str, int] = {}
+    for i in range(n_words):
+        h = hashlib.md5(f"bpe-word-{i}".encode()).hexdigest()
+        w = "".join("abcd"[int(c, 16) % 4] for c in h[: 6 + i % 10])
+        vocab[w] = vocab.get(w, 0) + 1 + int(h[:4], 16) % 50
+    return vocab
+
+
+def test_train_merges_matches_string_reference_at_300_merges():
+    vocab = _synthetic_vocab()
+    want, _ = _string_bpe(vocab, 300)
+    assert len(want) >= 256, "fixture must sustain >= 256 merges"
+    from hadoop_hdfs_spark.pipeline.bpetrain import train_merges
+
+    got = train_merges(sorted(vocab.items()), 300)
+    assert got == want
+
+
+def test_bpe_apply_joins_match_sequential_encoding(spark):
+    """bpe_apply (distinct-word encode + corpus join) vs encoding every
+    document word with the string reference, at a 256+-merge table."""
+    from hadoop_hdfs_spark.pipeline.bpetrain import bpe_apply, train_merges
+
+    vocab = _synthetic_vocab()
+    merges = train_merges(sorted(vocab.items()), 300)
+    assert len(merges) >= 256
+    words = sorted(vocab)
+    docs = [
+        (i, " ".join(words[(i * 7 + j) % len(words)] for j in range(12)))
+        for i in range(40)
+    ]
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges_df = spark.createDataFrame(
+        [(k, l, r) for k, l, r, _, _ in merges],
+        "merge_idx int, lhs string, rhs string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(docs_df, merges_df).collect()
+    }
+
+    # sequential: replay the same merges over each word's sentinel string
+    sep2 = _S + _S
+    def encode(w: str) -> int:
+        rep = _S + sep2.join(w) + _S
+        for _, l, r, _, _ in merges:
+            rep = rep.replace(_S + l + sep2 + r + _S, _S + l + r + _S)
+        return len(rep.strip(_S).split(sep2))
+
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        assert got[doc_id] == (len(ws), sum(encode(w) for w in ws)), doc_id
