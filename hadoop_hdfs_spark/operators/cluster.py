@@ -928,8 +928,8 @@ _BAL_MAX_ITERS = 15
 
 def _j4c_oracle_sql() -> str:
     """Bounded-iteration unrolling of the balancer loop: _BAL_MAX_ITERS
-    copies of (classify -> same-rack pairing -> residual pairing -> apply
-    moves), chained through state_k CTEs. Iterations after convergence
+    copies of (classify -> same-rack prefix-sum drain -> residual
+    cross-rack drain -> apply moves), chained through state_k CTEs. Iterations after convergence
     produce zero pairs and therefore no trajectory row, matching the Spark
     loop's early break exactly. Every multiply-referenced CTE is
     MATERIALIZED — DuckDB re-evaluates plain CTEs per reference, which
@@ -949,43 +949,73 @@ bu_{c} AS MATERIALIZED (
   FROM bstate_{p} s, tot t
 ),
 bover_{c} AS MATERIALIZED (
-  SELECT datanode_id, rack,
-         (um - am) * capacity // 100000 AS excess,
-         ROW_NUMBER() OVER (PARTITION BY rack
-                            ORDER BY (um - am) * capacity // 100000 DESC,
-                                     datanode_id) AS rk
-  FROM bu_{c} WHERE um > am + {thr}
+  SELECT datanode_id, rack, excess, b, hi, hi - b AS lo FROM (
+    SELECT datanode_id, rack, excess, b,
+           CAST(SUM(b) OVER (PARTITION BY rack
+                             ORDER BY excess DESC, datanode_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hi
+    FROM (SELECT datanode_id, rack,
+                 (um - am) * capacity // 100000 AS excess,
+                 LEAST((um - am) * capacity // 100000, {cap}) AS b
+          FROM bu_{c} WHERE um > am + {thr}))
 ),
 bunder_{c} AS MATERIALIZED (
-  SELECT datanode_id, rack,
-         (am - um) * capacity // 100000 AS deficit,
-         ROW_NUMBER() OVER (PARTITION BY rack
-                            ORDER BY (am - um) * capacity // 100000 DESC,
-                                     datanode_id) AS rk
-  FROM bu_{c} WHERE um < am - {thr}
+  SELECT datanode_id, rack, deficit, b, hi, hi - b AS lo FROM (
+    SELECT datanode_id, rack, deficit, b,
+           CAST(SUM(b) OVER (PARTITION BY rack
+                             ORDER BY deficit DESC, datanode_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hi
+    FROM (SELECT datanode_id, rack,
+                 (am - um) * capacity // 100000 AS deficit,
+                 LEAST((am - um) * capacity // 100000, {cap}) AS b
+          FROM bu_{c} WHERE um < am - {thr}))
 ),
 bsame_{c} AS MATERIALIZED (
-  SELECT s.datanode_id AS source, t.datanode_id AS target,
-         LEAST(s.excess, t.deficit, {cap}) AS moved
-  FROM bover_{c} s JOIN bunder_{c} t ON s.rack = t.rack AND s.rk = t.rk
+  SELECT source, target, moved FROM (
+    SELECT s.datanode_id AS source, t.datanode_id AS target,
+           LEAST(s.hi, t.hi) - GREATEST(s.lo, t.lo) AS moved
+    FROM bover_{c} s JOIN bunder_{c} t
+      ON s.rack = t.rack AND s.lo < t.hi AND t.lo < s.hi
+  ) WHERE moved > 0
 ),
 bro_{c} AS (
-  SELECT datanode_id, excess,
-         ROW_NUMBER() OVER (ORDER BY excess DESC, datanode_id) AS rk
-  FROM bover_{c} o
-  WHERE NOT EXISTS (SELECT 1 FROM bsame_{c} m WHERE m.source = o.datanode_id)
+  SELECT datanode_id, rb, hi, hi - rb AS lo FROM (
+    SELECT datanode_id, rb,
+           CAST(SUM(rb) OVER (ORDER BY rb DESC, datanode_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hi
+    FROM (
+      SELECT o.datanode_id, o.b - COALESCE(m.mm, 0) AS rb
+      FROM bover_{c} o
+      LEFT JOIN (SELECT source, CAST(SUM(moved) AS BIGINT) AS mm
+                 FROM bsame_{c} GROUP BY source) m
+        ON m.source = o.datanode_id
+    ) WHERE rb > 0)
 ),
 bru_{c} AS (
-  SELECT datanode_id, deficit,
-         ROW_NUMBER() OVER (ORDER BY deficit DESC, datanode_id) AS rk
-  FROM bunder_{c} x
-  WHERE NOT EXISTS (SELECT 1 FROM bsame_{c} m WHERE m.target = x.datanode_id)
+  SELECT datanode_id, rb, hi, hi - rb AS lo FROM (
+    SELECT datanode_id, rb,
+           CAST(SUM(rb) OVER (ORDER BY rb DESC, datanode_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hi
+    FROM (
+      SELECT x.datanode_id, x.b - COALESCE(m.mm, 0) AS rb
+      FROM bunder_{c} x
+      LEFT JOIN (SELECT target, CAST(SUM(moved) AS BIGINT) AS mm
+                 FROM bsame_{c} GROUP BY target) m
+        ON m.target = x.datanode_id
+    ) WHERE rb > 0)
 ),
 bmoves_{c} AS MATERIALIZED (
   SELECT * FROM bsame_{c}
   UNION ALL
-  SELECT s.datanode_id, t.datanode_id, LEAST(s.excess, t.deficit, {cap})
-  FROM bro_{c} s JOIN bru_{c} t ON s.rk = t.rk
+  SELECT source, target, moved FROM (
+    SELECT s.datanode_id AS source, t.datanode_id AS target,
+           LEAST(s.hi, t.hi) - GREATEST(s.lo, t.lo) AS moved
+    FROM bro_{c} s JOIN bru_{c} t ON s.lo < t.hi AND t.lo < s.hi
+  ) WHERE moved > 0
 ),
 btraj_{c} AS (
   SELECT CAST({c} AS INT) AS iteration,
@@ -1020,13 +1050,19 @@ bstate_{c} AS MATERIALIZED (
     "j4c_balancer_convergence",
     oracle=_j4c_oracle_sql(),
     doc="Iterative balancer convergence (Balancer.java:1302 run(iteration), "
-    "the :1380-1404 loop, exit rules :137-163): repeat the J4b "
-    "same-rack-first pairing, apply each round's capped moves "
-    "(min(excess, deficit, 512 MB) per pair — MAX_SIZE_TO_MOVE scaled to "
-    "fixture capacities) to the node state, iterate until no pair can be "
-    "formed (balanced, or no counterpart left) or the iteration cap; emit "
-    "the per-iteration (pairs, bytes_moved, over/under counts) "
-    "trajectory. Driver-fixpoint shape (the d_near_dup_clusters pattern): "
+    "the :1380-1404 loop, exit rules :137-163, chooseNodes :884-925): "
+    "each iteration drains MANY-TO-MANY — a source feeds multiple "
+    "targets (and vice versa) until its per-iteration budget "
+    "min(threshold gap, 512 MB MAX_SIZE_TO_MOVE scaled to fixture "
+    "capacities) is exhausted, same-rack first, then cross-rack over "
+    "re-ranked residual budgets. The sequential greedy drain is "
+    "declaratively EXACT as interval overlap on budget prefix sums: in "
+    "drain order each node owns the cumulative interval [hi-b, hi), a "
+    "pair moves the intervals' overlap, and the positive overlaps ARE "
+    "the drain's move list — windows + one band join, no loop over "
+    "nodes. Emits the per-iteration (moves, bytes_moved, over/under "
+    "counts) trajectory until no move can be formed or the cap. "
+    "Driver-fixpoint shape (the d_near_dup_clusters pattern): "
     "the state frame is node-count-sized, each round is two broadcastable "
     "joins + rack-partitioned windows, lineage truncated per round with "
     "eager localCheckpoint — at 100k nodes this is still a dimension-"
@@ -1052,10 +1088,19 @@ def _j4c_run(e) -> DataFrame:
     am = int(tot.su * 100000 // tot.sc)  # invariant under moves
     state = nodes.localCheckpoint(eager=True)
     traj: list[tuple[int, int, int, int, int]] = []
+    frame = (Window.unboundedPreceding, Window.currentRow)
     for k in range(1, _BAL_MAX_ITERS + 1):
         u = state.withColumn(
             "um", F.expr("dfs_used * 100000 DIV capacity")
         )
+        # Per-iteration node budget: min(threshold gap, MAX_SIZE_TO_MOVE)
+        # on BOTH sides — Balancer's availableSizeToMove. The greedy
+        # many-to-many drain (chooseNodes: a source feeds multiple targets
+        # until exhausted, Balancer.java:884-925) is declaratively exact
+        # as interval overlap on budget PREFIX SUMS: in drain order each
+        # node owns the cumulative interval [hi - b, hi); a (source,
+        # target) pair moves the overlap of their intervals, and the set
+        # of positive overlaps IS the sequential drain's move list.
         over = (
             u.filter(F.col("um") > am + _BAL_THRESHOLD_M)
             .select(
@@ -1063,14 +1108,16 @@ def _j4c_run(e) -> DataFrame:
                 "rack",
                 F.expr(f"(um - {am}) * capacity DIV 100000").alias("excess"),
             )
+            .withColumn("b", F.least("excess", F.lit(_BAL_MAX_MOVE)))
             .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("rack").orderBy(
-                        F.col("excess").desc(), "datanode_id"
-                    )
+                "hi",
+                F.sum("b").over(
+                    Window.partitionBy("rack")
+                    .orderBy(F.col("excess").desc(), "datanode_id")
+                    .rowsBetween(*frame)
                 ),
             )
+            .withColumn("lo", F.col("hi") - F.col("b"))
         )
         under = (
             u.filter(F.col("um") < am - _BAL_THRESHOLD_M)
@@ -1079,60 +1126,72 @@ def _j4c_run(e) -> DataFrame:
                 "rack",
                 F.expr(f"({am} - um) * capacity DIV 100000").alias("deficit"),
             )
+            .withColumn("b", F.least("deficit", F.lit(_BAL_MAX_MOVE)))
             .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("rack").orderBy(
-                        F.col("deficit").desc(), "datanode_id"
-                    )
+                "hi",
+                F.sum("b").over(
+                    Window.partitionBy("rack")
+                    .orderBy(F.col("deficit").desc(), "datanode_id")
+                    .rowsBetween(*frame)
                 ),
             )
+            .withColumn("lo", F.col("hi") - F.col("b"))
+        )
+        overlap = F.least(F.col("s.hi"), F.col("t.hi")) - F.greatest(
+            F.col("s.lo"), F.col("t.lo")
         )
         same = (
             over.alias("s")
             .join(
                 under.alias("t"),
                 (F.col("s.rack") == F.col("t.rack"))
-                & (F.col("s.rk") == F.col("t.rk")),
+                & (F.col("s.lo") < F.col("t.hi"))
+                & (F.col("t.lo") < F.col("s.hi")),
             )
             .select(
                 F.col("s.datanode_id").alias("source"),
                 F.col("t.datanode_id").alias("target"),
-                F.least(
-                    "s.excess", "t.deficit", F.lit(_BAL_MAX_MOVE)
-                ).alias("moved"),
+                overlap.alias("moved"),
             )
+            .filter(F.col("moved") > 0)
         )
-        ro = over.join(
-            same.select(F.col("source").alias("datanode_id")),
-            "datanode_id",
-            "left_anti",
-        ).withColumn(
-            "rk2",
-            F.row_number().over(
-                Window.orderBy(F.col("excess").desc(), "datanode_id")
-            ),
-        )
-        ru = under.join(
-            same.select(F.col("target").alias("datanode_id")),
-            "datanode_id",
-            "left_anti",
-        ).withColumn(
-            "rk2",
-            F.row_number().over(
-                Window.orderBy(F.col("deficit").desc(), "datanode_id")
-            ),
-        )
+        # Cross-rack phase over RESIDUAL budgets (re-ranked residual-desc:
+        # the same-rack drain exhausts one side per rack, so no same-rack
+        # pair can recur here). Same prefix-sum drain, global ordering.
+        def residual(side: DataFrame, key: str) -> DataFrame:
+            matched = same.groupBy(F.col(key).alias("datanode_id")).agg(
+                F.sum("moved").alias("m")
+            )
+            return (
+                side.join(matched, "datanode_id", "left")
+                .select(
+                    "datanode_id",
+                    (F.col("b") - F.coalesce("m", F.lit(0))).alias("rb"),
+                )
+                .filter(F.col("rb") > 0)
+                .withColumn(
+                    "hi",
+                    F.sum("rb").over(
+                        Window.orderBy(F.col("rb").desc(), "datanode_id")
+                        .rowsBetween(*frame)
+                    ),
+                )
+                .withColumn("lo", F.col("hi") - F.col("rb"))
+            )
+
         cross = (
-            ro.alias("s")
-            .join(ru.alias("t"), F.col("s.rk2") == F.col("t.rk2"))
+            residual(over, "source").alias("s")
+            .join(
+                residual(under, "target").alias("t"),
+                (F.col("s.lo") < F.col("t.hi"))
+                & (F.col("t.lo") < F.col("s.hi")),
+            )
             .select(
                 F.col("s.datanode_id").alias("source"),
                 F.col("t.datanode_id").alias("target"),
-                F.least(
-                    "s.excess", "t.deficit", F.lit(_BAL_MAX_MOVE)
-                ).alias("moved"),
+                overlap.alias("moved"),
             )
+            .filter(F.col("moved") > 0)
         )
         moves = same.unionAll(cross).localCheckpoint(eager=True)
         stats = moves.agg(

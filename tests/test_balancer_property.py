@@ -22,8 +22,31 @@ from hadoop_hdfs_spark.operators.cluster import (
 )
 
 
+def _drain(srcs: list[list], dsts: list[list]) -> list[tuple]:
+    """Greedy sequential many-to-many drain (Balancer.chooseNodes:884-925):
+    walk both budget lists in order; each step moves min(remaining,
+    remaining) between the current source and target and advances
+    whichever side is exhausted. Lists are [id, budget] and are MUTATED."""
+    moves = []
+    i = j = 0
+    while i < len(srcs) and j < len(dsts):
+        m = min(srcs[i][1], dsts[j][1])
+        if m > 0:
+            moves.append((srcs[i][0], dsts[j][0], m))
+            srcs[i][1] -= m
+            dsts[j][1] -= m
+        if srcs[i][1] == 0:
+            i += 1
+        if j < len(dsts) and dsts[j][1] == 0:
+            j += 1
+    return moves
+
+
 def simulate(nodes: list[dict]) -> list[tuple[int, int, int, int, int]]:
-    """Sequential model: (iteration, n_pairs, bytes_moved, over, under)."""
+    """Sequential model: (iteration, n_moves, bytes_moved, over, under).
+    Per-iteration node budget min(threshold gap, MAX_SIZE_TO_MOVE) on both
+    sides; same-rack drain first, then a cross-rack drain over residual
+    budgets re-ranked residual-descending."""
     su = sum(n["dfs_used"] for n in nodes)
     sc = sum(n["capacity"] for n in nodes)
     am = su * 100000 // sc
@@ -40,31 +63,36 @@ def simulate(nodes: list[dict]) -> list[tuple[int, int, int, int, int]]:
             elif um < am - _BAL_THRESHOLD_M:
                 under.append((i, meta[i]["rack"], (am - um) * cap // 100000))
         moves = []
-        matched_src, matched_dst = set(), set()
+        res_src: dict[str, int] = {}
+        res_dst: dict[str, int] = {}
         racks = {r for _, r, _ in over} | {r for _, r, _ in under}
         for r in sorted(racks):
-            ro = sorted(
-                [(i, x) for i, rr, x in over if rr == r],
-                key=lambda t: (-t[1], t[0]),
-            )
-            ru = sorted(
-                [(i, x) for i, rr, x in under if rr == r],
-                key=lambda t: (-t[1], t[0]),
-            )
-            for (si, sx), (ti, tx) in zip(ro, ru):
-                moves.append((si, ti, min(sx, tx, _BAL_MAX_MOVE)))
-                matched_src.add(si)
-                matched_dst.add(ti)
-        ro = sorted(
-            [(i, x) for i, _, x in over if i not in matched_src],
-            key=lambda t: (-t[1], t[0]),
-        )
-        ru = sorted(
-            [(i, x) for i, _, x in under if i not in matched_dst],
-            key=lambda t: (-t[1], t[0]),
-        )
-        for (si, sx), (ti, tx) in zip(ro, ru):
-            moves.append((si, ti, min(sx, tx, _BAL_MAX_MOVE)))
+            ro = [
+                [i, min(x, _BAL_MAX_MOVE)]
+                for i, x in sorted(
+                    ((i, x) for i, rr, x in over if rr == r),
+                    key=lambda t: (-t[1], t[0]),
+                )
+            ]
+            ru = [
+                [i, min(x, _BAL_MAX_MOVE)]
+                for i, x in sorted(
+                    ((i, x) for i, rr, x in under if rr == r),
+                    key=lambda t: (-t[1], t[0]),
+                )
+            ]
+            moves += _drain(ro, ru)
+            res_src.update({i: b for i, b in ro if b > 0})
+            res_dst.update({i: b for i, b in ru if b > 0})
+        ro = [
+            [i, b]
+            for i, b in sorted(res_src.items(), key=lambda t: (-t[1], t[0]))
+        ]
+        ru = [
+            [i, b]
+            for i, b in sorted(res_dst.items(), key=lambda t: (-t[1], t[0]))
+        ]
+        moves += _drain(ro, ru)
         if not moves:
             break
         traj.append(
