@@ -110,10 +110,18 @@ def _stage_with_sentinel(sf_dir: str) -> str:
         _shutil.copy(src, _os.path.join(stage, "events.parquet"))
         t = pq.read_table(src)
         tmax = pc.max(t["ts"]).as_py()
+        # fixture generations store ts as timestamp[us/ns] (as_py ->
+        # datetime) OR as raw INT64 epoch nanoseconds (as_py -> int);
+        # advance 24 h in whichever representation the file uses
+        day = (
+            24 * 3600 * 10**9
+            if isinstance(tmax, int)
+            else _timedelta(hours=24)
+        )
         row = {name: None for name in t.schema.names}
         row.update(
             event_id=-1,
-            ts=tmax + _timedelta(hours=24),
+            ts=tmax + day,
             user_id=-1,
             event_type="__sentinel__",
             value=0.0,
