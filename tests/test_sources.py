@@ -82,14 +82,30 @@ def test_snapshot_chain_feeds_queries(spark, sf_dir, tmp_path):
     assert via_snapshot.exceptAll(direct).isEmpty()
 
 
-def test_s1_binary_scan_reads_parquet_magic(spark, sf_dir):
+def test_s1_binary_scan_reads_block_heads(spark, sf_dir):
+    """One row per 64 KiB block of the blob corpus, each carrying the real
+    bytes' magic sniff and head digest (r6: the whole-file binaryFile scan
+    became a range-sharded positional read, hash-matched by oracle)."""
+    import glob as _glob
+    import os as _os
+
     from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.operators import admin as admin_mod
 
     df = registry.queries()["s1_binary_block_scan"](spark, sf_dir)
     rows = df.collect()
-    assert len(rows) == 10  # one per fixture table
-    assert all(r["magic"] == "PAR1" for r in rows)
-    assert all(r["byte_len"] > 0 for r in rows)
+    want_blocks = sum(
+        (_os.path.getsize(p) + admin_mod._S1_SPAN - 1) // admin_mod._S1_SPAN
+        for p in _glob.glob(
+            _os.path.join(admin_mod._S1_BLOB_DIR, admin_mod._S1_BLOB_GLOB)
+        )
+        if _os.path.getsize(p) > 0
+    )
+    assert len(rows) == want_blocks > 0
+    assert all(r["block_len"] > 0 for r in rows)
+    assert all(len(r["magic_hex"]) == 8 for r in rows)
+    assert all(len(r["head_md5"]) == 32 for r in rows)
+    assert all(r["offset"] == r["block_idx"] * admin_mod._S1_SPAN for r in rows)
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Co-bucketed block<->replica join must be shuffle-free: the one-time
