@@ -257,7 +257,51 @@ WHERE (path = '{_S5_ROOT}' OR path LIKE '{_S5_ROOT}/%')
         return eager_cache_thunk(e, "s5_hftp", build)
 
 
+def _s5b_register() -> None:
+    from .registry import eager_cache_thunk, register as _register_query
+
+    @_register_query(
+        "s5b_hftp_direct_children",
+        oracle=f"""
+SELECT path,
+       is_dir AS isdir,
+       CAST(length AS BIGINT) AS length,
+       CAST(replication AS INT) AS block_replication,
+       CAST(preferred_block_size AS BIGINT) AS blocksize,
+       CAST(mtime_ms AS BIGINT) AS modification_time_ms,
+       CAST(atime_ms AS BIGINT) AS access_time_ms,
+       perm AS permission, owner, grp
+FROM inodes
+WHERE (path = '{_S5_ROOT}'
+       OR (path LIKE '{_S5_ROOT}/%' AND path NOT LIKE '{_S5_ROOT}/%/%'))
+  AND NOT regexp_full_match(regexp_extract(path, '[^/]+$'), '\\..*\\.crc')
+""",
+        doc="S5's NON-recursive servlet parameter under the driver's hash "
+        "gate (ListPathsServlet.java:91-96: recursive=false lists only "
+        "the direct children of the path param — the plain liststatus "
+        "page): same XML fixture, same data source, `recursive` option "
+        "false, default filter. Completes the servlet query-param "
+        "surface (root/filter/exclude gated by s5) under the oracle.",
+    )
+    def s5b_hftp_direct_children(e) -> DataFrame:
+        spark = e["inodes"].sparkSession
+
+        def build() -> DataFrame:
+            register(spark)
+            path = _hftp_fixture(e["inodes"], str(e["__sf_dir__"]))
+            return (
+                spark.read.format("hftp")
+                .option("url", "file://" + path)
+                .option("root", _S5_ROOT)
+                .option("recursive", "false")
+                .load()
+            )
+
+        return eager_cache_thunk(e, "s5b_hftp", build)
+
+
 _s5_register()
+_s5b_register()
 
 
 def range_read(url: str, offset: int, length: int) -> bytes:

@@ -231,6 +231,38 @@ def t_bpe_tokenize(e) -> DataFrame:
     )
 
 
+def _bpe_apply_oracle() -> str:
+    # the tokenize oracle replays the identical merge chain; the join-based
+    # apply gate emits the per-doc counts only (no chars ratio), so wrap it
+    sql = _bpe_tokenize_oracle()
+    return f"SELECT doc_id, n_words, n_tokens FROM (\n{sql}\n) z"
+
+
+@register(
+    "t_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc="The PRODUCTION-SHAPE BPE apply under the driver's hash gate: "
+    "bpe_apply encodes the DISTINCT-word vocabulary once with an "
+    "Arrow-batched kernel replaying the trained merge table in order, "
+    "then the corpus joins the encoded vocabulary on word and sums per "
+    "document — per-merge cost on distinct words (Heaps-bounded), never "
+    "per corpus row; the corpus-scale ops are one explode + one join + "
+    "one groupBy. At the pinned 6-merge table this must produce exactly "
+    "the chained-replace tokenization's counts, which the oracle "
+    "restates (the same unrolled merge CTEs), so the join-based path is "
+    "hash-certified equivalent to the declared form — and the same code "
+    "path is property-tested at 300 merges where chained replaces "
+    "cannot go (tests/test_bpe_property.py).",
+)
+def t_bpe_apply(e) -> DataFrame:
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(
+        e, "bpe_apply_counts",
+        lambda: bpe_apply(e["documents"], t_bpe_train(e)),
+    )
+
+
 @register(
     "t_bpe_train",
     oracle=_bpe_oracle(),
