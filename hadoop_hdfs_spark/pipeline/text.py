@@ -795,3 +795,117 @@ def t_chunk_windows(e) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
     )
+
+
+# ------------------------------------------------------- deterministic sketch
+# a15_size_sketch uses approx_count_distinct/percentile_approx, which are
+# not bit-reproducible across engines — the honest reason it is rows-only.
+# This is the HASH-MATCHABLE sketch: KMV (k-minimum-values, Bar-Yossef
+# 2002) over md5-derived 60-bit hashes of word TRIGRAM shingles (high
+# cardinality — per-source vocabularies in the fixtures are tiny, shingle
+# space is not, so the estimator branch genuinely exercises). Every step
+# is either pure integer or a single correctly-rounded IEEE double op
+# (int->double cast, division, floor) computed identically by both
+# engines, so a SKETCH gets a cross-engine hash gate. Production form is
+# a mergeable min-k partial aggregate; the window here runs over the
+# DISTINCT-hash table, shingle-vocabulary-bounded.
+
+_KMV_K = 256
+# (k-1) * 2^60 — COMPUTED, not hand-written: a mistyped shared literal is
+# exactly the error class the cross-engine gate cannot catch (both sides
+# would agree on the wrong number; the accuracy test caught one in r6)
+_KMV_NUM = str((_KMV_K - 1) * (1 << 60))
+
+
+@register(
+    "t_shingle_kmv",
+    oracle=f"""
+WITH vkw AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT source,
+           words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS s
+    FROM (SELECT source, string_split(text, ' ') AS words
+          FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         unnest(generate_series(1, len(words) - 2)) AS u(i)
+  ) t
+),
+vkr AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM vkw
+),
+vka AS (
+  SELECT source, COUNT(*) AS cnt_min,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+  FROM vkr WHERE rn <= {_KMV_K} GROUP BY source
+)
+SELECT source,
+       CAST(CASE WHEN cnt_min < {_KMV_K} THEN cnt_min
+            ELSE FLOOR(CAST(\'{_KMV_NUM}\' AS DOUBLE)
+                       / CAST(GREATEST(kth, {_KMV_K}) AS DOUBLE)) END
+            AS BIGINT) AS est_distinct_shingles,
+       CAST(cnt_min AS BIGINT) AS k_used
+FROM vka
+""",
+    doc="Deterministic distinct-count SKETCH under the driver\'s hash gate "
+    "— the cross-engine-verifiable counterpart of approx_count_distinct "
+    "(a15\'s HyperLogLog state is not bit-reproducible, hence rows-only; "
+    "KMV is): per source, keep the k=256 minimum distinct md5-derived "
+    "60-bit trigram-shingle hashes and estimate the shingle vocabulary "
+    "as (k-1)*2^60/kth_min (Bar-Yossef 2002). Determinism: hashes are "
+    "exact integers; the estimator is one int->double cast, one "
+    "correctly-rounded IEEE division and a floor — bitwise identical in "
+    "Spark and DuckDB; sources with fewer than k distinct hashes report "
+    "the exact count. Scale: bounded state per group (production form = "
+    "mergeable min-k partial aggregate; the ROW_NUMBER runs over the "
+    "DISTINCT-hash table, shingle-vocabulary-bounded). Accuracy "
+    "(~1/sqrt(k) ~ 6%) is bounded against the exact distinct count in "
+    "tests/test_sketch.py.",
+)
+def t_shingle_kmv(e) -> DataFrame:
+    docs = e["documents"].select("source", F.split("text", " ").alias("w"))
+    shingles = (
+        docs.filter(F.size("w") >= 3)
+        .select(
+            "source",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - 2)
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("s"),
+        )
+    )
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    dh = shingles.select("source", h.alias("h")).distinct()
+    ranked = dh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    ).filter(F.col("rn") <= _KMV_K)
+    per = ranked.groupBy("source").agg(
+        F.count("*").alias("cnt_min"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = (
+        F.when(F.col("cnt_min") < _KMV_K, F.col("cnt_min"))
+        .otherwise(
+            F.floor(
+                F.lit(_KMV_NUM).cast("double")
+                / F.greatest("kth", F.lit(_KMV_K)).cast("double")
+            )
+        )
+        .cast("long")
+    )
+    return per.select(
+        "source",
+        est.alias("est_distinct_shingles"),
+        F.col("cnt_min").cast("long").alias("k_used"),
+    )

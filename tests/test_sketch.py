@@ -44,3 +44,44 @@ def test_sketch_tracks_exact(spark, sf_dir):
             ("p99_mib_e2", "p99_approx_mib_e2"),
         ]:
             assert abs(r[approx_key] - ex[exact_key]) <= 0.10 * max(ex[exact_key], 100)
+
+
+def test_kmv_sketch_tracks_exact(spark, sf_dir):
+    """t_shingle_kmv: the estimator branch must engage (k_used == k) and
+    track the exact distinct shingle count within ~3/sqrt(k); the shared
+    (k-1)*2^60 constant is re-derived here independently so a wrong
+    numerator cannot hide behind the cross-engine hash match (it did in
+    r6 until this test caught it)."""
+    import duckdb
+
+    from hadoop_hdfs_spark.pipeline.text import _KMV_K, _KMV_NUM
+
+    assert int(_KMV_NUM) == (_KMV_K - 1) * 2**60
+
+    exact = dict(
+        duckdb.sql(
+            f"""
+SELECT source, COUNT(DISTINCT s) FROM (
+  SELECT source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+  FROM (SELECT source, string_split(text, ' ') AS words
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE len(string_split(text, ' ')) >= 3),
+       unnest(generate_series(1, len(words) - 2)) AS u(i)
+) GROUP BY source
+"""
+        ).fetchall()
+    )
+    got = {
+        r.source: (r.est_distinct_shingles, r.k_used)
+        for r in registry.queries()["t_shingle_kmv"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)
+    engaged = 0
+    for s, n in exact.items():
+        est, k_used = got[s]
+        if k_used == _KMV_K:
+            engaged += 1
+            assert abs(est - n) <= 3 / (_KMV_K**0.5) * n + 3, (s, est, n)
+        else:
+            assert est == n == k_used, (s, est, n)  # sub-k: exact by design
+    assert engaged > 0, "fixture must exercise the estimator branch"
