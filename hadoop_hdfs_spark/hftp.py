@@ -193,12 +193,22 @@ _S5_FILTER = "[no][0-9]*[02468]"  # even-keyed nation dirs + order files
 
 
 def _hftp_fixture(inodes: DataFrame, sf_dir: str) -> str:
-    """Write (once, atomically) the listing XML for this SF's namespace."""
+    """Write (once, atomically) the listing XML for this SF's namespace.
+
+    Keyed on the FIXTURE CONTENT fingerprint, not just the path: a
+    regenerated fixture at the same sf_dir must produce a fresh XML, or
+    the data source would replay stale bytes while the oracle reads the
+    fresh namespace (the staging-staleness hazard, streaming/staging.py).
+    """
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    from .streaming.staging import fixture_fingerprint
+
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{fixture_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:8]
     path = f"/tmp/spark_graft_hftp_{tag}.xml"
     if not os.path.exists(path):
         fd, tmp = tempfile.mkstemp(
