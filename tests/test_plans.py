@@ -278,3 +278,37 @@ def test_semdedup_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d_semdedup")
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_s1_block_scan_is_range_sharded(spark, sf_dir):
+    # the block scan must be the bounded-memory shape: an Arrow kernel over
+    # distributedly-derived (path, offset) rows — never a whole-file
+    # binaryFile scan (single-row files OOM at scale)
+    plan = _plan(spark, sf_dir, "s1_binary_block_scan")
+    assert "MapInPandas" in plan
+    assert "binaryFile" not in plan
+    assert "Generate" in plan  # shard rows derived by explode, not driver
+
+
+def test_s5_listing_scans_through_the_data_source(spark, sf_dir):
+    # the listing must come through the registered hftp source (filter
+    # params evaluated in-reader), not a re-derivation from entities
+    plan = _plan(spark, sf_dir, "s5_hftp_listing_scan")
+    assert "BatchScan hftp" in plan or "hftp" in plan
+
+
+def test_bpe_apply_joins_encoded_vocabulary(spark, sf_dir):
+    # production BPE apply: the corpus-scale side joins the bounded
+    # encoded-vocabulary frame; the merge replay (MapInPandas) must sit on
+    # the DISTINCT-word side, never over corpus rows
+    plan = _plan(spark, sf_dir, "t_bpe_apply")
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2  # distinct + final partial aggs
+
+
+def test_kmv_sketch_keeps_partial_aggregation(spark, sf_dir):
+    # the sketch pipeline: distinct-hash partial aggs + bounded window —
+    # the shuffle moves hashes, never shingle strings beyond the first agg
+    plan = _plan(spark, sf_dir, "t_shingle_kmv")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
