@@ -315,9 +315,69 @@ def scale_probe() -> None:
         "",
         f"**Flagged (> 10x for 10x data): {sorted(flagged) or 'none'}**",
     ]
-    with open(os.path.join(here, "SCALING.md"), "w") as f:
+    # Preserve marker-delimited sections (the hand-written analysis and the
+    # streaming-probe split) across the rewrite — a bare mode-'w' rewrite
+    # used to silently erase them (ADVICE r6).
+    md_path = os.path.join(here, "SCALING.md")
+    kept = _kept_sections(md_path)
+    with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
+        for block in kept:
+            f.write("\n" + block + "\n")
     print(json.dumps(out))
+
+
+# Sections of SCALING.md that survive a scale_probe rewrite and are
+# replace-in-place for repeated streaming_probe runs (ADVICE r6: the probe
+# appended a duplicate section per run, and scale_probe then erased them).
+_KEEP_BEGIN = "<!-- KEEP:BEGIN {name} -->"
+_KEEP_END = "<!-- KEEP:END {name} -->"
+
+
+def _kept_sections(md_path: str) -> list[str]:
+    import re
+
+    try:
+        with open(md_path) as f:
+            text = f.read()
+    except OSError:
+        return []
+    return [
+        m.group(0)
+        for m in re.finditer(
+            r"<!-- KEEP:BEGIN (\S+) -->.*?<!-- KEEP:END \1 -->", text, re.S
+        )
+    ]
+
+
+def _write_kept_section(md_path: str, name: str, body: str) -> None:
+    """Replace (or append) the named KEEP block in SCALING.md."""
+    import re
+
+    block = (
+        _KEEP_BEGIN.format(name=name)
+        + "\n"
+        + body.strip("\n")
+        + "\n"
+        + _KEEP_END.format(name=name)
+    )
+    try:
+        with open(md_path) as f:
+            text = f.read()
+    except OSError:
+        text = ""
+    pat = re.compile(
+        re.escape(_KEEP_BEGIN.format(name=name))
+        + r".*?"
+        + re.escape(_KEEP_END.format(name=name)),
+        re.S,
+    )
+    if pat.search(text):
+        text = pat.sub(lambda _: block, text)
+    else:
+        text = text.rstrip("\n") + ("\n\n" if text else "") + block + "\n"
+    with open(md_path, "w") as f:
+        f.write(text)
 
 
 _STREAM_GATES = {
@@ -388,8 +448,9 @@ def streaming_probe() -> None:
             f"| {qname} | {a['staging_s']} s | {a['drain_s']} s "
             f"| {b['staging_s']} s | {b['drain_s']} s | {ratio}x |"
         )
-    with open(os.path.join(here, "SCALING.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
+    _write_kept_section(
+        os.path.join(here, "SCALING.md"), "streaming-probe", "\n".join(lines)
+    )
     print(json.dumps(results))
 
 

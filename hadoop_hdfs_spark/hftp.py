@@ -199,15 +199,23 @@ def _hftp_fixture(inodes: DataFrame, sf_dir: str) -> str:
     regenerated fixture at the same sf_dir must produce a fresh XML, or
     the data source would replay stale bytes while the oracle reads the
     fresh namespace (the staging-staleness hazard, streaming/staging.py).
+    A CODE-VERSION component (the inodes entity SQL + the writer source)
+    is folded in too (ADVICE r6): an edit to either must invalidate the
+    cached XML, not replay bytes a prior code version wrote.
     """
     import hashlib
+    import inspect
     import os
     import tempfile
 
+    from .entities import ENTITY_SQL
     from .streaming.staging import fixture_fingerprint
 
+    code_ver = hashlib.md5(
+        (ENTITY_SQL["inodes"] + inspect.getsource(write_hftp_listing)).encode()
+    ).hexdigest()[:8]
     tag = hashlib.md5(
-        f"{sf_dir.rstrip('/')}|{fixture_fingerprint(sf_dir)}".encode()
+        f"{sf_dir.rstrip('/')}|{fixture_fingerprint(sf_dir)}|{code_ver}".encode()
     ).hexdigest()[:8]
     path = f"/tmp/spark_graft_hftp_{tag}.xml"
     if not os.path.exists(path):

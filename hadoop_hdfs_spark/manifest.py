@@ -189,7 +189,32 @@ def regenerate(spark=None, rebase_green: bool = False) -> dict:
     green fingerprint and so stay in tier 1 to re-earn their row."""
     from . import registry
 
-    old = load_manifest()["queries"]
+    old_manifest = load_manifest()
+    old = old_manifest["queries"]
+    if rebase_green:
+        # Rebase blesses green_fingerprint := current, trusting the OLD
+        # manifest's stored fingerprints to describe the working tree. That
+        # only holds if no semantics-bearing source changed since the old
+        # manifest was generated (ADVICE r6) — otherwise a semantically
+        # edited query would be silently rebased to green without
+        # re-verification. manifest.py itself is exempt: an algorithm
+        # migration (the one legitimate rebase trigger) necessarily edits
+        # it, and it carries no query semantics.
+        current_files = source_file_hashes()
+        old_files = old_manifest.get("files", {})
+        changed = sorted(
+            p
+            for p in set(current_files) | set(old_files)
+            if current_files.get(p) != old_files.get(p)
+            and p != os.path.join("hadoop_hdfs_spark", "manifest.py")
+        )
+        if changed:
+            raise ValueError(
+                "--rebase-green refused: semantics-bearing sources changed "
+                f"since the committed manifest ({changed}); regenerate "
+                "normally (touched queries re-earn their rows) or commit/"
+                "restore those files first"
+            )
     latest = registry._latest_green_round()
     pre_clean = {
         n for n, e in old.items()

@@ -264,20 +264,23 @@ def verify_quota_batch(
     def violation(
         anc, ns_delta: int, ds_delta: int
     ) -> tuple[str, str] | None:
-        """Deepest quota'd ancestor in ``anc`` the deltas would overflow;
-        at one dir NS is reported before DS (the reference's verifyQuota
-        throws NSQuotaExceededException before checking diskspace)."""
-        bad = []
-        if ns_delta > 0:
-            bad += [
-                (x, "NS") for x in anc
-                if x in quotas and live[x] + ns_delta > quotas[x]
-            ]
-        if ds_delta > 0:
-            bad += [
-                (x, "DS") for x in anc
-                if x in ds_quotas and nbytes[x] + ds_delta > ds_quotas[x]
-            ]
+        """Deepest quota'd ancestor in ``anc`` the mutation would overflow.
+
+        verifyQuota (INodeDirectoryWithQuota.java:151-162) gates on EITHER
+        delta being positive, then checks BOTH dimensions against the
+        updated counts — so a directory seeded already over one quota
+        rejects growth in the other dimension too (zero-delta included).
+        At one dir NS is reported before DS (NSQuotaExceededException
+        throws before the diskspace check)."""
+        if ns_delta <= 0 and ds_delta <= 0:
+            return None
+        bad = [
+            (x, "NS") for x in anc
+            if x in quotas and live[x] + ns_delta > quotas[x]
+        ] + [
+            (x, "DS") for x in anc
+            if x in ds_quotas and nbytes[x] + ds_delta > ds_quotas[x]
+        ]
         if not bad:
             return None
         return max(bad, key=lambda t: (len(t[0]), t[1] == "NS"))

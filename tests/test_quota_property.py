@@ -185,11 +185,14 @@ def simulate_ds(
         if op in ("OP_ADD", "OP_MKDIR", "OP_SYMLINK"):
             if p in sizes:
                 continue
+            # verifyQuota: either delta positive -> BOTH dimensions checked
+            # against updated counts (ns_delta=1 here, so DS is checked
+            # even for a 0-byte create in an already-over-quota dir)
             if any(
                 _within(x, p) and sub_count(x) + 1 > q
                 for x, q in quotas.items()
             ) or any(
-                b > 0 and _within(x, p) and sub_bytes(x) + b > q
+                _within(x, p) and sub_bytes(x) + b > q
                 for x, q in ds_quotas.items()
             ):
                 rejected.append(o["txid"])
@@ -199,9 +202,15 @@ def simulate_ds(
             if p not in sizes:
                 continue
             delta = b - sizes[p]
-            if delta > 0 and any(
-                _within(x, p) and sub_bytes(x) + delta > q
-                for x, q in ds_quotas.items()
+            if delta > 0 and (
+                any(
+                    _within(x, p) and sub_count(x) > q
+                    for x, q in quotas.items()
+                )
+                or any(
+                    _within(x, p) and sub_bytes(x) + delta > q
+                    for x, q in ds_quotas.items()
+                )
             ):
                 rejected.append(o["txid"])
                 continue
@@ -219,7 +228,7 @@ def simulate_ds(
                 and sub_count(x) + len(moved) > q
                 for x, q in quotas.items()
             ) or any(
-                mb > 0 and _within(x, dst) and not _within(x, p)
+                _within(x, dst) and not _within(x, p)
                 and sub_bytes(x) + mb > q
                 for x, q in ds_quotas.items()
             ):
@@ -307,6 +316,42 @@ def test_ds_enforcement_matches_sequential_interpreter(spark, scenario):
     assert sorted(r.txid for r in got) == sorted(want_rejected), (
         ops, quotas, ds_quotas, got,
     )
+
+
+def test_over_quota_dir_rejects_growth_in_other_dimension(spark):
+    """verifyQuota checks BOTH dimensions whenever either delta is
+    positive (INodeDirectoryWithQuota.java:151-162): a directory seeded
+    already over its DS quota rejects even a 0-byte create (ns_delta=1,
+    ds_delta=0), and one over its NS quota rejects a growth-only close
+    (ns_delta=0, ds_delta>0)."""
+    state = spark.createDataFrame(
+        [("/a/x", True, 0, 5), ("/a/y", True, 0, 0)],
+        "path string, exists boolean, exist_txid long, length long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "OP_ADD", 1001, "/a/z", None, None, None, None, None),
+            (2, "OP_CLOSE", 1002, "/a/y", None, None, None, None, None),
+        ],
+        "txid long, op string, ts_ms long, path string, dst string,"
+        " replication int, perm string, owner string, gen_stamp long",
+    )
+    blocks = spark.createDataFrame(
+        [(2, 0, 2)], "txid long, block_seq int, num_bytes long"
+    )
+    # /a holds 5 bytes > ds_quota 3: the 0-byte OP_ADD must be refused
+    # (DS dimension, zero ds_delta) — the pre-fix code accepted it.
+    rej = verify_quota_batch(
+        state, batch, {}, ds_quotas={"/a": 3}, blocks=blocks
+    )
+    # the growth close (txid 2) also overflows the already-over dir
+    assert [(r.txid, r.quota_type) for r in rej] == [(1, "DS"), (2, "DS")]
+    # /a holds 2 entries > ns_quota 1: the growth close (ds_delta=+2)
+    # must be refused on the NS dimension despite ns_delta=0.
+    rej = verify_quota_batch(
+        state, batch, {"/a": 1}, ds_quotas={"/a": 100}, blocks=blocks
+    )
+    assert [(r.txid, r.quota_type) for r in rej] == [(1, "NS"), (2, "NS")]
 
 
 def test_ds_close_resize_and_replication_multiplier(spark):
