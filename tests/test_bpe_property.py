@@ -158,6 +158,23 @@ def test_train_merges_matches_string_reference_at_300_merges():
     assert got == want
 
 
+def test_bpe_apply_never_revisits_passed_ranks(spark):
+    """Adversarial case for the rank-heap kernel: rule 1 creates symbol
+    'ab', and rule 0's lhs IS 'ab'. Sequential in-order replay has already
+    passed rank 0 when 'ab' appears, so 'abx' must encode to 2 tokens
+    ([ab, x]); a min-rank iteration that re-visits enabled earlier ranks
+    would merge to 1. Pins the `j > k` push guard."""
+    from hadoop_hdfs_spark.pipeline.bpetrain import bpe_apply
+
+    docs_df = spark.createDataFrame([(1, "abx abx")], "doc_id long, text string")
+    merges_df = spark.createDataFrame(
+        [(1, "ab", "x"), (2, "a", "b")],
+        "merge_idx int, lhs string, rhs string",
+    )
+    [row] = bpe_apply(docs_df, merges_df).collect()
+    assert (row.n_words, row.n_tokens) == (2, 4)
+
+
 def test_bpe_apply_joins_match_sequential_encoding(spark):
     """bpe_apply (distinct-word encode + corpus join) vs encoding every
     document word with the string reference, at a 256+-merge table."""
