@@ -365,6 +365,36 @@ FROM inodes
 WHERE under_construction
 """
 
+# Replication-work event CHANGELOG (the streaming twin of the
+# `pending_replication` point-in-time snapshot): every OP_ADD edit
+# dispatches 1..3 in-flight replicas for its block (keyed by the edit's
+# txid — PendingReplicationBlocks.increment, :73-86), and for txid % 7 <= 3
+# the new replica's blockReceived confirmation arrives (1 + txid % 7) lag
+# steps later (PendingReplicationBlocks.decrement, :87-98). The lag step is
+# 1/32 of the dispatch time range so confirm lags are commensurate with
+# any window partition of the stream; /32.0 is a power-of-two division —
+# IEEE-exact, so FLOOR agrees with integer floor-division in both engines.
+# Confirms beyond the 4-step timeout horizon are not generated: the t21
+# gate's scope is the deterministic dispatch/confirm/timeout segment (the
+# late-confirm no-op leg stays a lib-tested monitor behavior).
+_REPL_EVENTS_SQL = """
+SELECT
+  d.txid                                                       AS block_id,
+  'dispatch'                                                   AS event,
+  d.ts_ms                                                      AS event_ms,
+  CAST(1 + d.txid % 3 AS BIGINT)                               AS n_replicas
+FROM edits d WHERE d.op = 'OP_ADD'
+UNION ALL
+SELECT
+  d.txid                                                       AS block_id,
+  'confirm'                                                    AS event,
+  d.ts_ms + (1 + d.txid % 7) *
+    (SELECT CAST(FLOOR((MAX(ts_ms) - MIN(ts_ms)) / 32.0) AS BIGINT) + 1
+     FROM edits WHERE op = 'OP_ADD')                           AS event_ms,
+  CAST(1 AS BIGINT)                                            AS n_replicas
+FROM edits d WHERE d.op = 'OP_ADD' AND d.txid % 7 <= 3
+"""
+
 # Definition order matters: replicas reads blocks, leases reads inodes.
 ENTITY_SQL: dict[str, str] = {
     "datanodes": _DATANODES_SQL,
@@ -376,6 +406,7 @@ ENTITY_SQL: dict[str, str] = {
     "leases": _LEASES_SQL,
     "pending_replication": _PENDING_REPLICATION_SQL,
     "audit": _AUDIT_SQL,
+    "repl_events": _REPL_EVENTS_SQL,
 }
 
 

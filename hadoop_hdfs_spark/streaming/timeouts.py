@@ -158,9 +158,13 @@ PENDING_STATE = StructType(
 )
 
 
-def make_pending_replication_monitor(timeout_ms: int = PENDING_TIMEOUT_MS):
+def make_pending_replication_monitor(
+    timeout_ms: int = PENDING_TIMEOUT_MS, event_time: bool = False
+):
     def monitor(key, rows, state):
-        yield from pending_replication_monitor(key, rows, state, timeout_ms)
+        yield from pending_replication_monitor(
+            key, rows, state, timeout_ms, event_time
+        )
 
     return monitor
 
@@ -170,6 +174,7 @@ def pending_replication_monitor(
     rows: Iterator[pd.DataFrame],
     state: GroupState,
     timeout_ms: int = PENDING_TIMEOUT_MS,
+    event_time: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """T7 pending-replication tracker keyed by block
     (PendingReplicationBlocks.java:38-55 + PendingReplicationMonitor
@@ -178,7 +183,14 @@ def pending_replication_monitor(
     decrements, removing the entry at zero; the processing-time timeout
     firing re-emits the entry with ``timed_out=True`` — the reference's
     timedOutItems hand-off that re-queues the block into
-    neededReplications (T6)."""
+    neededReplications (T6).
+
+    ``event_time=True`` switches the monitor to EVENT-time expiry: the
+    timeout is pinned at dispatched_ms + timeout_ms and fires when the
+    WATERMARK passes it — deterministic given the data, which is what lets
+    the t21 gate (streaming/pending.py) hash-match the monitor's full
+    emission relation against a closed-form SQL oracle. The caller must
+    wire ``GroupStateTimeout.EventTimeTimeout`` and a watermark."""
     (block_id,) = key
     if state.hasTimedOut:
         ts, n = state.get if state.exists else (None, 0)
@@ -216,7 +228,10 @@ def pending_replication_monitor(
         )
         return
     state.update((ts, n))
-    state.setTimeoutDuration(timeout_ms)
+    if event_time:
+        state.setTimeoutTimestamp(ts + timeout_ms)
+    else:
+        state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
         {
             "block_id": [block_id],
@@ -239,4 +254,19 @@ def pending_replication_stream(events, timeout_ms: int = PENDING_TIMEOUT_MS):
         stateStructType=PENDING_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def pending_replication_event_stream(events, timeout_ms: int):
+    """T7 monitor with EVENT-time expiry: ``events`` must already carry a
+    watermarked event-time column (the t21 gate watermarks ``ts`` derived
+    from event_ms with 0s delay). The timeout pins at dispatched_ms +
+    timeout_ms and fires when the watermark passes it — the deterministic
+    form of the 5-min re-queue, gate-matched against a SQL oracle."""
+    return events.groupBy("block_id").applyInPandasWithState(
+        make_pending_replication_monitor(timeout_ms, event_time=True),
+        outputStructType=PENDING_OUTPUT,
+        stateStructType=PENDING_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
