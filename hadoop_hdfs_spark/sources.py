@@ -52,13 +52,29 @@ def save_edits(edits: DataFrame, path: str, n_segments: int = 8) -> None:
     so that ``maxFilesPerTrigger=1`` applies segments in log order. A plain
     sortWithinPartitions would interleave txid ranges across files and let a
     later micro-batch carry earlier txids (ordering tested in
-    tests/test_sources.py)."""
+    tests/test_sources.py).
+
+    The part files are then stamped with strictly increasing mtimes in
+    part order: a single write job commits every segment within the same
+    second, and the file stream source orders equal-timestamp files
+    ARBITRARILY — observed (r7, t2c) replaying an earlier txid range
+    after a later one, which resurrects subtree-deleted files and
+    regresses attributes. Distinct mtimes make file order == log order
+    under the source's timestamp sort too."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
     (
         edits.repartitionByRange(n_segments, "txid")
         .sortWithinPartitions("txid")
         .write.mode("overwrite")
         .parquet(path)
     )
+    parts = sorted(_glob.glob(_os.path.join(path, "part-*")))
+    base = int(_time.time()) - len(parts)
+    for i, p in enumerate(parts):
+        _os.utime(p, (base + i, base + i))
 
 
 def write_xml_sink(df: DataFrame, path: str, row_tag: str = "RECORD") -> None:

@@ -1,0 +1,163 @@
+"""t2c: the T2 incremental checkpoint under the driver's hash gate.
+
+``replay_edits_stream`` (replay.py) is the SecondaryNameNode checkpoint
+roll (SecondaryNameNode.java:435-491) as a foreachBatch stream: per
+micro-batch MERGE, prefix-partitioned snapshot, touched-partition-only
+rewrite with every untouched partition HARDLINKED from the previous
+version, ``_SUCCESS``-gated commit, bounded retention. Until r7 that
+machinery was lib-tested only (byte-identity + retention); this gate runs
+it END TO END under the hash oracle:
+
+- the segment is the t1b scoping trick: a restricted op subset —
+  creates (OP_ADD/OP_MKDIR) + file deletes, plus PARENT-DIRECTORY deletes
+  derived from the OP_SET_QUOTA rows (same txid, path rewritten to the
+  dirname) so the recursive subtree-kill leg is exercised — whose
+  multi-batch replay provably collapses to a closed form;
+- the segment is staged with ``sources.save_edits`` (txid-range
+  partitioned files, file order == txid order) and drained with
+  ``maxFilesPerTrigger=1`` — one real MERGE + incremental version
+  assembly per segment, with retention pruning old versions as it goes;
+- the FINAL COMMITTED SNAPSHOT (``load_latest_snapshot`` — whatever
+  survived hardlink assembly + pruning) is hash-matched against the
+  oracle's closed-form restatement: per path, the last create/delete
+  decides existence, a strict-ancestor delete with newer authority kills
+  (recreation later resurrects), the last OP_ADD's replication and the
+  last create/close mtime stamp the attributes, and exist_txid carries
+  the authority. Compaction ≡ replay, certified.
+
+Scale: per-batch I/O is O(touched prefixes + batch), not O(namespace) —
+the scan is partition-pruned to touched prefixes and untouched partitions
+move by hardlink (zero data). The gate's sf0.01 drain is the same code
+path a 100 TB namespace checkpoint would run, at partition granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..registry import eager_cache_thunk, register
+
+# Shared segment selection: the same text builds the staged changelog
+# (through Spark) and opens the oracle (through DuckDB). Parent-directory
+# deletes are derived by pure string arithmetic from OP_SET_QUOTA rows —
+# deterministic, interleaved at natural txids, and guaranteed to collide
+# with files created before them.
+_T2C_SEG_SQL = """
+SELECT txid, op, ts_ms, path,
+       CAST(NULL AS STRING) AS dst, replication,
+       CAST(NULL AS STRING) AS perm, CAST(NULL AS STRING) AS owner,
+       CAST(NULL AS BIGINT) AS gen_stamp
+FROM edits WHERE op IN ('OP_ADD', 'OP_MKDIR', 'OP_DELETE')
+UNION ALL
+SELECT txid, 'OP_DELETE' AS op, ts_ms,
+       regexp_extract(path, '(.*)/[^/]*$', 1) AS path,
+       CAST(NULL AS STRING) AS dst, CAST(NULL AS INT) AS replication,
+       CAST(NULL AS STRING) AS perm, CAST(NULL AS STRING) AS owner,
+       CAST(NULL AS BIGINT) AS gen_stamp
+FROM edits WHERE op = 'OP_SET_QUOTA'
+"""
+
+_T2C_SEGMENTS = 4  # checkpoint rolls per drain
+
+
+@register(
+    "t2c_checkpoint_replay",
+    oracle=f"""
+WITH t2seg AS ({_T2C_SEG_SQL}),
+t2last AS (
+  SELECT path, exist_txid, last_op FROM (
+    SELECT path, txid AS exist_txid, op AS last_op,
+           ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid DESC) AS rn
+    FROM t2seg) WHERE rn = 1
+),
+t2repl AS (
+  SELECT path, replication FROM (
+    SELECT path, CAST(COALESCE(replication, 3) AS INT) AS replication,
+           ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid DESC) AS rn
+    FROM t2seg WHERE op = 'OP_ADD') WHERE rn = 1
+),
+t2mt AS (
+  SELECT path, mtime_ms FROM (
+    SELECT path, ts_ms AS mtime_ms,
+           ROW_NUMBER() OVER (PARTITION BY path ORDER BY txid DESC) AS rn
+    FROM t2seg WHERE op IN ('OP_ADD', 'OP_MKDIR')) WHERE rn = 1
+)
+SELECT l.path,
+       CASE WHEN l.last_op = 'OP_DELETE' THEN FALSE
+            WHEN EXISTS (SELECT 1 FROM t2seg d
+                         WHERE d.op = 'OP_DELETE'
+                           AND d.txid > l.exist_txid
+                           AND l.path LIKE d.path || '/%')
+                 THEN FALSE
+            ELSE TRUE END AS "exists",
+       r.replication,
+       m.mtime_ms,
+       l.exist_txid
+FROM t2last l
+LEFT JOIN t2repl r ON l.path = r.path
+LEFT JOIN t2mt m ON l.path = m.path
+""",
+    doc="T2 incremental checkpoint ≡ replay, under the driver's hash gate "
+    "(SecondaryNameNode.java:435-491; FSEditLogLoader op switch "
+    ":181-479): a restricted creates/deletes segment (plus derived "
+    "parent-dir deletes so recursive subtree kills fire) staged as "
+    "txid-range files and drained through the REAL replay_edits_stream — "
+    "foreachBatch MERGE per segment, prefix-partitioned snapshot with "
+    "touched-only rewrite + hardlinked untouched partitions, "
+    "_SUCCESS-gated versions, bounded retention — then the final "
+    "committed snapshot is hash-matched against the closed-form fold the "
+    "scoped segment collapses to. Scale: per-roll cost is O(touched "
+    "prefixes + batch) with partition-pruned scans; untouched state "
+    "moves by hardlink, never by copy.",
+)
+def t2c_checkpoint_replay(e) -> DataFrame:
+    spark = e["edits"].sparkSession
+
+    def build() -> DataFrame:
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..sources import save_edits
+        from .drain import drain_partitions
+        from .replay import load_latest_snapshot, replay_edits_stream
+        from .staging import staged_dir
+
+        sf_dir = str(e["__sf_dir__"])
+        # v2: the stage layout depends on save_edits' ordered-mtime stamp
+        code_ver = hashlib.md5(
+            f"{_T2C_SEG_SQL}|{_T2C_SEGMENTS}|v2".encode()
+        ).hexdigest()[:6]
+
+        def build_stage(stage: str) -> None:
+            # save_edits stamps ascending per-part mtimes so the file
+            # stream source replays segments in txid order (sources.py).
+            save_edits(spark.sql(_T2C_SEG_SQL), stage, _T2C_SEGMENTS)
+
+        stage = staged_dir(sf_dir, f"t2c_edits_{code_ver}", build_stage)
+        work = tempfile.mkdtemp(prefix="t2c_replay_")
+        try:
+            with drain_partitions(spark):
+                q = replay_edits_stream(
+                    spark,
+                    stage,
+                    os.path.join(work, "ckpt"),
+                    os.path.join(work, "snap"),
+                    max_files_per_trigger=1,
+                )
+                q.awaitTermination()
+            snap = load_latest_snapshot(spark, os.path.join(work, "snap"))
+            return snap.select(
+                "path",
+                "exists",
+                F.col("replication").cast("int").alias("replication"),
+                F.col("mtime_ms").cast("long").alias("mtime_ms"),
+                F.col("exist_txid").cast("long").alias("exist_txid"),
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    return eager_cache_thunk(e, "t2c_checkpoint", build)

@@ -66,6 +66,16 @@ def test_save_edits_segments_are_txid_ordered(spark, sf_dir, tmp_path):
             ranges.append((stats["lo"], stats["hi"]))
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next, f"txid ranges interleave: {ranges}"
+    # the file stream source orders by MODIFICATION TIME (ties arbitrary):
+    # save_edits must stamp strictly increasing mtimes in part order, or a
+    # one-job write ties every segment's mtime and replay can apply an
+    # earlier txid range AFTER a later one (observed r7, t2c gate)
+    import os
+
+    mtimes = [os.stat(f).st_mtime_ns for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes), (
+        f"segment mtimes must strictly increase in part order: {mtimes}"
+    )
 
 
 def test_snapshot_chain_feeds_queries(spark, sf_dir, tmp_path):
