@@ -6,10 +6,13 @@ format support), then a PURE-STDLIB decoder for PNG/BMP/PPM
 (``decode_image_pure`` — real header parse, zlib inflate + scanline
 unfilter, nearest-neighbor resize; so image decode is genuinely real even
 in this codec-less container), then deterministic clearly-marked STUBS as
-the last resort for bytes nothing decodes. Everything Spark-side is real
-and tested either way: the schema contract, the ``mapInPandas`` batch
-shape, partition sizing, and the metadata fan-out. Audio/video codecs
-(torchaudio / pyav) remain stub-only — same swap-in point.
+the last resort for bytes nothing decodes. The AUDIO leg decodes real PCM
+WAV through the stdlib ``wave`` module (``decode_audio_wav`` with strict
+RIFF validation; ``audio_window_sample`` fans out real per-window integer
+RMS) — the same tiering, r7. Everything Spark-side is real and tested
+either way: the schema contract, the ``mapInPandas`` batch shape,
+partition sizing, and the metadata fan-out. Only VIDEO codecs (pyav /
+ffmpeg) remain stub-only — same swap-in point.
 
 100 TB design notes:
 
@@ -265,19 +268,83 @@ def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb
 
 
+def decode_audio_wav(payload: bytes):
+    """(n_channels, sample_width, sample_rate, n_frames, pcm bytes) for
+    PCM WAV payloads, else None. Strict: a RIFF/WAVE magic precheck plus
+    the stdlib ``wave`` parser — arbitrary text bytes never spuriously
+    decode (the r6 image-codec discipline, applied to the audio leg)."""
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            nf = w.getnframes()
+            pcm = w.readframes(nf)
+    except Exception:
+        return None
+    if nch <= 0 or rate <= 0 or sw not in (1, 2, 4):
+        return None
+    return nch, sw, rate, nf, pcm
+
+
+def audio_window_rms(
+    pcm: bytes, sample_width: int, n_channels: int, window_frames: int
+) -> list[int]:
+    """Integer RMS per window of interleaved PCM — pure-int math
+    (isqrt of the mean square), so the result is engine- and
+    platform-exact. 8-bit WAV is unsigned (centered at 128); 16/32-bit
+    are signed little-endian, the formats the stdlib writer emits."""
+    import array
+    import math
+
+    if sample_width == 1:
+        samples = [b - 128 for b in pcm]
+    else:
+        code = "h" if sample_width == 2 else "i"
+        arr = array.array(code)
+        arr.frombytes(pcm[: len(pcm) - len(pcm) % sample_width])
+        if __import__("sys").byteorder == "big":  # WAV is little-endian
+            arr.byteswap()
+        samples = arr.tolist()
+    step = max(window_frames * n_channels, 1)
+    out = []
+    for off in range(0, len(samples), step):
+        win = samples[off : off + step]
+        out.append(math.isqrt(sum(s * s for s in win) // len(win)))
+    return out
+
+
 def decode_kernel(payload: bytes, media_type: str) -> dict:
     """Decoder with optional-dependency swap-in: real PIL metadata for
-    images when PIL is importable; a deterministic STUB otherwise (this
-    container has no codecs). Undecodable image bytes fall back to the
-    stub features rather than failing the task — corrupt samples are a
-    fact of 100 TB corpora, and quarantining beats crashing the stage.
-    Raises for media types a real deployment would need a codec for.
+    images when PIL is importable, the pure-stdlib PNG/BMP/PPM decoder
+    next, and for audio the stdlib ``wave`` PCM parser — a deterministic
+    STUB only for what no stdlib can decode (video codecs). Undecodable
+    bytes fall back to the stub features rather than failing the task —
+    corrupt samples are a fact of 100 TB corpora, and quarantining beats
+    crashing the stage. For decoded audio the (width, height) feature
+    slots carry (n_frames, sample_rate) — the duration/rate metadata an
+    audio curation pipeline filters on.
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
     import hashlib
 
     digest = hashlib.md5(payload or b"").hexdigest()
+    if media_type == "audio" and payload:
+        wav = decode_audio_wav(payload)
+        if wav is not None:  # REAL stdlib decode (PCM WAV)
+            _nch, _sw, rate, nf, _pcm = wav
+            return {"feature_digest": digest, "width": nf, "height": rate}
     if media_type == "image" and payload:
         Image = _pil_image()
         if Image is not None:
@@ -356,6 +423,48 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 256) -> DataFrame:
                     rows["asset_id"].append(aid)
                     rows["frame_idx"].append(i)
                     rows["frame_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def audio_window_sample(assets: DataFrame, window_frames: int = 1024) -> DataFrame:
+    """1->N audio windowing over REAL decoded samples: PCM WAV payloads
+    (stdlib ``wave``) fan out to one row per ``window_frames`` window with
+    the window's integer RMS — the feature an audio curation pipeline
+    thresholds on (silence/clipping filters). Undecodable audio bytes are
+    quarantined (zero rows) rather than faked: downstream joins see only
+    real measurements. Same Arrow-batched 1->N shape as frame_sample."""
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("window_idx", LongType(), False),
+            StructField("n_frames", LongType(), False),
+            StructField("sample_rate", LongType(), False),
+            StructField("rms", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [], "window_idx": [], "n_frames": [],
+                "sample_rate": [], "rms": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                wav = decode_audio_wav(payload) if payload else None
+                if wav is None:
+                    continue
+                nch, sw, rate, nf, pcm = wav
+                for i, rms in enumerate(
+                    audio_window_rms(pcm, sw, nch, window_frames)
+                ):
+                    rows["asset_id"].append(aid)
+                    rows["window_idx"].append(i)
+                    rows["n_frames"].append(nf)
+                    rows["sample_rate"].append(rate)
+                    rows["rms"].append(rms)
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, schema=schema)

@@ -207,3 +207,88 @@ def test_fixture_text_payloads_never_spuriously_decode(sf_dir):
     assert rows
     for (text,) in rows:
         assert multimodal.decode_image_pure(text.encode()) is None
+
+
+# ------------------------------------------------------------------ audio
+def _wav(n_channels=1, rate=8000, samples=None, sampwidth=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        import struct
+
+        code = {1: "B", 2: "<h", 4: "<i"}[sampwidth]
+        w.writeframes(b"".join(struct.pack(code, s) for s in samples))
+    return buf.getvalue()
+
+
+def test_wav_decode_real_metadata():
+    samples = [0, 1000, -1000, 2000, -2000, 0]  # mono, 6 frames
+    wav = _wav(samples=samples)
+    dec = multimodal.decode_audio_wav(wav)
+    assert dec is not None
+    nch, sw, rate, nf, pcm = dec
+    assert (nch, sw, rate, nf) == (1, 2, 8000, 6)
+    assert len(pcm) == 12
+    out = multimodal.decode_kernel(wav, "audio")
+    # (width, height) carry (n_frames, sample_rate) for decoded audio
+    assert (out["width"], out["height"]) == (6, 8000)
+
+
+def test_wav_window_rms_exact_integer_math():
+    import math
+
+    samples = [3, 4, 0, 0, 5, 12]
+    wav = _wav(samples=samples)
+    _, sw, _, _, pcm = multimodal.decode_audio_wav(wav)
+    # windows of 2 frames: isqrt of mean square
+    rms = multimodal.audio_window_rms(pcm, sw, 1, 2)
+    assert rms == [
+        math.isqrt((9 + 16) // 2),
+        0,
+        math.isqrt((25 + 144) // 2),
+    ]
+
+
+def test_wav_stereo_and_8bit():
+    wav = _wav(n_channels=2, samples=[10, 20, 30, 40], rate=44100)
+    nch, sw, rate, nf, pcm = multimodal.decode_audio_wav(wav)
+    assert (nch, rate, nf) == (2, 44100, 2)  # 4 samples = 2 stereo frames
+    # 8-bit unsigned: values centered at 128
+    wav8 = _wav(samples=[128, 128, 228, 28], sampwidth=1)
+    nch, sw, rate, nf, pcm = multimodal.decode_audio_wav(wav8)
+    assert sw == 1 and nf == 4
+    assert multimodal.audio_window_rms(pcm, 1, 1, 2) == [0, 100]
+
+
+def test_wav_strict_validation_rejects_non_wav():
+    assert multimodal.decode_audio_wav(b"") is None
+    assert multimodal.decode_audio_wav(b"not audio at all") is None
+    assert multimodal.decode_audio_wav(b"RIFF\x00\x00\x00\x00AAAA") is None
+    # truncated real WAV: header magic present, parser must refuse
+    wav = _wav(samples=[1, 2, 3, 4])
+    assert multimodal.decode_audio_wav(wav[:16]) is None
+    # text payloads (the certify-gate fixture bytes) never decode
+    out = multimodal.decode_kernel(b"plain text", "audio")
+    assert out["width"] < 4096 and out["height"] < 4096  # stub arithmetic
+
+
+def test_audio_window_sample_stage(spark):
+    wav = _wav(samples=[0, 1000] * 64)  # 128 frames
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(b"garbage"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = multimodal.audio_window_sample(assets, window_frames=32).collect()
+    # asset 2 quarantined (undecodable); asset 1 -> 4 windows of 32 frames
+    assert {r.asset_id for r in rows} == {1}
+    assert sorted(r.window_idx for r in rows) == [0, 1, 2, 3]
+    assert all(r.n_frames == 128 and r.sample_rate == 8000 for r in rows)
+    import math
+
+    want = math.isqrt((1000 * 1000 * 16) // 32)
+    assert all(r.rms == want for r in rows)
