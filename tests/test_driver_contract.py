@@ -28,7 +28,7 @@ from hadoop_hdfs_spark.testing import assert_query_matches_oracle
 
 # the queries most sensitive to session state: events (TIMESTAMP(NANOS)
 # needs the runtime flag), a window+agg chain, and a pandas-free scalar map
-for name in ["t11_event_rates", "c9_json_props", "t10_edit_sessions", "p_pii_redact", "mm_feature_certify", "t14_stream_rates"]:
+for name in ["t11_event_rates", "c9_json_props", "t10_edit_sessions", "p_pii_redact", "mm_feature_certify", "t14_stream_rates", "t21_pending_timeout_stream"]:
     assert_query_matches_oracle(spark, qs[name], oracles[name], "/root/testdata/sf0.001")
 print("BARE-DRIVER-OK")
 spark.stop()
@@ -81,10 +81,24 @@ def test_rotation_queues_most_deserving_queries():
             r for r in stale_inside
             if r == min(stale_inside)
         ), (min(outside), min(stale_inside))
-    # and every query outside the budget is at most 2 rounds stale given
-    # the current catalog size (pigeonhole floor for 126+ queries @ 50/round)
+    # and every query outside the budget is no staler than the pigeonhole
+    # floor for the CURRENT catalog size: with C queries and a 50-slot
+    # budget, stalest-first rotation bounds staleness at ceil(C/50) rounds
+    # (tighter is impossible once C > 2x50 — the r7 state, where the 50
+    # r4-stale rows exactly fill the budget and every new registration
+    # displaces one)
+    import math
+
     current_round = max(latest.values(), default=0) + 1
-    assert all(current_round - latest[n] <= 2 for n in order[registry._DRIVER_BUDGET:])
+    bound = max(2, math.ceil(len(order) / registry._DRIVER_BUDGET))
+    assert all(
+        current_round - latest[n] <= bound
+        for n in order[registry._DRIVER_BUDGET:]
+    ), sorted(
+        (latest[n], n)
+        for n in order[registry._DRIVER_BUDGET:]
+        if current_round - latest[n] > bound
+    )
 
 
 def test_manifest_is_fresh_and_complete():
@@ -109,6 +123,29 @@ def test_manifest_is_fresh_and_complete():
     registry._import_operator_modules()
     missing = set(registry._REGISTRY) - set(m["queries"])
     assert not missing, f"queries missing from manifest: {sorted(missing)}"
+
+
+def test_rebase_green_refuses_on_changed_sources(monkeypatch):
+    """--rebase-green blesses stored fingerprints as green, so it must
+    refuse when any semantics-bearing source changed since the committed
+    manifest (ADVICE r6) — otherwise a semantically edited query would be
+    silently rebased to green without re-verification. The refusal fires
+    before any Spark session is created (fast)."""
+    import pytest
+
+    from hadoop_hdfs_spark import manifest
+
+    current = manifest.source_file_hashes()
+    stale = dict(current)
+    victim = next(
+        p for p in sorted(stale) if p != "hadoop_hdfs_spark/manifest.py"
+    )
+    stale[victim] = "0" * 64
+    monkeypatch.setattr(
+        manifest, "load_manifest", lambda: {"queries": {}, "files": stale}
+    )
+    with pytest.raises(ValueError, match="rebase-green refused"):
+        manifest.regenerate(rebase_green=True)
 
 
 def test_synthetic_fingerprint_edit_lands_in_tier_1():
