@@ -83,9 +83,10 @@ def main() -> None:
     # cost is what the old best-of-2 min effectively measured, so the
     # headline stays comparable across rounds; the cold total quantifies
     # the one-time work the min used to discard silently.
+    n_warm = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     per_run: list[dict[str, float]] = []
     errors: dict[str, str] = {}
-    for _ in range(4):  # pass 0 = cold
+    for _ in range(1 + n_warm):  # pass 0 = cold
         times_r: dict[str, float] = {}
         for name in sorted(qs):
             if name in errors:
@@ -167,6 +168,9 @@ def main() -> None:
                 SPARK_GRAFT_SKIP_SF1="1",
                 SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(sf * 10 if sf > 0 else 1.0),
                 SPARK_GRAFT_BENCH_DETAIL=sf1_detail,
+                # the embedded 10x point exists for the scale RATIO: one
+                # warm pass is enough, three would triple the slowest leg
+                SPARK_GRAFT_BENCH_RUNS="1",
             )
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -294,6 +298,7 @@ def scale_probe() -> None:
             SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(blob_sf),
             SPARK_GRAFT_BENCH_DETAIL=detail_path,
             SPARK_GRAFT_SKIP_SF1="1",  # the probe runs both SFs itself
+            SPARK_GRAFT_BENCH_RUNS="1",  # ratios compare warm vs warm
         )
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "bench.py")],

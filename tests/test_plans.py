@@ -312,3 +312,14 @@ def test_kmv_sketch_keeps_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "t_shingle_kmv")
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_s5c_range_read_is_range_sharded(spark, sf_dir):
+    # the HFTP range-read gate must be the bounded-memory shape: an Arrow
+    # kernel over distributedly-derived (path, offset, length) rows — each
+    # task fetches only its range through range_read(), never a whole-file
+    # read
+    plan = _plan(spark, sf_dir, "s5c_hftp_range_read")
+    assert "MapInPandas" in plan
+    assert "binaryFile" not in plan
+    assert "Generate" in plan  # range rows derived by explode, not driver
