@@ -374,11 +374,13 @@ def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
 
 
 def _assemble_incremental_version(
-    tmp_dir: str, final_dir: str, prev_dir: str | None, touched: set[str]
+    tmp_dir: str, final_dir: str, prev_dir: str | None, is_touched
 ) -> None:
     """Build snapshot version ``final_dir`` from the freshly-written touched
     partitions in ``tmp_dir`` plus the UNTOUCHED partitions of ``prev_dir``
     (hardlinked — zero data movement; copy fallback for cross-device).
+    ``is_touched(partition_value)`` decides which previous partitions the
+    batch may have changed (prefix-match semantics live with the caller).
     The ``_SUCCESS`` commit marker is written LAST, after every partition
     is in place — a crash mid-assembly leaves an uncommitted directory
     that readers ignore."""
@@ -394,7 +396,7 @@ def _assemble_incremental_version(
         for d in glob.glob(os.path.join(prev_dir, "prefix=*")):
             name = os.path.basename(d)
             value = name.split("=", 1)[1]
-            if value in touched or os.path.exists(os.path.join(final_dir, name)):
+            if is_touched(value) or os.path.exists(os.path.join(final_dir, name)):
                 continue
             os.makedirs(os.path.join(final_dir, name))
             for f_ in os.listdir(d):
@@ -423,17 +425,22 @@ def replay_edits_stream(
     edits_<first>-<last> segment naming); ``maxFilesPerTrigger`` is the
     group-commit batch knob (FSEditLog.logSync analog).
 
-    Incremental compaction: the snapshot is hash-partitioned by the
-    TOP-LEVEL PATH PREFIX (``prefix=<first segment>`` directories). A
-    micro-batch can only change rows whose prefix appears among its ops'
-    path/dst first segments (rename sources/destinations included — a
-    rename cannot move a row between prefixes that the batch doesn't
-    name), so only those partitions are read (Spark prunes the scan on the
-    partition filter), merged, and rewritten; every untouched partition is
-    HARDLINKED from the previous version into the new one. Per-batch I/O
-    is O(touched subtrees + batch), not O(namespace) — the reference's
-    periodic checkpoint (SecondaryNameNode.java:435-491) has the same
-    touched-state-only cost profile, realized here at partition
+    Incremental compaction: the snapshot is partitioned by the TWO-LEVEL
+    PATH PREFIX (``prefix=<seg1>~<seg2>`` directories; depth-1 paths use
+    ``<seg1>`` alone). One level is too coarse when a deployment's
+    namespace lives under a single mount (observed: every fixture path
+    under ``/ev`` made "incremental" a full rewrite per batch); two
+    levels give per-subtree granularity while keeping partition counts
+    bounded by the directory fan-out. A micro-batch can only change rows
+    whose prefix matches one of its ops' path/dst prefixes (rename
+    sources/destinations included), where a depth-1 op prefix ``t``
+    matches partition ``t`` and every ``t~*`` partition beneath it — so
+    only those partitions are read (Spark prunes the scan on the
+    partition filter), merged, and rewritten; every untouched partition
+    is HARDLINKED from the previous version into the new one. Per-batch
+    I/O is O(touched subtrees + batch), not O(namespace) — the
+    reference's periodic checkpoint (SecondaryNameNode.java:435-491) has
+    the same touched-state-only cost profile, realized here at partition
     granularity. The versioned ``_SUCCESS``-gated commit protocol is
     unchanged (marker written after assembly; torn versions ignored).
     """
@@ -443,33 +450,54 @@ def replay_edits_stream(
         .parquet(edits_parquet_dir)
     )
 
+    def prefix2(col: str):
+        """Two-level partition prefix of a path column: 'a~b' for /a/b/...,
+        'a' for /a, '' for the root. '~' is partition-path-safe (Hadoop
+        escapes '/', '=', '%' etc. in partition values; '~' passes
+        through) and mirrors the path-prefix order: every partition under
+        a depth-1 prefix t is exactly t or t~*."""
+        # F.get: NULL (not an ANSI INVALID_ARRAY_INDEX error) for depth-1
+        # paths whose split array has no third element
+        s1 = F.get(F.split(col, "/"), 1)
+        s2 = F.get(F.split(col, "/"), 2)
+        return F.when(s2.isNotNull(), F.concat_ws("~", s1, s2)).otherwise(s1)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         spark_ = batch.sparkSession
         latest = _latest_snapshot_path(snapshot_dir)
-        # Touched top-level prefixes: collect is O(distinct first segments)
-        # — subtree count, not row count. A root-path op ('' prefix) means
+        # Touched prefixes: collect is O(distinct two-level prefixes) —
+        # subtree count, not row count. A root-path op ('' prefix) means
         # a full rewrite.
         pref_rows = (
-            batch.select(F.split("path", "/").getItem(1).alias("p"))
+            batch.select(prefix2("path").alias("p"))
             .unionAll(
                 batch.filter(F.col("dst").isNotNull()).select(
-                    F.split("dst", "/").getItem(1).alias("p")
+                    prefix2("dst").alias("p")
                 )
             )
             .distinct()
             .collect()
         )
         touched = {r["p"] for r in pref_rows if r["p"] is not None}
+        # depth-1 op prefixes match every partition beneath them
+        shallow = sorted(t for t in touched if t and "~" not in t)
         full_rewrite = latest is None or "" in touched
+
+        def is_touched_value(v: str) -> bool:
+            return v in touched or any(v.startswith(t + "~") for t in shallow)
+
         if latest is not None:
             state = spark_.read.parquet(latest)
             if "prefix" in state.columns:
                 if not full_rewrite:
                     # partition filter -> Spark reads ONLY touched dirs; the
                     # null guard keeps any default-partition stragglers in
-                    state = state.filter(
-                        F.col("prefix").isin(*touched) | F.col("prefix").isNull()
-                    )
+                    cond = F.col("prefix").isNull()
+                    if touched:
+                        cond = cond | F.col("prefix").isin(*touched)
+                    for t in shallow:
+                        cond = cond | F.col("prefix").startswith(t + "~")
+                    state = state.filter(cond)
                 state = state.drop("prefix")
         else:
             state = spark_.createDataFrame(
@@ -478,7 +506,7 @@ def replay_edits_stream(
         new_state = apply_edits_batch(state, batch.orderBy("txid"))
         tmp = f"{snapshot_dir}_v{batch_id}.inprogress"
         (
-            new_state.withColumn("prefix", F.split("path", "/").getItem(1))
+            new_state.withColumn("prefix", prefix2("path"))
             .write.mode("overwrite")
             .partitionBy("prefix")
             .parquet(tmp)
@@ -487,7 +515,7 @@ def replay_edits_stream(
             tmp,
             f"{snapshot_dir}_v{batch_id}",
             None if full_rewrite else latest,
-            touched,
+            is_touched_value,
         )
         # bounded retention (hardlinked files survive source-version pruning)
         _prune_snapshot_versions(snapshot_dir)

@@ -443,11 +443,13 @@ def test_mm_certify_kernel_matches_library_stage(spark, sf_dir):
 
 
 def test_incremental_snapshot_links_untouched_partitions(spark, tmp_path):
-    """T2 incremental compaction: a micro-batch touching only /a must NOT
-    rewrite the /b partition — version N's prefix=b files are byte-identical
-    to version N-1's (hardlinked), while the touched /a partition advances.
-    Segment files are written with a mtime gap so the file source processes
-    them in order (one per trigger)."""
+    """T2 incremental compaction (two-level prefixes): a micro-batch
+    touching only /a/x and /a/z must NOT rewrite the /b subtree's
+    partitions OR the untouched /a directory row's partition — their
+    files are byte-identical hardlinks of version N-1's (st_nlink >= 2),
+    while the touched partitions advance. Segment files are written with
+    a mtime gap so the file source processes them in order (one per
+    trigger)."""
     import os
     import time as _t
 
@@ -494,16 +496,62 @@ def test_incremental_snapshot_links_untouched_partitions(spark, tmp_path):
             if not f.startswith(".")
         }
 
-    # untouched /b: byte-identical file set across the batch
-    assert part_bytes(v0, "b") == part_bytes(v1, "b")
-    # touched /a: advanced (new row /a/z appears only in v1)
-    a0 = spark.read.parquet(os.path.join(v0, "prefix=a"))
-    a1 = spark.read.parquet(os.path.join(v1, "prefix=a"))
-    assert "/a/z" not in {r["path"] for r in a0.collect()}
-    assert {r["path"] for r in a1.filter("exists").collect()} == {"/a", "/a/x", "/a/z"}
+    # untouched subtrees AND the untouched /a dir row: byte-identical,
+    # and physically HARDLINKED (zero data movement), not copied
+    for untouched in ("a", "b", "b~y"):
+        assert part_bytes(v0, untouched) == part_bytes(v1, untouched)
+        d = os.path.join(v1, f"prefix={untouched}")
+        data_files = [f for f in os.listdir(d) if not f.startswith(".")]
+        assert data_files and all(
+            os.stat(os.path.join(d, f)).st_nlink >= 2 for f in data_files
+        ), f"prefix={untouched} was copied, not hardlinked"
+    # touched partitions advanced: /a/z appears only in v1, /a/x re-permed
+    assert not os.path.exists(os.path.join(v0, "prefix=a~z"))
+    a1 = spark.read.parquet(os.path.join(v1, "prefix=a~x"))
+    assert [r["perm"] for r in a1.collect()] == ["rw-r--r--"]
     # and the public reader sees the merged namespace with stable schema
     final = load_latest_snapshot(spark, snap)
     got = {r["path"]: r for r in final.collect()}
     assert got["/a/x"]["perm"] == "rw-r--r--"
+    assert got["/a/z"]["exists"]
     assert got["/b/y"]["exists"] and got["/b/y"]["replication"] == 3
     assert "prefix" not in final.columns
+
+
+def test_incremental_snapshot_depth1_delete_reaches_deep_partitions(
+    spark, tmp_path
+):
+    """A depth-1 op (OP_DELETE /a) maps to prefix 'a' but must invalidate
+    every 'a~*' partition beneath it — the prefix-MATCH leg of the
+    touched set. If the filter or the hardlink assembly treated touched
+    as exact values only, /a/x would survive as a stale hardlink."""
+    import os
+    import time as _t
+
+    edits_dir = tmp_path / "edits_del"
+    edits_dir.mkdir()
+    schema = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT, perm STRING, owner STRING, gen_stamp LONG"
+    )
+    seg1 = [
+        (1, "OP_ADD", 1000, "/a/x", None, 2, None, None, None),
+        (2, "OP_ADD", 2000, "/b/y", None, 3, None, None, None),
+    ]
+    seg2 = [(3, "OP_DELETE", 3000, "/a", None, None, None, None, None)]
+    spark.createDataFrame(seg1, schema).coalesce(1).write.mode("append").parquet(
+        str(edits_dir)
+    )
+    _t.sleep(1.1)
+    spark.createDataFrame(seg2, schema).coalesce(1).write.mode("append").parquet(
+        str(edits_dir)
+    )
+    snap = str(tmp_path / "snap_del")
+    q = replay_edits_stream(
+        spark, str(edits_dir), str(tmp_path / "ckpt_del"), snap,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(240), "stream did not drain in time"
+    final = load_latest_snapshot(spark, snap)
+    got = {r["path"]: r["exists"] for r in final.collect()}
+    assert got == {"/a": False, "/a/x": False, "/b/y": True}
