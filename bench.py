@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # so its cost scales with the dataset like every other query — and ONLY
 # with the dataset, not with parquet artifact overhead.
 from hadoop_hdfs_spark.blobfixture import blob_fixture_dir  # noqa: E402
+from hadoop_hdfs_spark.pipeline.gifcodec import gif_fixture_dir  # noqa: E402
 
 def _parse_sf(sf_dir: str, default: float) -> float:
     """sf from a directory name: 'sf0.1', 'sf1', 'sf1_<hash>' all parse."""
@@ -49,6 +50,8 @@ def _parse_sf(sf_dir: str, default: float) -> float:
 _bench_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _bench_sf = _parse_sf(_bench_sf_dir, 0.1)
 os.environ.setdefault("SPARK_GRAFT_BLOB_DIR", blob_fixture_dir(_bench_sf))
+# mm_video_certify pins its GIF corpus at import the same way
+os.environ.setdefault("SPARK_GRAFT_GIF_DIR", gif_fixture_dir(_bench_sf))
 
 from hadoop_hdfs_spark import registry
 from hadoop_hdfs_spark.session import get_spark
@@ -167,6 +170,7 @@ def main() -> None:
                 SPARK_GRAFT_SF_DIR=sf1_dir,
                 SPARK_GRAFT_SKIP_SF1="1",
                 SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(sf * 10 if sf > 0 else 1.0),
+                SPARK_GRAFT_GIF_DIR=gif_fixture_dir(sf * 10 if sf > 0 else 1.0),
                 SPARK_GRAFT_BENCH_DETAIL=sf1_detail,
                 # the embedded 10x point exists for the scale RATIO: one
                 # warm pass is enough, three would triple the slowest leg
@@ -296,6 +300,7 @@ def scale_probe() -> None:
             os.environ,
             SPARK_GRAFT_SF_DIR=d,
             SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(blob_sf),
+            SPARK_GRAFT_GIF_DIR=gif_fixture_dir(blob_sf),
             SPARK_GRAFT_BENCH_DETAIL=detail_path,
             SPARK_GRAFT_SKIP_SF1="1",  # the probe runs both SFs itself
             SPARK_GRAFT_BENCH_RUNS="1",  # ratios compare warm vs warm

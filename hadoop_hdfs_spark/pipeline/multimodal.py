@@ -9,10 +9,15 @@ in this codec-less container), then deterministic clearly-marked STUBS as
 the last resort for bytes nothing decodes. The AUDIO leg decodes real PCM
 WAV through the stdlib ``wave`` module (``decode_audio_wav`` with strict
 RIFF validation; ``audio_window_sample`` fans out real per-window integer
-RMS) — the same tiering, r7. Everything Spark-side is real and tested
+RMS) — the same tiering, r7. The VIDEO leg decodes real animated GIF
+(``gifcodec.decode_gif``: pure-stdlib LZW + interlace + palette +
+disposal compositing; ``video_frame_sample`` fans out real per-frame
+canvas digests and delays) — GIF is a genuine multi-frame video
+container, so all three media legs now decode real bytes; only
+non-GIF video codecs (H.264 etc., pyav/ffmpeg territory) fall through
+to the deterministic stub. Everything Spark-side is real and tested
 either way: the schema contract, the ``mapInPandas`` batch shape,
-partition sizing, and the metadata fan-out. Only VIDEO codecs (pyav /
-ffmpeg) remain stub-only — same swap-in point.
+partition sizing, and the metadata fan-out.
 
 100 TB design notes:
 
@@ -35,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from ..registry import register
+from .gifcodec import decode_gif
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -327,8 +333,9 @@ def audio_window_rms(
 def decode_kernel(payload: bytes, media_type: str) -> dict:
     """Decoder with optional-dependency swap-in: real PIL metadata for
     images when PIL is importable, the pure-stdlib PNG/BMP/PPM decoder
-    next, and for audio the stdlib ``wave`` PCM parser — a deterministic
-    STUB only for what no stdlib can decode (video codecs). Undecodable
+    next, for audio the stdlib ``wave`` PCM parser, and for video the
+    pure-stdlib animated-GIF decoder — a deterministic STUB only for what
+    no stdlib can decode (non-GIF video codecs). Undecodable
     bytes fall back to the stub features rather than failing the task —
     corrupt samples are a fact of 100 TB corpora, and quarantining beats
     crashing the stage. For decoded audio the (width, height) feature
@@ -345,6 +352,10 @@ def decode_kernel(payload: bytes, media_type: str) -> dict:
         if wav is not None:  # REAL stdlib decode (PCM WAV)
             _nch, _sw, rate, nf, _pcm = wav
             return {"feature_digest": digest, "width": nf, "height": rate}
+    if media_type == "video" and payload:
+        gif = decode_gif(payload)
+        if gif is not None:  # REAL stdlib decode (animated GIF)
+            return {"feature_digest": digest, "width": gif[0], "height": gif[1]}
     if media_type == "image" and payload:
         Image = _pil_image()
         if Image is not None:
@@ -465,6 +476,55 @@ def audio_window_sample(assets: DataFrame, window_frames: int = 1024) -> DataFra
                     rows["n_frames"].append(nf)
                     rows["sample_rate"].append(rate)
                     rows["rms"].append(rms)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def video_frame_sample(assets: DataFrame, every_n_frames: int = 1) -> DataFrame:
+    """1->N video frame sampling over REAL decoded frames: animated-GIF
+    payloads (pure-stdlib ``gifcodec``) fan out to one row per sampled
+    frame carrying the frame's delay and the canvas digest (md5 over the
+    uppercase-hex rendering, the a9b convention) — the shape a video
+    curation pipeline filters/dedups on. Undecodable video bytes are
+    quarantined (zero rows), matching ``audio_window_sample``; the
+    byte-stride ``frame_sample`` remains the codec-free fallback."""
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("delay_cs", LongType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+            StructField("frame_md5", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "asset_id": [], "frame_idx": [], "delay_cs": [],
+                "width": [], "height": [], "frame_md5": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                gif = decode_gif(payload) if payload else None
+                if gif is None:
+                    continue
+                w, h, frames = gif
+                for i, (delay, rgb) in enumerate(frames):
+                    if i % every_n_frames:
+                        continue
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["delay_cs"].append(delay)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_md5"].append(
+                        hashlib.md5(rgb.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, schema=schema)
@@ -713,3 +773,75 @@ def mm_frame_certify(e) -> DataFrame:
         ]
     )
     return assets.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# mm_video_certify: the REAL video-decode driver gate
+# ---------------------------------------------------------------------------
+
+# Resolved at import so the baked oracle and the Spark scan describe the
+# same corpus (the s1/blobfixture pattern). SPARK_GRAFT_GIF_DIR points
+# bench / the scale probe at a larger generated fixture.
+from .gifcodec import SCREEN_H as _GIF_H  # noqa: E402
+from .gifcodec import SCREEN_W as _GIF_W  # noqa: E402
+from .gifcodec import resolve_gif_corpus as _resolve_gif_corpus  # noqa: E402
+
+_GIF_DIR, _GIF_N = _resolve_gif_corpus()
+
+
+@register(
+    "mm_video_certify",
+    oracle=f"""
+WITH vassets AS (SELECT unnest(range({_GIF_N})) AS a),
+vframes AS (SELECT a, unnest(range(2 + a % 3)) AS f FROM vassets),
+vpix AS (
+  SELECT a, f, y, x, ((x + 3*y + 5*f + 7*a) % 8) AS idx
+  FROM vframes, range({_GIF_H}) t1(y), range({_GIF_W}) t2(x)
+),
+vhex AS (
+  SELECT a, f,
+         string_agg(
+           lpad(upper(to_hex((idx*37+11) % 256)), 2, '0') ||
+           lpad(upper(to_hex((idx*59+23) % 256)), 2, '0') ||
+           lpad(upper(to_hex((idx*83+5) % 256)), 2, '0'),
+           '' ORDER BY y, x) AS hx
+  FROM vpix GROUP BY a, f
+)
+SELECT CAST(a AS BIGINT) AS asset_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST((7*a + 11*f) % 100 AS BIGINT) AS delay_cs,
+       CAST({_GIF_W} AS BIGINT) AS width,
+       CAST({_GIF_H} AS BIGINT) AS height,
+       md5(hx) AS frame_md5
+FROM vhex
+""",
+    doc="Certification of REAL video decode (the last media leg, closing "
+    "SURVEY §2.9's codec stubs): Spark reads the deterministic animated-"
+    "GIF corpus via the binaryFile source and runs video_frame_sample — a "
+    "full pure-stdlib GIF decode per asset (LZW with code growth, "
+    "interlaced and local-palette variants, per-frame delays, disposal "
+    "compositing) — emitting one row per frame with the canvas digest "
+    "(md5 over uppercase hex, the a9b convention). The oracle NEVER "
+    "decodes GIF: it recomputes each frame's ground-truth pixels from the "
+    "fixture's generating formula (palette and pixel-index arithmetic) "
+    "entirely in SQL, so the gate certifies decode(encode(x)) == x with "
+    "the pixel truth restated by an independent engine — a decoder that "
+    "mis-handles LZW growth, interlace row order, palette placement or "
+    "frame count hash-mismatches. Scale: one task per binaryFile split, "
+    "decode cost is per-asset-constant, output rows stay in the asset's "
+    "partition; the corpus size scales with SPARK_GRAFT_GIF_DIR.",
+)
+def mm_video_certify(e) -> DataFrame:
+    spark = e["region"].sparkSession
+    assets = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(_GIF_DIR)
+        .select(
+            F.regexp_extract("path", r"asset_(\d+)\.gif$", 1)
+            .cast("long")
+            .alias("asset_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return video_frame_sample(assets)

