@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # with the dataset, not with parquet artifact overhead.
 from hadoop_hdfs_spark.blobfixture import blob_fixture_dir  # noqa: E402
 from hadoop_hdfs_spark.pipeline.gifcodec import gif_fixture_dir  # noqa: E402
+from hadoop_hdfs_spark.pipeline.mediafixture import (  # noqa: E402
+    png_fixture_dir,
+    wav_fixture_dir,
+)
 
 def _parse_sf(sf_dir: str, default: float) -> float:
     """sf from a directory name: 'sf0.1', 'sf1', 'sf1_<hash>' all parse."""
@@ -50,8 +54,10 @@ def _parse_sf(sf_dir: str, default: float) -> float:
 _bench_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _bench_sf = _parse_sf(_bench_sf_dir, 0.1)
 os.environ.setdefault("SPARK_GRAFT_BLOB_DIR", blob_fixture_dir(_bench_sf))
-# mm_video_certify pins its GIF corpus at import the same way
+# the media certify gates pin their corpora at import the same way
 os.environ.setdefault("SPARK_GRAFT_GIF_DIR", gif_fixture_dir(_bench_sf))
+os.environ.setdefault("SPARK_GRAFT_PNG_DIR", png_fixture_dir(_bench_sf))
+os.environ.setdefault("SPARK_GRAFT_WAV_DIR", wav_fixture_dir(_bench_sf))
 
 from hadoop_hdfs_spark import registry
 from hadoop_hdfs_spark.session import get_spark
@@ -171,6 +177,8 @@ def main() -> None:
                 SPARK_GRAFT_SKIP_SF1="1",
                 SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(sf * 10 if sf > 0 else 1.0),
                 SPARK_GRAFT_GIF_DIR=gif_fixture_dir(sf * 10 if sf > 0 else 1.0),
+                SPARK_GRAFT_PNG_DIR=png_fixture_dir(sf * 10 if sf > 0 else 1.0),
+                SPARK_GRAFT_WAV_DIR=wav_fixture_dir(sf * 10 if sf > 0 else 1.0),
                 SPARK_GRAFT_BENCH_DETAIL=sf1_detail,
                 # the embedded 10x point exists for the scale RATIO: one
                 # warm pass is enough, three would triple the slowest leg
@@ -301,6 +309,8 @@ def scale_probe() -> None:
             SPARK_GRAFT_SF_DIR=d,
             SPARK_GRAFT_BLOB_DIR=blob_fixture_dir(blob_sf),
             SPARK_GRAFT_GIF_DIR=gif_fixture_dir(blob_sf),
+            SPARK_GRAFT_PNG_DIR=png_fixture_dir(blob_sf),
+            SPARK_GRAFT_WAV_DIR=wav_fixture_dir(blob_sf),
             SPARK_GRAFT_BENCH_DETAIL=detail_path,
             SPARK_GRAFT_SKIP_SF1="1",  # the probe runs both SFs itself
             SPARK_GRAFT_BENCH_RUNS="1",  # ratios compare warm vs warm

@@ -845,3 +845,169 @@ def mm_video_certify(e) -> DataFrame:
         )
     )
     return video_frame_sample(assets)
+
+
+# ---------------------------------------------------------------------------
+# mm_image_certify / mm_audio_certify: REAL decode gates for the other legs
+# ---------------------------------------------------------------------------
+# Same design as mm_video_certify: Spark reads a deterministic media corpus
+# through the binaryFile source and runs the REAL decoder; the oracle never
+# decodes — it recomputes the ground-truth pixels/PCM from the fixture's
+# generating formula in SQL. Worker-import note: these kernels reference the
+# module-level decoders (pickled by reference), which the driver environment
+# resolves the same way the s5 hftp DataSource already does (repo on the
+# Python workers' path); the stub-arithmetic mm gates above stay
+# import-free for arbitrary bare sessions.
+
+from .mediafixture import PNG_H as _PNG_H  # noqa: E402
+from .mediafixture import PNG_W as _PNG_W  # noqa: E402
+from .mediafixture import WAV_RATE as _WAV_RATE  # noqa: E402
+from .mediafixture import WAV_WINDOW as _WAV_WIN  # noqa: E402
+from .mediafixture import resolve_png_corpus as _resolve_png_corpus  # noqa: E402
+from .mediafixture import resolve_wav_corpus as _resolve_wav_corpus  # noqa: E402
+
+_PNG_DIR, _PNG_N = _resolve_png_corpus()
+_WAV_DIR, _WAV_N = _resolve_wav_corpus()
+
+
+def _binary_assets(spark, directory: str, ext: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*.{ext}")
+        .load(directory)
+        .select(
+            F.regexp_extract("path", rf"asset_(\d+)\.{ext}$", 1)
+            .cast("long")
+            .alias("asset_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
+@register(
+    "mm_image_certify",
+    oracle=f"""
+WITH iassets AS (SELECT unnest(range({_PNG_N})) AS a),
+ipix AS (
+  SELECT a, y, x FROM iassets, range({_PNG_H}) t1(y), range({_PNG_W}) t2(x)
+),
+ihex AS (
+  SELECT a,
+         string_agg(
+           lpad(upper(to_hex((x*7 + y*13 + a*29) % 256)), 2, '0') ||
+           lpad(upper(to_hex((x*11 + y*3 + a*17) % 256)), 2, '0') ||
+           lpad(upper(to_hex((x*5 + y*19 + a*23) % 256)), 2, '0'),
+           '' ORDER BY y, x) AS hx
+  FROM ipix GROUP BY a
+)
+SELECT CAST(a AS BIGINT) AS asset_id,
+       CAST({_PNG_W} AS BIGINT) AS width,
+       CAST({_PNG_H} AS BIGINT) AS height,
+       md5(hx) AS img_md5
+FROM ihex
+""",
+    doc="Certification of REAL image decode (upgrading the r6 pure-stdlib "
+    "PNG decoder from pytest-certified to driver-gated): Spark reads the "
+    "deterministic PNG corpus via binaryFile and runs decode_image_pure "
+    "— a full zlib inflate plus scanline unfilter, with the writer "
+    "cycling filter types 0-4 per row so every unfilter branch runs on "
+    "every asset — emitting the decoded dimensions and the canvas digest "
+    "(md5 over uppercase hex). The oracle recomputes each asset's "
+    "ground-truth pixels from the fixture's RGB formula entirely in SQL "
+    "(it never inflates a PNG), so a decoder that mishandles any filter "
+    "type, stride, or channel order hash-mismatches. Scale: map-only "
+    "over binaryFile splits, per-asset-constant decode cost.",
+)
+def mm_image_certify(e) -> DataFrame:
+    spark = e["region"].sparkSession
+    assets = _binary_assets(spark, _PNG_DIR, "png")
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "img_md5": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_image_pure(bytes(payload)) if payload is not None else None
+                if dec is None:
+                    continue  # quarantine: row-count then fails the gate
+                w, h, rgb = dec
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["img_md5"].append(
+                    hashlib.md5(rgb.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run, "asset_id long, width long, height long, img_md5 string"
+    )
+
+
+@register(
+    "mm_audio_certify",
+    oracle=f"""
+WITH wassets AS (SELECT unnest(range({_WAV_N})) AS a),
+wsamples AS (
+  SELECT a, i, ((31*i + 7*a) % 4096) - 2048 AS s
+  FROM wassets, LATERAL (
+    SELECT unnest(range(256 + 64 * (a % 4))) AS i
+  ) t
+)
+SELECT CAST(a AS BIGINT) AS asset_id,
+       CAST(i // {_WAV_WIN} AS BIGINT) AS window_idx,
+       CAST(256 + 64 * (a % 4) AS BIGINT) AS n_frames,
+       CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq
+FROM wsamples
+GROUP BY a, i // {_WAV_WIN}
+""",
+    doc="Certification of REAL audio decode (upgrading the r7 stdlib WAV "
+    "parser from pytest-certified to driver-gated): Spark reads the "
+    "deterministic 16-bit mono PCM WAV corpus via binaryFile, parses the "
+    "RIFF container with decode_audio_wav, and fans each asset out to "
+    "one row per 64-frame window with the window's integer sum of "
+    "squares — pure-integer arithmetic so the match is exact across "
+    "engines (the RMS isqrt stays Spark-side in audio_window_rms, "
+    "library-tested; DuckDB has no integer sqrt). The oracle recomputes "
+    "every sample from the fixture's PCM formula in SQL and aggregates "
+    "the same windows — it never parses a WAV — so a decoder that "
+    "mis-reads sample width, endianness, frame count or channel layout "
+    "hash-mismatches. Scale: map-only over binaryFile splits; fan-out "
+    "rows stay in the asset's partition.",
+)
+def mm_audio_certify(e) -> DataFrame:
+    spark = e["region"].sparkSession
+    assets = _binary_assets(spark, _WAV_DIR, "wav")
+
+    def run(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "window_idx": [], "n_frames": [],
+                "sample_rate": [], "sum_sq": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_audio_wav(bytes(payload)) if payload is not None else None
+                if d is None:
+                    continue
+                nch, sw, rate, nf, pcm = d
+                if (nch, sw) != (1, 2):
+                    continue
+                samples = _struct.unpack(f"<{nf}h", pcm[: 2 * nf])
+                for k in range(0, nf, _WAV_WIN):
+                    win = samples[k : k + _WAV_WIN]
+                    out["asset_id"].append(aid)
+                    out["window_idx"].append(k // _WAV_WIN)
+                    out["n_frames"].append(nf)
+                    out["sample_rate"].append(rate)
+                    out["sum_sq"].append(sum(s * s for s in win))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, window_idx long, n_frames long,"
+        " sample_rate long, sum_sq long",
+    )

@@ -332,3 +332,13 @@ def test_mm_video_certify_is_map_only_over_binary_file(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "binaryFile" in plan
     assert "Exchange" not in plan
+
+
+def test_mm_image_audio_certify_map_only(spark, sf_dir):
+    # the image/audio real-decode gates: binaryFile -> MapInPandas,
+    # zero exchanges (same contract as the video gate)
+    for q in ("mm_image_certify", "mm_audio_certify"):
+        plan = _plan(spark, sf_dir, q)
+        assert "MapInPandas" in plan
+        assert "binaryFile" in plan
+        assert "Exchange" not in plan
