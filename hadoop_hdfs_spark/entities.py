@@ -395,6 +395,22 @@ SELECT
 FROM edits d WHERE d.op = 'OP_ADD' AND d.txid % 7 <= 3
 """
 
+# t22's heartbeat-ping changelog (DatanodeProtocol.sendHeartbeat as a
+# stream): every datanode pings at HEARTBEAT_EXPIRY_MS/4 intervals, the
+# last ping landing exactly on its snapshot last_heartbeat_ms — so the
+# stream's folded per-node state reproduces the datanodes column, and the
+# liveness verdict (watermark driven to NOW_MS by the gate's sentinel)
+# reduces to the same closed form f4 checks in batch. The ping gap being
+# strictly below the expiry guarantees no node with a later ping still
+# in flight can spuriously time out mid-stream (liveness.py proof).
+_HB_EVENTS_SQL = f"""
+SELECT d.datanode_id,
+       d.last_heartbeat_ms - k.k * {HEARTBEAT_EXPIRY_MS // 4} AS ping_ms
+FROM datanodes d
+CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1
+            UNION ALL SELECT 2 UNION ALL SELECT 3) k
+"""
+
 # Definition order matters: replicas reads blocks, leases reads inodes.
 ENTITY_SQL: dict[str, str] = {
     "datanodes": _DATANODES_SQL,
@@ -407,6 +423,7 @@ ENTITY_SQL: dict[str, str] = {
     "pending_replication": _PENDING_REPLICATION_SQL,
     "audit": _AUDIT_SQL,
     "repl_events": _REPL_EVENTS_SQL,
+    "hb_events": _HB_EVENTS_SQL,
 }
 
 

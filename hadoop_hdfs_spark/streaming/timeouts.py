@@ -93,6 +93,50 @@ def heartbeat_liveness_stream(heartbeats, timeout_ms: int = HEARTBEAT_EXPIRY_MS)
     )
 
 
+def make_heartbeat_event_monitor(timeout_ms: int = HEARTBEAT_EXPIRY_MS):
+    """T3 monitor with EVENT-time expiry (the t22 gate's certifiable
+    form): pings update the per-node latest and pin the timeout at
+    latest + timeout_ms; the ONLY emission is the dead declaration when
+    the watermark passes that pin — the heartbeatCheck removal
+    (FSNamesystem.heartbeatCheck:3042-3054) as data, with no per-batch
+    alive chatter so the drained sink is exactly the removed set."""
+
+    def monitor(key, rows, state):
+        (datanode_id,) = key
+        if state.hasTimedOut:
+            (last,) = state.get if state.exists else (None,)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "datanode_id": [datanode_id],
+                    "last_heartbeat_ms": [last],
+                    "is_dead": [True],
+                }
+            )
+            return
+        latest: int | None = state.get[0] if state.exists else None
+        for pdf in rows:
+            m = int(pdf["ping_ms"].max())
+            latest = m if latest is None else max(latest, m)
+        state.update((latest,))
+        state.setTimeoutTimestamp(latest + timeout_ms)
+        yield from ()
+
+    return monitor
+
+
+def heartbeat_event_stream(pings, timeout_ms: int = HEARTBEAT_EXPIRY_MS):
+    """Wire the event-time T3 monitor over a watermarked streaming
+    (datanode_id, ping_ms, ts) frame; emits one row per dead node."""
+    return pings.groupBy("datanode_id").applyInPandasWithState(
+        make_heartbeat_event_monitor(timeout_ms),
+        outputStructType=LIVENESS_OUTPUT,
+        stateStructType=LIVENESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 LEASE_OUTPUT = StructType(
     [
         StructField("holder", StringType(), False),

@@ -342,3 +342,14 @@ def test_mm_image_audio_certify_map_only(spark, sf_dir):
         assert "MapInPandas" in plan
         assert "binaryFile" in plan
         assert "Exchange" not in plan
+
+
+def test_t22_liveness_is_stateful_stream_shape(spark, sf_dir):
+    # the drained t22 result must come from a REAL stateful stream: the
+    # registered query executes the drain, and the emitted frame is the
+    # node-bounded dead set only (no per-batch alive chatter)
+    from hadoop_hdfs_spark import registry
+
+    df = registry.queries()["t22_heartbeat_liveness_stream"](spark, sf_dir)
+    n_nodes = registry._entities(spark, sf_dir)["datanodes"].count()
+    assert 0 < df.count() < n_nodes

@@ -144,3 +144,32 @@ def test_pending_replication_timeout_requeues(spark, tmp_path):
         assert confirmed_seen, "confirmed work never evicted from the map"
     finally:
         q.stop()
+
+
+def test_t22_event_time_liveness_matches_batch_f4(spark, sf_dir):
+    """The gated event-time heartbeat monitor (t22) must agree with the
+    BATCH dead-node classification (f4's DEAD rows) node-for-node, and
+    its folded state must reproduce the datanodes snapshot column —
+    cross-operator consistency beyond the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.entities import HEARTBEAT_EXPIRY_MS, NOW_MS
+
+    e = registry._entities(spark, sf_dir)
+    stream_dead = registry.queries()["t22_heartbeat_liveness_stream"](
+        spark, sf_dir
+    )
+    batch_dead = e["datanodes"].filter(
+        F.lit(NOW_MS) - F.col("last_heartbeat_ms") > HEARTBEAT_EXPIRY_MS
+    ).select("datanode_id", "last_heartbeat_ms")
+    got = {
+        (r.datanode_id, r.last_heartbeat_ms) for r in stream_dead.collect()
+    }
+    want = {
+        (r.datanode_id, r.last_heartbeat_ms) for r in batch_dead.collect()
+    }
+    assert got == want and len(got) > 0
+    # removal_pass is the registration-order sequence, 1..N dense
+    passes = sorted(r.removal_pass for r in stream_dead.collect())
+    assert passes == list(range(1, len(got) + 1))
