@@ -681,12 +681,26 @@ GROUP BY dn.datanode_id
     "blocks in open files. Plan: one equi-join tree on block_id/file_id "
     "+ one block-level rollup + one node-level rollup — every shuffle "
     "keyed and partial-aggregated; the f4 admin-state filter is the "
-    "trigger, this is the per-node readiness verdict.",
+    "trigger, this is the per-node readiness verdict. The block-level "
+    "rollup is left-semi-restricted to blocks actually hosted on a "
+    "decommissioning node BEFORE aggregating: the monitor only scans "
+    "the decommissioning nodes' block lists (isReplicationInProgress "
+    "iterates the node's own blocks), so replica counting over the "
+    "other ~99% of the cluster's blocks is pure waste — and because the "
+    "semi-join and the groupBy share the block_id key the restricted "
+    "rollup costs no extra shuffle, while at production scale (a "
+    "handful of draining nodes) AQE turns the semi-join into a "
+    "broadcast filter and the full-replicas shuffle disappears.",
 )
 def t8b_decommission_progress(e) -> DataFrame:
     r, d, b, i = e["replicas"], e["datanodes"], e["blocks"], e["inodes"]
+    decom = d.filter(F.col("admin_state") == "DECOMMISSION_INPROGRESS").select(
+        "datanode_id"
+    )
+    hosted_ids = r.join(F.broadcast(decom), "datanode_id").select("block_id").distinct()
     per_block = (
-        r.join(F.broadcast(d.select("datanode_id", "admin_state")), "datanode_id")
+        r.join(hosted_ids, "block_id", "left_semi")
+        .join(F.broadcast(d.select("datanode_id", "admin_state")), "datanode_id")
         .groupBy("block_id")
         .agg(
             F.sum(
@@ -704,9 +718,6 @@ def t8b_decommission_progress(e) -> DataFrame:
             .cast("long")
             .alias("decom_replicas"),
         )
-    )
-    decom = d.filter(F.col("admin_state") == "DECOMMISSION_INPROGRESS").select(
-        "datanode_id"
     )
     hosted = (
         r.join(F.broadcast(decom), "datanode_id")

@@ -231,23 +231,33 @@ WHERE s.rk = 1
     "profiles normalized per language, document scored against every "
     "profile, argmax wins. Scores are integer-quantized so the aggregation "
     "is order-independent. (The fixture text is language-agnostic word "
-    "soup, so accuracy hovers near prior — the measured fact, not a bug.)",
+    "soup, so accuracy hovers near prior — the measured fact, not a bug.) "
+    "Scale: no exchange ever carries raw token occurrences — the first "
+    "op above every explode is the (doc, lang, token)->count rollup, so "
+    "map-side combine reduces each scan to distinct per-doc tokens "
+    "before any shuffle (Spark replicates the explode subtree per "
+    "lineage use, but each copy combines before exchanging); the "
+    "language profiles, their totals, and the per-document scoring all "
+    "derive from that Heaps-bounded rollup (score = sum(count*weight) == "
+    "per-occurrence weight sum), and the profile side is vocabulary-"
+    "sized, so AQE broadcasts the scoring join.",
 )
 def t_lang_id(e) -> DataFrame:
     d = e["documents"]
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
-    profile = tok.groupBy("t", "lang").agg(F.count("*").alias("freq"))
-    lang_total = tok.groupBy("lang").agg(F.count("*").alias("total"))
+    doc_tok = tok.groupBy("doc_id", "lang", "t").agg(F.count("*").alias("cnt"))
+    profile = doc_tok.groupBy("t", "lang").agg(F.sum("cnt").alias("freq"))
+    lang_total = profile.groupBy("lang").agg(F.sum("freq").alias("total"))
     prof = profile.join(lang_total, "lang").select(
         "t",
         F.col("lang").alias("cand_lang"),
         F.floor(F.col("freq") * 1000000.0 / F.col("total")).cast("long").alias("w"),
     )
     scored = (
-        tok.select("doc_id", "t")
+        doc_tok.select("doc_id", "t", "cnt")
         .join(prof, "t")
         .groupBy("doc_id", "cand_lang")
-        .agg(F.sum("w").alias("score"))
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
     best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)

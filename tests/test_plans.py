@@ -344,6 +344,15 @@ def test_mm_image_audio_certify_map_only(spark, sf_dir):
         assert "Exchange" not in plan
 
 
+def test_t8b_restricts_replica_rollup_to_decommissioning_hosts(spark, sf_dir):
+    # the per-block live-replica rollup must be left-semi-restricted to
+    # blocks hosted on DECOMMISSION_INPROGRESS nodes BEFORE aggregating:
+    # the monitor scans only the draining nodes' block lists, so counting
+    # replicas for the rest of the cluster's blocks is wasted shuffle
+    plan = _plan(spark, sf_dir, "t8b_decommission_progress")
+    assert "LeftSemi" in plan
+
+
 def test_t22_liveness_is_stateful_stream_shape(spark, sf_dir):
     # the drained t22 result must come from a REAL stateful stream: the
     # registered query executes the drain, and the emitted frame is the
