@@ -432,10 +432,17 @@ def _write_kept_section(md_path: str, name: str, body: str) -> None:
 
 
 _STREAM_GATES = {
-    # registered query -> its /tmp stage-dir tag (streaming/staging.py)
+    # registered query -> its /tmp stage-dir tag (streaming/staging.py).
+    # Tags are glob PREFIXES: the code-versioned stages (t21/t22/t2c
+    # append a code_ver hash) are cleared by the same /tmp/{tag}_* glob.
+    # t20_stream_enrich is absent by design — it readStreams the source
+    # parquet directly, so it has no staging cost to split out.
     "t17_stream_sessions": "t17_sessions",
     "t18_stream_open_close": "t18_pairs",
     "t19_stream_dedup": "t19_docs",
+    "t21_pending_timeout_stream": "t21_pending",
+    "t22_heartbeat_liveness_stream": "t22_liveness",
+    "t2c_checkpoint_replay": "t2c_edits",
 }
 
 
@@ -484,9 +491,11 @@ def streaming_probe() -> None:
         "",
         "## Streaming gates: staging vs drain split",
         "",
-        "The t17/t18/t19 certification drains stage their fixture as one",
-        "/tmp parquet file before the first run. The scale ratio that",
-        "matters for the operator is the DRAIN column (staging is a",
+        "The staged streaming certification drains (t17/t18/t19 and the",
+        "GroupState/checkpoint gates t21/t22/t2c) materialize their fixture",
+        "as one /tmp parquet before the first run; t20 readStreams the",
+        "source parquet directly and has nothing to split. The scale ratio",
+        "that matters for the operator is the DRAIN column (staging is a",
         "one-time fixture materialization, itself linear in the data):",
         "",
         "| query | staging sf0.1 | drain sf0.1 | staging sf1 | drain sf1 | drain ratio |",
