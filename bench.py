@@ -68,10 +68,15 @@ def main() -> None:
     sf = _parse_sf(sf_dir, -1.0)
     spark = get_spark("hadoop-hdfs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+    # The repo-root bench_detail.json is the COMMITTED sf0.1 artifact; a
+    # quick smoke at another SF must not silently clobber it. Non-default
+    # SF runs without an explicit detail path go to /tmp instead.
+    default_detail = (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+        if os.path.normpath(sf_dir) == "/root/testdata/sf0.1"
+        else f"/tmp/spark_graft_bench_detail_{os.path.basename(os.path.normpath(sf_dir))}.json"
     )
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
 
     qs = registry.queries()
     # warm-up: session + entity views + parquet footers (untimed)
