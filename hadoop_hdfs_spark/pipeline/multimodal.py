@@ -996,6 +996,11 @@ def mm_audio_certify(e) -> DataFrame:
                 nch, sw, rate, nf, pcm = d
                 if (nch, sw) != (1, 2):
                     continue
+                if len(pcm) < 2 * nf:
+                    # header overstates frame count (wave.readframes came
+                    # up short): quarantine, don't crash the task — the
+                    # same discipline as the image/video gates.
+                    continue
                 samples = _struct.unpack(f"<{nf}h", pcm[: 2 * nf])
                 for k in range(0, nf, _WAV_WIN):
                     win = samples[k : k + _WAV_WIN]

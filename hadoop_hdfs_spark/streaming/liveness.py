@@ -2,8 +2,9 @@
 
 t21 put the pending-replication timeout shape under the hash oracle; this
 gate does the same for the OTHER monitor the round-6 verdict named —
-``FSNamesystem.heartbeatCheck`` (FSNamesystem.java:3042-3054), the thread
-that scans the heartbeats list and removes expired datanodes. The T3
+``FSNamesystem.heartbeatCheck`` (FSNamesystem.java:3247-3296 — the scan/
+remove loop; the HeartbeatMonitor thread that calls it on an interval is
+:3042-3054), removing expired datanodes. The T3
 stream (``timeouts.heartbeat_liveness_stream``) is its processing-time
 production form; this gate runs the same fold with EVENT-time expiry so
 every removal is a function of the data alone:
@@ -128,7 +129,7 @@ WHERE {NOW_MS} - last_heartbeat_ms > {HEARTBEAT_EXPIRY_MS}
     doc="T3's heartbeat-liveness monitor under the driver's hash gate "
     "(the seventh driver-verified stateful-streaming shape, and the "
     "second GroupState-timeout one): FSNamesystem.heartbeatCheck:"
-    "3042-3054 run as a REAL applyInPandasWithState drain with "
+    "3247-3296 run as a REAL applyInPandasWithState drain with "
     "EventTimeTimeout — per-node ping series (hb_events) refresh the "
     "state and re-pin the timeout at last_ping + the 10.5-minute expiry "
     "(DFSConfigKeys heartbeat.recheck + 10 heartbeats); the sentinel-"

@@ -2,7 +2,7 @@
 stateful streaming computations (SURVEY.md §2.8).
 
 The reference runs monitor threads that scan sorted maps on an interval
-(FSNamesystem.heartbeatCheck:3243-3260 — dead after 10.5 min;
+(FSNamesystem.heartbeatCheck:3247-3296 — dead after 10.5 min;
 LeaseManager.Monitor:365-411 — soft 60 s / hard 3600 s;
 PendingReplicationBlocks.java:48 + PendingReplicationMonitor:178-195 —
 re-queue unconfirmed replication work after 5 min). The Spark-first
@@ -98,7 +98,7 @@ def make_heartbeat_event_monitor(timeout_ms: int = HEARTBEAT_EXPIRY_MS):
     form): pings update the per-node latest and pin the timeout at
     latest + timeout_ms; the ONLY emission is the dead declaration when
     the watermark passes that pin — the heartbeatCheck removal
-    (FSNamesystem.heartbeatCheck:3042-3054) as data, with no per-batch
+    (FSNamesystem.heartbeatCheck:3247-3296) as data, with no per-batch
     alive chatter so the drained sink is exactly the removed set."""
 
     def monitor(key, rows, state):

@@ -425,8 +425,14 @@ def test_gif_strict_validation_rejects_non_gif():
         2, 1, [(0, 0, 0), (1, 1, 1), (2, 2, 2), (3, 3, 3)],
         [{"indices": bytes([3, 3])}],
     )
-    # shrink the GCT flag to 2 entries without re-encoding pixel data
     assert gifcodec.decode_gif(bad) is not None  # sanity: valid as built
+    # shrink the GCT to 2 entries without re-encoding pixel data: clear
+    # the size bits in the logical-screen packed byte (offset 10; 4-color
+    # gbits=2 -> 2-color gbits=1 packs to 0x80) and trim the palette from
+    # 4*3 to 2*3 bytes. The LZW stream still emits index 3, so decode
+    # must hit the max(idx) >= palette-size branch and reject.
+    shrunk = bad[:10] + bytes([0x80]) + bad[11:13] + bad[13:19] + bad[25:]
+    assert gifcodec.decode_gif(shrunk) is None
 
 
 def test_video_frame_sample_stage(spark):
