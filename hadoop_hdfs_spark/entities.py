@@ -45,6 +45,10 @@ from pyspark.sql import functions as F
 NOW_MS = 1_704_153_600_000
 # Dead-node threshold: 10.5 min (FSNamesystem heartbeatCheck; DFSConfigKeys.java:192).
 HEARTBEAT_EXPIRY_MS = 630_000
+# Lease limits (FSConstants.java:41-42): soft 60 s (another client may
+# preempt), hard 3600 s (the LeaseManager Monitor force-releases).
+LEASE_SOFT_MS = 60_000
+LEASE_HARD_MS = 3_600_000
 MIB = 1_048_576
 
 BASE_TABLES = (
@@ -411,6 +415,24 @@ CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1
             UNION ALL SELECT 2 UNION ALL SELECT 3) k
 """
 
+# t23's lease-renewal changelog (ClientProtocol.renewLease as a stream):
+# every open-file lease renews at LEASE_SOFT_MS/2 intervals, the last
+# renewal landing exactly on its snapshot last_renewed_ms — so the folded
+# per-(holder,path) state reproduces the leases column and the expiry
+# verdict (watermark driven to NOW_MS by the gate's sentinel) reduces to
+# t4's closed form. The renewal gap being strictly below the SOFT limit
+# guarantees no lease with a later renewal still in flight can spuriously
+# cross the soft threshold mid-stream (streaming/leases.py proof — the
+# t22 ping-gap argument applied to the tighter of the two limits).
+_LEASE_EVENTS_SQL = f"""
+SELECT l.holder,
+       l.path,
+       l.last_renewed_ms - k.k * {LEASE_SOFT_MS // 2} AS renewed_ms
+FROM leases l
+CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1
+            UNION ALL SELECT 2 UNION ALL SELECT 3) k
+"""
+
 # Definition order matters: replicas reads blocks, leases reads inodes.
 ENTITY_SQL: dict[str, str] = {
     "datanodes": _DATANODES_SQL,
@@ -424,6 +446,7 @@ ENTITY_SQL: dict[str, str] = {
     "audit": _AUDIT_SQL,
     "repl_events": _REPL_EVENTS_SQL,
     "hb_events": _HB_EVENTS_SQL,
+    "lease_events": _LEASE_EVENTS_SQL,
 }
 
 

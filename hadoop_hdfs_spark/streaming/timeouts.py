@@ -30,9 +30,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-HEARTBEAT_EXPIRY_MS = 630_000  # 2 * 5 min recheck + 10 * 3 s heartbeat
-LEASE_SOFT_MS = 60_000
-LEASE_HARD_MS = 3_600_000
+from ..entities import (  # single source of truth for the monitor limits
+    HEARTBEAT_EXPIRY_MS,  # 2 * 5 min recheck + 10 * 3 s heartbeat
+    LEASE_HARD_MS,
+    LEASE_SOFT_MS,
+)
 
 LIVENESS_OUTPUT = StructType(
     [
@@ -180,6 +182,98 @@ def lease_expiry_stream(renewals):
         stateStructType=LEASE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+LEASE_EVENT_OUTPUT = StructType(
+    [
+        StructField("holder", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("last_renewed_ms", LongType(), True),
+        StructField("phase", StringType(), False),
+    ]
+)
+
+LEASE_EVENT_STATE = StructType(
+    [
+        StructField("last_renewed_ms", LongType(), True),
+        StructField("soft_fired", BooleanType(), False),
+    ]
+)
+
+
+def make_lease_event_monitor(
+    soft_ms: int = LEASE_SOFT_MS, hard_ms: int = LEASE_HARD_MS
+):
+    """T4 monitor with EVENT-time expiry and the reference's TWO-PHASE
+    ladder (the t23 gate's certifiable form), keyed per (holder, path):
+
+    - renewals refresh the state cell and pin the timeout at
+      last + soft_ms (``Lease.renew``: lastUpdate := now,
+      LeaseManager.java:211-213);
+    - when the WATERMARK passes the soft pin the lease becomes
+      preemptable — another client's startFile may force recovery
+      (``Lease.expiredSoftLimit`` :221-223, checked by
+      ``FSNamesystem.recoverLeaseInternal``:1569-1576) — emitted as
+      phase='soft_preemptable', state retained, timeout RE-PINNED at
+      last + hard_ms (the ladder's second rung);
+    - when the watermark passes the hard pin the Monitor force-releases
+      (``Lease.expiredHardLimit`` :216-218 via ``checkLeases``:365-411)
+      — emitted as phase='hard_released', state evicted.
+
+    A single firing emits every rung the current watermark has already
+    crossed (both phases at once when the final watermark is past the
+    hard pin), so the drained sink is a pure function of the data no
+    matter how the micro-batches sliced the stream.
+    """
+
+    def monitor(key, rows, state):
+        holder, path = key
+        if state.hasTimedOut:
+            last, soft_fired = state.get if state.exists else (None, False)
+            wm = state.getCurrentWatermarkMs()
+            phases = []
+            if not soft_fired and wm > last + soft_ms:
+                phases.append("soft_preemptable")
+            if wm > last + hard_ms:
+                phases.append("hard_released")
+                state.remove()
+            else:
+                state.update((last, True))
+                state.setTimeoutTimestamp(last + hard_ms)
+            if phases:
+                yield pd.DataFrame(
+                    {
+                        "holder": [holder] * len(phases),
+                        "path": [path] * len(phases),
+                        "last_renewed_ms": [last] * len(phases),
+                        "phase": phases,
+                    }
+                )
+            return
+        last, soft_fired = state.get if state.exists else (None, False)
+        for pdf in rows:
+            m = int(pdf["renewed_ms"].max())
+            last = m if last is None else max(last, m)
+        state.update((last, False))  # a renewal resets the ladder
+        state.setTimeoutTimestamp(last + soft_ms)
+        yield from ()
+
+    return monitor
+
+
+def lease_event_stream(
+    renewals, soft_ms: int = LEASE_SOFT_MS, hard_ms: int = LEASE_HARD_MS
+):
+    """Wire the event-time T4 monitor over a watermarked streaming
+    (holder, path, renewed_ms, ts) frame; emits one row per threshold
+    crossing (soft_preemptable, then hard_released)."""
+    return renewals.groupBy("holder", "path").applyInPandasWithState(
+        make_lease_event_monitor(soft_ms, hard_ms),
+        outputStructType=LEASE_EVENT_OUTPUT,
+        stateStructType=LEASE_EVENT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

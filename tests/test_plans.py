@@ -362,3 +362,15 @@ def test_t22_liveness_is_stateful_stream_shape(spark, sf_dir):
     df = registry.queries()["t22_heartbeat_liveness_stream"](spark, sf_dir)
     n_nodes = registry._entities(spark, sf_dir)["datanodes"].count()
     assert 0 < df.count() < n_nodes
+
+
+def test_t23_leases_is_stateful_stream_shape(spark, sf_dir):
+    # the drained t23 result must come from a REAL stateful stream: the
+    # registered query executes the drain, and the emitted frame is the
+    # expired-lease set only (bounded by the open-file lease table — no
+    # per-batch renewal chatter)
+    from hadoop_hdfs_spark import registry
+
+    df = registry.queries()["t23_lease_expiry_stream"](spark, sf_dir)
+    n_leases = registry._entities(spark, sf_dir)["leases"].count()
+    assert 0 < df.count() <= n_leases

@@ -173,3 +173,116 @@ def test_t22_event_time_liveness_matches_batch_f4(spark, sf_dir):
     # removal_pass is the registration-order sequence, 1..N dense
     passes = sorted(r.removal_pass for r in stream_dead.collect())
     assert passes == list(range(1, len(got) + 1))
+
+
+def test_t23_event_time_leases_matches_batch_t4(spark, sf_dir):
+    """The gated event-time lease monitor (t23) must agree with the BATCH
+    expiry classification (t4's soft/hard rows) lease-for-lease, and its
+    release_pass must be the dense oldest-first sequence over exactly the
+    hard-released set — cross-operator consistency beyond the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.entities import (
+        LEASE_HARD_MS,
+        LEASE_SOFT_MS,
+        NOW_MS,
+    )
+
+    e = registry._entities(spark, sf_dir)
+    rows = registry.queries()["t23_lease_expiry_stream"](
+        spark, sf_dir
+    ).collect()
+    age = F.lit(NOW_MS) - F.col("last_renewed_ms")
+    batch = {
+        (r.holder, r.path, r.last_renewed_ms): r.hard
+        for r in e["leases"]
+        .filter(age > LEASE_SOFT_MS)
+        .select("holder", "path", "last_renewed_ms", (age > LEASE_HARD_MS).alias("hard"))
+        .collect()
+    }
+    got = {(r.holder, r.path, r.last_renewed_ms): r.hard_released for r in rows}
+    assert got == batch and len(got) > 0
+    assert all(r.soft_expired for r in rows)
+    # release_pass: dense 1..N over the hard set in (lastUpdate, holder,
+    # path) order — checkLeases' flattened oldest-first release sequence —
+    # and 0 for soft-only leases (the Monitor never touches them)
+    hard = sorted(
+        (r for r in rows if r.hard_released),
+        key=lambda r: (r.last_renewed_ms, r.holder, r.path),
+    )
+    assert [r.release_pass for r in hard] == list(range(1, len(hard) + 1))
+    assert all(r.release_pass == 0 for r in rows if not r.hard_released)
+
+
+def test_t23_lease_ladder_mid_stream_rungs(spark, tmp_path):
+    """The two-phase ladder on a tiny synthetic stream: a lease whose soft
+    pin is crossed mid-stream (watermark between the rungs) emits the soft
+    row with state retained, then the hard row once the watermark passes
+    the second pin — and a renewal resets the ladder (no firing for the
+    renewed lease until its NEW pin is crossed)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark.streaming.drain import drain_partitions
+    from hadoop_hdfs_spark.streaming.timeouts import lease_event_stream
+
+    # soft 100ms, hard 1000ms, times offset from epoch 0 (a watermark of 0
+    # reads as "no watermark yet" and suppresses timeouts). Lease A renews
+    # at t=0 only: soft crosses at wm>100, hard at wm>1000. Lease B renews
+    # at t=0 and t=500: its ladder resets, pins at 600/1500 — only soft
+    # fires by the final wm=1200.
+    B0 = 1_000_000
+    files = [
+        [("A", "/a", B0 + 0), ("B", "/b", B0 + 0)],
+        [("B", "/b", B0 + 500)],
+        [("__sentinel__", "", B0 + 1200)],
+    ]
+    stage = tmp_path / "t23_ladder"
+    _os.makedirs(stage)
+    schema = pa.schema(
+        [("holder", pa.string()), ("path", pa.string()), ("renewed_ms", pa.int64())]
+    )
+    for i, rows_i in enumerate(files):
+        p = str(stage / f"f{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(("holder", "path", "renewed_ms"), r)) for r in rows_i],
+                schema=schema,
+            ),
+            p,
+        )
+        _os.utime(p, (1_700_000_000 + 10 * i,) * 2)
+    src = (
+        spark.readStream.schema("holder string, path string, renewed_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    renewals = src.withColumn(
+        "ts", F.timestamp_millis(F.col("renewed_ms"))
+    ).withWatermark("ts", "0 seconds")
+    out = lease_event_stream(renewals, soft_ms=100, hard_ms=1000)
+    with drain_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t23_ladder_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = {
+        (r.holder, r.phase, r.last_renewed_ms)
+        for r in spark.sql("SELECT * FROM t23_ladder_sink").collect()
+        if r.holder != "__sentinel__"
+    }
+    spark.catalog.dropTempView("t23_ladder_sink")
+    assert emitted == {
+        ("A", "soft_preemptable", B0 + 0),
+        ("A", "hard_released", B0 + 0),
+        ("B", "soft_preemptable", B0 + 500),  # renewed: ladder reset, hard not crossed
+    }
