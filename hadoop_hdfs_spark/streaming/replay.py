@@ -306,14 +306,25 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     # -- 3. subtree deletes: kill descendants whose existence authority
     #       predates the delete (exact paths were handled by the fold) --
     if deletes:
-        del_rules = list(deletes)
+        # A row dies if ANY delete of a strict ancestor has newer authority
+        # — only the MAX delete txid per target matters for `dt > t`, so
+        # the fold is a dict lookup over the row's own ancestor chain:
+        # O(path depth) per row, not O(delete rules) (a 600-delete segment
+        # cost ~7 s/batch per-rule-scanning at sf0.1).
+        del_max: dict[str, int] = {}
+        for dt, dp in deletes:
+            if dt > del_max.get(dp, -1):
+                del_max[dp] = dt
 
         @pandas_udf("boolean")
         def killed(paths: pd.Series, txids: pd.Series) -> pd.Series:
             def f(p: str, t: int) -> bool:
-                for dt, dp in del_rules:
-                    if dt > t and p.startswith(dp + "/"):
+                idx = p.find("/", 1)
+                while idx != -1:
+                    dt = del_max.get(p[:idx])
+                    if dt is not None and dt > t:
                         return True
+                    idx = p.find("/", idx + 1)
                 return False
 
             return pd.Series(
@@ -374,7 +385,7 @@ def load_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     if p is None:
         raise FileNotFoundError(f"no committed snapshot under {snapshot_dir}_v*")
     df = spark.read.parquet(p)
-    return df.drop("prefix") if "prefix" in df.columns else df
+    return df.drop("pbucket", "prefix")
 
 
 def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
@@ -415,10 +426,14 @@ def _assemble_incremental_version(
 
     shutil.rmtree(final_dir, ignore_errors=True)  # crashed prior attempt
     os.makedirs(final_dir)
-    for d in glob.glob(os.path.join(tmp_dir, "prefix=*")):
+    for d in glob.glob(os.path.join(tmp_dir, "pbucket=*")) + glob.glob(
+        os.path.join(tmp_dir, "prefix=*")
+    ):
         shutil.move(d, os.path.join(final_dir, os.path.basename(d)))
     if prev_dir is not None:
-        for d in glob.glob(os.path.join(prev_dir, "prefix=*")):
+        for d in glob.glob(os.path.join(prev_dir, "pbucket=*")) + glob.glob(
+            os.path.join(prev_dir, "prefix=*")
+        ):
             name = os.path.basename(d)
             value = name.split("=", 1)[1]
             if is_touched(value) or os.path.exists(os.path.join(final_dir, name)):
@@ -434,12 +449,46 @@ def _assemble_incremental_version(
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+# Snapshot layout: hash buckets per path-prefix level. 16x16 = 256
+# partition directories max — small enough that version assembly and
+# listing are O(1)-ish locally, large enough that a micro-batch touching
+# a few subtrees rewrites a few percent of the namespace. A cluster
+# deployment sizes these so namespace_bytes/(B1*B2) matches its rewrite
+# unit (e.g. 64x64 for a multi-PB namespace).
+SNAPSHOT_B1 = 16
+SNAPSHOT_B2 = 16
+
+
+def _path_seg(col, i: int):
+    """i-th path segment as a Column (NULL when the path is shallower)."""
+    return F.get(F.split(col, "/"), i)
+
+
+def _hb(col, n: int):
+    """Stable bucket of a string column: pmod(xxhash64, n). Layout-internal
+    (never oracle-visible), so engine-stable xxhash64 is fine."""
+    return F.pmod(F.xxhash64(col), F.lit(n))
+
+
+def snapshot_bucket(col, b1: int = SNAPSHOT_B1, b2: int = SNAPSHOT_B2):
+    """Partition bucket of a path column: h1(seg1)*B2 + h2(seg2), with a
+    depth-1 path hashing seg2 as ''. NULL for the root path (a root op
+    means full rewrite)."""
+    s1 = _path_seg(col, 1)
+    s2 = F.coalesce(_path_seg(col, 2), F.lit(""))
+    return F.when(
+        s1.isNotNull() & (s1 != ""), _hb(s1, b1) * b2 + _hb(s2, b2)
+    )
+
+
 def replay_edits_stream(
     spark: SparkSession,
     edits_parquet_dir: str,
     checkpoint_dir: str,
     snapshot_dir: str,
     max_files_per_trigger: int = 1,
+    b1: int = SNAPSHOT_B1,
+    b2: int = SNAPSHOT_B2,
 ):
     """Continuous replay: stream the edits changelog, MERGE each micro-batch
     into the snapshot, compact INCREMENTALLY (the T2 checkpoint roll).
@@ -450,24 +499,34 @@ def replay_edits_stream(
     edits_<first>-<last> segment naming); ``maxFilesPerTrigger`` is the
     group-commit batch knob (FSEditLog.logSync analog).
 
-    Incremental compaction: the snapshot is partitioned by the TWO-LEVEL
-    PATH PREFIX (``prefix=<seg1>~<seg2>`` directories; depth-1 paths use
-    ``<seg1>`` alone). One level is too coarse when a deployment's
-    namespace lives under a single mount (observed: every fixture path
-    under ``/ev`` made "incremental" a full rewrite per batch); two
-    levels give per-subtree granularity while keeping partition counts
-    bounded by the directory fan-out. A micro-batch can only change rows
-    whose prefix matches one of its ops' path/dst prefixes (rename
-    sources/destinations included), where a depth-1 op prefix ``t``
-    matches partition ``t`` and every ``t~*`` partition beneath it — so
-    only those partitions are read (Spark prunes the scan on the
-    partition filter), merged, and rewritten; every untouched partition
-    is HARDLINKED from the previous version into the new one. Per-batch
-    I/O is O(touched subtrees + batch), not O(namespace) — the
-    reference's periodic checkpoint (SecondaryNameNode.java:435-491) has
-    the same touched-state-only cost profile, realized here at partition
-    granularity. The versioned ``_SUCCESS``-gated commit protocol is
-    unchanged (marker written after assembly; torn versions ignored).
+    Incremental compaction: the snapshot is partitioned by a BOUNDED HASH
+    of the two-level path prefix (``pbucket=<h1(seg1)*B2 + h2(seg2)>``
+    directories). Raw two-level prefixes give per-subtree granularity —
+    one level is too coarse when a deployment's namespace lives under a
+    single mount (observed: every fixture path under ``/ev`` made
+    "incremental" a full rewrite per batch) — but partitioning by the RAW
+    prefix makes the directory count grow with namespace fan-out
+    (observed: 1500 partition dirs at sf0.1, i.e. 1500 tiny files per
+    version, a 26 s single-task write and a 1500-task listing per read;
+    a 100 TB namespace would be orders worse). Hashing each level into
+    B1 x B2 buckets (16 x 16 default) caps the layout at 256 directories
+    at ANY namespace size while keeping the two-level pruning algebra:
+    a deep op touches exactly its bucket; a depth-1 op on ``t`` touches
+    the ENUMERABLE set {h1(t)*B2 + j} — no prefix matching against an
+    unbounded partition list. A micro-batch can only change rows in the
+    buckets of its ops' path/dst prefixes (rename sources/destinations
+    included), so only those buckets are read (Spark prunes the scan on
+    the partition filter), merged, and rewritten — the write is
+    repartitioned BY bucket so it parallelizes and emits one file per
+    touched bucket; every untouched bucket is HARDLINKED from the
+    previous version into the new one. Per-batch I/O is
+    O(touched buckets + batch), not O(namespace) — the reference's
+    periodic checkpoint (SecondaryNameNode.java:435-491) has the same
+    touched-state-only cost profile, realized here at bucket
+    granularity; bucket counts are the deployment's granularity knob
+    (size so namespace/B1*B2 fits a rewrite unit). The versioned
+    ``_SUCCESS``-gated commit protocol is unchanged (marker written
+    after assembly; torn versions ignored).
     """
     stream = (
         spark.readStream.schema(EDITS_SCHEMA)
@@ -475,55 +534,74 @@ def replay_edits_stream(
         .parquet(edits_parquet_dir)
     )
 
-    def prefix2(col: str):
-        """Two-level partition prefix of a path column: 'a~b' for /a/b/...,
-        'a' for /a, '' for the root. '~' is partition-path-safe (Hadoop
-        escapes '/', '=', '%' etc. in partition values; '~' passes
-        through) and mirrors the path-prefix order: every partition under
-        a depth-1 prefix t is exactly t or t~*."""
-        # F.get: NULL (not an ANSI INVALID_ARRAY_INDEX error) for depth-1
-        # paths whose split array has no third element
-        s1 = F.get(F.split(col, "/"), 1)
-        s2 = F.get(F.split(col, "/"), 2)
-        return F.when(s2.isNotNull(), F.concat_ws("~", s1, s2)).otherwise(s1)
-
     def process(batch: DataFrame, batch_id: int) -> None:
         spark_ = batch.sparkSession
         latest = _latest_snapshot_path(snapshot_dir)
-        # Touched prefixes: collect is O(distinct two-level prefixes) —
-        # subtree count, not row count. A root-path op ('' prefix) means
-        # a full rewrite.
+        # Touched buckets: collect is O(distinct (h1, h2) pairs) — bounded
+        # by B1*B2 + B1 however large the batch. A root-path op (NULL
+        # seg1 / empty seg1) means a full rewrite; a depth-1 op (NULL
+        # seg2) touches every bucket under its seg1 hash.
+        paths = batch.select(F.col("path").alias("p")).unionAll(
+            batch.filter(F.col("dst").isNotNull()).select(
+                F.col("dst").alias("p")
+            )
+        )
         pref_rows = (
-            batch.select(prefix2("path").alias("p"))
-            .unionAll(
-                batch.filter(F.col("dst").isNotNull()).select(
-                    prefix2("dst").alias("p")
-                )
+            paths.select(
+                _path_seg(F.col("p"), 1).alias("s1"),
+                _path_seg(F.col("p"), 2).alias("s2"),
+            )
+            .select(
+                (F.col("s1").isNull() | (F.col("s1") == "")).alias("root"),
+                _hb(F.col("s1"), b1).alias("h1"),
+                F.when(
+                    F.col("s2").isNotNull(), _hb(F.col("s2"), b2)
+                ).alias("h2"),
             )
             .distinct()
             .collect()
         )
-        touched = {r["p"] for r in pref_rows if r["p"] is not None}
-        # depth-1 op prefixes match every partition beneath them
-        shallow = sorted(t for t in touched if t and "~" not in t)
-        full_rewrite = latest is None or "" in touched
+        touched: set[int] = set()
+        full_rewrite = latest is None
+        for r in pref_rows:
+            if r["root"]:
+                full_rewrite = True
+            elif r["h2"] is not None:
+                touched.add(r["h1"] * b2 + r["h2"])
+            else:
+                # depth-1 op: its own row hashes seg2 as '', its subtree
+                # can live in any second-level bucket — both are inside
+                # the enumerable set under h1
+                touched.update(r["h1"] * b2 + j for j in range(b2))
 
         def is_touched_value(v: str) -> bool:
-            return v in touched or any(v.startswith(t + "~") for t in shallow)
+            try:
+                return int(v) in touched
+            except ValueError:
+                # __HIVE_DEFAULT_PARTITION__ (NULL-bucket rows, i.e. the
+                # root path): always re-merged (the read keeps them), so
+                # never hardlink the stale copy
+                return True
 
         if latest is not None:
             state = spark_.read.parquet(latest)
-            if "prefix" in state.columns:
-                if not full_rewrite:
-                    # partition filter -> Spark reads ONLY touched dirs; the
-                    # null guard keeps any default-partition stragglers in
-                    cond = F.col("prefix").isNull()
+            part_col = next(
+                (c for c in ("pbucket", "prefix") if c in state.columns), None
+            )
+            if part_col is not None:
+                if not full_rewrite and part_col == "pbucket":
+                    # partition filter -> Spark reads ONLY touched dirs;
+                    # the null guard keeps any default-partition
+                    # stragglers in
+                    cond = F.col(part_col).isNull()
                     if touched:
-                        cond = cond | F.col("prefix").isin(*touched)
-                    for t in shallow:
-                        cond = cond | F.col("prefix").startswith(t + "~")
+                        cond = cond | F.col(part_col).isin(*touched)
                     state = state.filter(cond)
-                state = state.drop("prefix")
+                elif part_col == "prefix":
+                    # legacy raw-prefix layout: no bucket algebra — merge
+                    # the whole snapshot once; the rewrite migrates it
+                    full_rewrite = True
+                state = state.drop(part_col)
         else:
             state = spark_.createDataFrame(
                 [], "path STRING, exists BOOLEAN, replication INT"
@@ -531,9 +609,13 @@ def replay_edits_stream(
         new_state = apply_edits_batch(state, batch.orderBy("txid"))
         tmp = f"{snapshot_dir}_v{batch_id}.inprogress"
         (
-            new_state.withColumn("prefix", prefix2("path"))
+            new_state.withColumn("pbucket", snapshot_bucket(F.col("path"), b1, b2))
+            # cluster by bucket so the write parallelizes across tasks and
+            # each touched bucket gets ONE file (a 1500-dir single-task
+            # write cost 26 s at sf0.1 before this)
+            .repartition(F.col("pbucket"))
             .write.mode("overwrite")
-            .partitionBy("prefix")
+            .partitionBy("pbucket")
             .parquet(tmp)
         )
         _assemble_incremental_version(

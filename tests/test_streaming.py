@@ -443,13 +443,12 @@ def test_mm_certify_kernel_matches_library_stage(spark, sf_dir):
 
 
 def test_incremental_snapshot_links_untouched_partitions(spark, tmp_path):
-    """T2 incremental compaction (two-level prefixes): a micro-batch
-    touching only /a/x and /a/z must NOT rewrite the /b subtree's
-    partitions OR the untouched /a directory row's partition — their
-    files are byte-identical hardlinks of version N-1's (st_nlink >= 2),
-    while the touched partitions advance. Segment files are written with
-    a mtime gap so the file source processes them in order (one per
-    trigger)."""
+    """T2 incremental compaction (hashed two-level buckets): a micro-batch
+    touching only /a/x and /a/z must NOT rewrite any bucket outside
+    {bucket(/a/x), bucket(/a/z)} — untouched buckets' files are
+    byte-identical hardlinks of version N-1's (st_nlink >= 2), while the
+    touched buckets advance. Segment files are written with a mtime gap
+    so the file source processes them in order (one per trigger)."""
     import os
     import time as _t
 
@@ -488,27 +487,49 @@ def test_incremental_snapshot_links_untouched_partitions(spark, tmp_path):
     assert os.path.exists(os.path.join(v0, "_SUCCESS"))
     assert os.path.exists(os.path.join(v1, "_SUCCESS"))
 
-    def part_bytes(version, prefix):
-        d = os.path.join(version, f"prefix={prefix}")
+    # bucket values of every path in play, via the layout's own function
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark.streaming.replay import snapshot_bucket
+
+    all_paths = ["/a", "/b", "/a/x", "/b/y", "/a/z"]
+    bk = {
+        r["p"]: r["b"]
+        for r in spark.createDataFrame([(p,) for p in all_paths], "p string")
+        .select("p", snapshot_bucket(F.col("p")).alias("b"))
+        .collect()
+    }
+    touched = {bk["/a/z"], bk["/a/x"]}  # segment 2's ops
+    untouched = {bk[p] for p in all_paths} - touched
+    # precondition (xxhash64 is deterministic, so this is stable): the
+    # batch's buckets must not happen to cover everything
+    assert untouched, "bucket collision voided the untouched set"
+
+    def part_bytes(version, bucket):
+        d = os.path.join(version, f"pbucket={bucket}")
         return {
             f: open(os.path.join(d, f), "rb").read()
             for f in sorted(os.listdir(d))
             if not f.startswith(".")
         }
 
-    # untouched subtrees AND the untouched /a dir row: byte-identical,
-    # and physically HARDLINKED (zero data movement), not copied
-    for untouched in ("a", "b", "b~y"):
-        assert part_bytes(v0, untouched) == part_bytes(v1, untouched)
-        d = os.path.join(v1, f"prefix={untouched}")
+    # untouched buckets: byte-identical, and physically HARDLINKED (zero
+    # data movement), not copied
+    for b in sorted(untouched):
+        assert part_bytes(v0, b) == part_bytes(v1, b)
+        d = os.path.join(v1, f"pbucket={b}")
         data_files = [f for f in os.listdir(d) if not f.startswith(".")]
         assert data_files and all(
             os.stat(os.path.join(d, f)).st_nlink >= 2 for f in data_files
-        ), f"prefix={untouched} was copied, not hardlinked"
-    # touched partitions advanced: /a/z appears only in v1, /a/x re-permed
-    assert not os.path.exists(os.path.join(v0, "prefix=a~z"))
-    a1 = spark.read.parquet(os.path.join(v1, "prefix=a~x"))
-    assert [r["perm"] for r in a1.collect()] == ["rw-r--r--"]
+        ), f"pbucket={b} was copied, not hardlinked"
+    # touched buckets advanced: /a/z's bucket appears only in v1 (unless a
+    # seg-1 path shares it), and /a/x's carries the re-perm
+    if bk["/a/z"] not in {bk["/a"], bk["/b"], bk["/a/x"], bk["/b/y"]}:
+        assert not os.path.exists(os.path.join(v0, f"pbucket={bk['/a/z']}"))
+    a1 = spark.read.parquet(os.path.join(v1, f"pbucket={bk['/a/x']}"))
+    assert [
+        r["perm"] for r in a1.collect() if r["path"] == "/a/x"
+    ] == ["rw-r--r--"]
     # and the public reader sees the merged namespace with stable schema
     final = load_latest_snapshot(spark, snap)
     got = {r["path"]: r for r in final.collect()}
@@ -521,10 +542,11 @@ def test_incremental_snapshot_links_untouched_partitions(spark, tmp_path):
 def test_incremental_snapshot_depth1_delete_reaches_deep_partitions(
     spark, tmp_path
 ):
-    """A depth-1 op (OP_DELETE /a) maps to prefix 'a' but must invalidate
-    every 'a~*' partition beneath it — the prefix-MATCH leg of the
-    touched set. If the filter or the hardlink assembly treated touched
-    as exact values only, /a/x would survive as a stale hardlink."""
+    """A depth-1 op (OP_DELETE /a) has no second-level segment, but must
+    invalidate EVERY second-level bucket under h1('a') — the enumerable-
+    set leg of the touched computation. If the filter or the hardlink
+    assembly treated touched as the op's own bucket only, /a/x would
+    survive as a stale hardlink."""
     import os
     import time as _t
 
