@@ -101,6 +101,40 @@ def write_delimited_sink(df: DataFrame, path: str) -> None:
     ).csv(path)
 
 
+def reemit_edits(
+    spark: SparkSession, xml_path: str, out_path: str, n_segments: int = 8
+) -> DataFrame:
+    """S9 BinaryEditsVisitor analog: rebuild the NATIVE log from an XML
+    dump (``oev -i edits.xml -o edits`` — offlineEditsViewer/
+    BinaryEditsVisitor.java writes the binary edits file back from the
+    visited records; EditsVisitorFactory.java:43-55 picks it for any
+    non-.xml output). This engine's native log format is the parquet
+    segment directory (``save_edits``), so the re-emit direction is
+    XML -> reparse -> txid-range-partitioned parquet segments, with the
+    same file-order==txid-order guarantee replay depends on.
+
+    The XML writer omits all-null fields and the reader widens integers,
+    so the reparse is coerced back to EDITS_SCHEMA exactly; the returned
+    frame is the re-emitted log as ``streaming.replay`` would stream it.
+    Txid-exactness (every record, every attribute, segment order) is
+    pinned by tests/test_sources.py."""
+    from .streaming.replay import EDITS_COLUMNS, EDITS_SCHEMA
+
+    types = dict(
+        f.split(" ", 1) for f in (p.strip() for p in EDITS_SCHEMA.split(","))
+    )
+    back = load_xml_records(spark, xml_path)
+    cols = [
+        (
+            F.col(c) if c in back.columns else F.lit(None)
+        ).cast(types[c]).alias(c)
+        for c in EDITS_COLUMNS
+    ]
+    reemitted = back.select(*cols)
+    save_edits(reemitted, out_path, n_segments)
+    return spark.read.parquet(out_path)
+
+
 def roundtrip_check(spark: SparkSession, inodes: DataFrame, tmp: str) -> bool:
     """Snapshot save->load must be lossless (the TestOIVCanReadOldVersions
     analog): same rows, same schema."""
