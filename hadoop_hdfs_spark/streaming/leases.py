@@ -26,8 +26,11 @@ granularity (one lease row per (holder, path) under construction):
   series — renewals every LEASE_SOFT_MS/2 ending exactly on the lease's
   ``last_renewed_ms``, so the folded state reproduces the snapshot and
   the verdict has t4's closed form;
-- renewals are staged one parquet file per time window (32 windows, the
-  t21/t22 discipline) and replayed with ``maxFilesPerTrigger=1``; a
+- renewals are staged one parquet file per time window (8 windows, the
+  t21/t22 discipline — several watermark advances so both rungs fire
+  mid-stream for some leases; per-batch state-store overhead dominates
+  drain cost, so window count is the cold knob) and replayed with
+  ``maxFilesPerTrigger=1``; a
   sentinel renewal at NOW_MS drives the final watermark to "now";
 - the monitor (timeouts.make_lease_event_monitor) emits
   phase='soft_preemptable' when the watermark passes last + soft and
@@ -70,7 +73,7 @@ from pyspark.sql import Window
 from ..entities import LEASE_HARD_MS, LEASE_SOFT_MS, NOW_MS
 from ..registry import eager_cache_thunk, register
 
-_T23_WINDOWS = 32
+_T23_WINDOWS = 8
 _T23_SEQ = itertools.count(1)
 
 

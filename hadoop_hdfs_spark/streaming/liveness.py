@@ -13,8 +13,11 @@ every removal is a function of the data alone:
   from the ``datanodes`` snapshot — pings every expiry/4 ending exactly
   on the node's ``last_heartbeat_ms`` column, so the folded per-node
   state reproduces the snapshot and the verdict has a closed form;
-- pings are staged one parquet file per time window (32 windows over the
-  ping range, the t21 discipline) and replayed with
+- pings are staged one parquet file per time window (8 windows over the
+  ping range, the t21 discipline — enough watermark advances to fire
+  mid-stream timeouts across several batches; per-batch state-store
+  overhead, not data, dominates drain cost, so window count is the cold
+  knob) and replayed with
   ``maxFilesPerTrigger=1``; a sentinel ping at NOW_MS drives the final
   watermark to "now", firing the timeout of every node whose
   ``last_heartbeat_ms + HEARTBEAT_EXPIRY_MS`` lies before it — exactly
@@ -51,7 +54,7 @@ from pyspark.sql import Window
 from ..entities import HEARTBEAT_EXPIRY_MS, NOW_MS
 from ..registry import eager_cache_thunk, register
 
-_T22_WINDOWS = 32
+_T22_WINDOWS = 8
 _T22_SEQ = itertools.count(1)
 
 
