@@ -447,6 +447,7 @@ _STREAM_GATES = {
     "t19_stream_dedup": "t19_docs",
     "t21_pending_timeout_stream": "t21_pending",
     "t22_heartbeat_liveness_stream": "t22_liveness",
+    "t23_lease_expiry_stream": "t23_leases",
     "t2c_checkpoint_replay": "t2c_edits",
 }
 
