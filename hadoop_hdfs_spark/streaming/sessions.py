@@ -185,60 +185,67 @@ GROUP BY user_id, sid
     "order-independent.",
 )
 def t17_stream_sessions(e) -> DataFrame:
-    ev_batch = e["events"]
-    spark = ev_batch.sparkSession
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stage = _stage_with_sentinel(e["__sf_dir__"])
-    name = f"t17_stream_sessions_sink_{next(_T17_SEQ)}"
-    from ..entities import normalize_event_ts
+    from ..registry import eager_cache_thunk
 
-    src = normalize_event_ts(
-        spark.readStream.schema(
-            spark.read.parquet(f"{stage}/events.parquet").schema
-        ).parquet(stage)
-    )
-    ev = src.select(
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
-        "user_id",
-        "value",
-    )
-    # The sentinel flows INTO the aggregation (a pre-agg filter would be
-    # pushed below the EventTimeWatermark node and drop it before it
-    # advances the clock). Its own one-event session sits exactly at the
-    # watermark frontier (end = sentinel_ts + gap > watermark = sentinel_ts)
-    # so it can never flush; the sink-side filter below is defensive.
-    agg = (
-        ev.withWatermark("ts", "0 seconds")
-        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_EVENTS_MS} milliseconds"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
-        )
-    )
-    from .drain import drain_partitions
+    def build() -> DataFrame:
+        ev_batch = e["events"]
+        spark = ev_batch.sparkSession
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stage = _stage_with_sentinel(e["__sf_dir__"])
+        name = f"t17_stream_sessions_sink_{next(_T17_SEQ)}"
+        from ..entities import normalize_event_ts
 
-    with drain_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+        src = normalize_event_ts(
+            spark.readStream.schema(
+                spark.read.parquet(f"{stage}/events.parquet").schema
+            ).parquet(stage)
         )
-        q.awaitTermination()
-    out = (
-        spark.table(name)
-        .filter(F.col("user_id") >= 0)
-        .select(
+        ev = src.select(
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
             "user_id",
-            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
-            (F.unix_millis(F.col("session_window.end")) - SESSION_GAP_EVENTS_MS)
-            .cast("long")
-            .alias("session_end_ms"),
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("value_cents").cast("long").alias("value_cents"),
+            "value",
         )
-        .localCheckpoint(eager=True)
-    )
-    spark.catalog.dropTempView(name)
-    return out
+        # The sentinel flows INTO the aggregation (a pre-agg filter would be
+        # pushed below the EventTimeWatermark node and drop it before it
+        # advances the clock). Its own one-event session sits exactly at the
+        # watermark frontier (end = sentinel_ts + gap > watermark = sentinel_ts)
+        # so it can never flush; the sink-side filter below is defensive.
+        agg = (
+            ev.withWatermark("ts", "0 seconds")
+            .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_EVENTS_MS} milliseconds"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            )
+        )
+        from .drain import drain_partitions
+
+        with drain_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+                (F.unix_millis(F.col("session_window.end")) - SESSION_GAP_EVENTS_MS)
+                .cast("long")
+                .alias("session_end_ms"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("value_cents").cast("long").alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return out
+
+    return eager_cache_thunk(e, "t17_sessions_result", build)
+
+
