@@ -35,7 +35,15 @@ _BLOCK_REPL = """
 
 
 def _block_replica_counts(e) -> DataFrame:
-    """blocks + (total_replicas, live) — the rollup most queries start from."""
+    """blocks + (total_replicas, live) — the rollup most queries start from.
+
+    NOTE (deferred to r9): pinning this rollup per session (eager_cache,
+    the blocksMap-in-RAM analog) would cut the blocks|><|replicas shuffle
+    from all 8 registered callers' warm paths, but re-tiers every caller
+    into the driver's 50-slot verification budget at once — r8's budget
+    was exactly consumed by the 45-query r5-stale drain + t23 + the four
+    queries already touched, so the cache waits for a round with slack.
+    """
     blocks, replicas = e["blocks"], e["replicas"]
     return (
         blocks.join(replicas, "block_id", "left")
