@@ -577,3 +577,107 @@ def test_incremental_snapshot_depth1_delete_reaches_deep_partitions(
     final = load_latest_snapshot(spark, snap)
     got = {r["path"]: r["exists"] for r in final.collect()}
     assert got == {"/a": False, "/a/x": False, "/b/y": True}
+
+
+def test_snapshot_bucket_bounds_and_levels(spark):
+    """snapshot_bucket: values bounded by B1*B2 at any path population,
+    NULL for the root, and every path under one top-level dir lands in
+    the same h1 block of B2 consecutive buckets (the enumerable-set
+    algebra the depth-1 invalidation relies on)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark.streaming.replay import (
+        SNAPSHOT_B1,
+        SNAPSHOT_B2,
+        snapshot_bucket,
+    )
+
+    paths = (
+        ["/", "/solo"]
+        + [f"/a/x{i}" for i in range(40)]
+        + [f"/b{i}/y/z/deep" for i in range(40)]
+    )
+    rows = (
+        spark.createDataFrame([(p,) for p in paths], "p string")
+        .select("p", snapshot_bucket(F.col("p")).alias("b"))
+        .collect()
+    )
+    bk = {r["p"]: r["b"] for r in rows}
+    assert bk["/"] is None  # root op = full rewrite, no bucket
+    assert all(
+        0 <= b < SNAPSHOT_B1 * SNAPSHOT_B2
+        for p, b in bk.items()
+        if b is not None
+    )
+    # one top-level dir -> one h1 block: /a and every /a/* share h1
+    a_h1 = {bk[p] // SNAPSHOT_B2 for p in bk if p.startswith("/a/")}
+    assert len(a_h1) == 1
+    # deterministic across sessions (xxhash64 is seed-stable)
+    again = {
+        r["p"]: r["b"]
+        for r in spark.createDataFrame([(p,) for p in paths], "p string")
+        .select("p", snapshot_bucket(F.col("p")).alias("b"))
+        .collect()
+    }
+    assert again == bk
+
+
+def test_legacy_prefix_snapshot_migrates_to_buckets(spark, tmp_path):
+    """A snapshot written by the pre-r8 raw-prefix layout (``prefix=``
+    partition dirs) must keep working: the next micro-batch reads the
+    WHOLE legacy snapshot (no bucket algebra exists for raw prefixes),
+    merges, and writes the new bucketed layout — no rows lost, old
+    attributes preserved, new ops applied."""
+    import glob
+    import os
+
+    from hadoop_hdfs_spark.streaming.replay import (
+        load_latest_snapshot,
+        replay_edits_stream,
+    )
+
+    # hand-build a legacy-layout committed version v0
+    legacy = spark.createDataFrame(
+        [
+            ("/a/x", True, 2, "a~x"),
+            ("/b/y", True, 3, "b~y"),
+        ],
+        "path STRING, exists BOOLEAN, replication INT, prefix STRING",
+    )
+    snap = str(tmp_path / "snap_mig")
+    legacy.write.partitionBy("prefix").parquet(snap + "_v0")
+    open(os.path.join(snap + "_v0", "_SUCCESS"), "w").close()
+
+    edits_dir = tmp_path / "edits_mig"
+    edits_dir.mkdir()
+    schema = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT, perm STRING, owner STRING, gen_stamp LONG"
+    )
+    seg = [(10, "OP_ADD", 1000, "/c/z", None, 1, None, None, None)]
+    spark.createDataFrame(seg, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(edits_dir))
+
+    q = replay_edits_stream(
+        spark, str(edits_dir), str(tmp_path / "ckpt_mig"), snap,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(240), "stream did not drain in time"
+    final = load_latest_snapshot(spark, snap)
+    got = {r["path"]: (r["exists"], r["replication"]) for r in final.collect()}
+    assert got["/a/x"] == (True, 2)  # legacy rows carried through
+    assert got["/b/y"] == (True, 3)
+    assert got["/c/z"] == (True, 1)  # new op applied
+    # and the rewritten version is bucketed, not raw-prefix (batch ids
+    # start at 0, so the migrated version REPLACES the legacy v0 — the
+    # merge materializes to the .inprogress dir before assembly removes
+    # the old directory, so the replacement is safe)
+    versions = [
+        p for p in glob.glob(snap + "_v*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    assert versions
+    newest = max(versions, key=lambda p: int(p.rsplit("_v", 1)[1]))
+    assert glob.glob(os.path.join(newest, "pbucket=*"))
+    assert not glob.glob(os.path.join(newest, "prefix=*"))
