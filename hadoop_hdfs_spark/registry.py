@@ -64,9 +64,16 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # sharing an intermediate (e.g. the shingle table) reuse each other's work.
 # LRU-capped: a long-lived session cycling many (app, sf_dir, tag) combos
 # (multi-SF certification loops) evicts+unpersists the coldest pin instead
-# of accumulating executor storage without bound.
+# of accumulating executor storage without bound. The cap must exceed the
+# per-SF working set (the distinct tags one full catalog pass touches,
+# ~40 in r8) with headroom: LRU under a cyclic access pattern one entry
+# LONGER than capacity misses on EVERY access — observed r8 as a 2.4x
+# warm-bench inflation when the tag count crossed the old cap of 32 (the
+# pinned drains re-ran each pass). 96 holds two SFs' working sets; the
+# pinned frames are queue/dimension/result-sized, so storage stays far
+# below executor memory.
 _CACHED: dict[tuple[str, str, str], DataFrame] = {}
-_CACHED_MAX = 32
+_CACHED_MAX = int(os.environ.get("SPARK_GRAFT_CACHE_PINS", "96"))
 
 
 def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
