@@ -140,20 +140,17 @@ lsh_pairs AS (
 )"""
 
 
-@register(
-    "d_minhash_lsh",
-    oracle=_duck_lsh_pairs_ctes() + """
-SELECT a_id, b_id, jaccard_e6 FROM lsh_pairs
-""",
-    doc="MinHash+LSH near-dedup: word-3-gram shingles -> 16 md5-keyed "
-    "minhashes -> 4 bands of 4; pairs sharing any band are candidates; "
-    "exact shingle-Jaccard >= 0.5 confirms. Only bucket-mates are ever "
-    "paired — the LSH equi-join is the 100 TB path.",
-)
-def d_minhash_lsh(e) -> DataFrame:
-    # eager count: a lazy cache is useless against the multi-branch DAG
-    # below — concurrent branches race past the unpopulated cache and each
-    # recompute the shingle transform
+def _minhash_bands(e) -> DataFrame:
+    """Eager-cached wide band frame (doc_id, band0..band3) — shared by the
+    whole-corpus self-join (d_minhash_lsh) and the incremental ingestion
+    screen (d_incremental_near_dup), which therefore reuse one signature
+    aggregation per session/SF.
+
+    Eager count: a lazy cache is useless against the multi-branch DAGs
+    downstream — concurrent branches race past the unpopulated cache and
+    each recompute the shingle transform; the band fan-out (4 union
+    branches) and the candidate join would otherwise recompute the whole
+    signature aggregation once per branch per side (8x)."""
     sh = eager_cache(e, "shingles", _shingles(e["documents"]))
     tok = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
@@ -175,16 +172,33 @@ def d_minhash_lsh(e) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    # eager cache: the band fan-out (4 union branches) and the candidate
-    # self-join would otherwise recompute the whole signature aggregation
-    # once per branch per side (8x)
-    bands = eager_cache(e, "minhash_bands", sig.select("doc_id", *band_cols))
+    return eager_cache(e, "minhash_bands", sig.select("doc_id", *band_cols))
+
+
+def _band_long(bands: DataFrame) -> DataFrame:
+    """Long-format LSH bucket keys: (doc_id, band_idx, band_val)."""
     bl = None
     for b in range(N_BANDS):
         part = bands.select(
             "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
         )
         bl = part if bl is None else bl.unionAll(part)
+    return bl
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=_duck_lsh_pairs_ctes() + """
+SELECT a_id, b_id, jaccard_e6 FROM lsh_pairs
+""",
+    doc="MinHash+LSH near-dedup: word-3-gram shingles -> 16 md5-keyed "
+    "minhashes -> 4 bands of 4; pairs sharing any band are candidates; "
+    "exact shingle-Jaccard >= 0.5 confirms. Only bucket-mates are ever "
+    "paired — the LSH equi-join is the 100 TB path.",
+)
+def d_minhash_lsh(e) -> DataFrame:
+    sh = eager_cache(e, "shingles", _shingles(e["documents"]))
+    bl = _band_long(_minhash_bands(e))
     a = bl.alias("a")
     b = bl.alias("b")
     cand = (
@@ -211,6 +225,101 @@ def d_minhash_lsh(e) -> DataFrame:
             "a_id",
             "b_id",
             F.floor(inter * 1000000.0 / union).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+# The incremental batch: the same "later arrivals" slice the two-snapshot
+# diff in pipeline/corpus.py derives (its _DIFF_A complement) — the docs
+# d_corpus_diff reports as ADDED are exactly the batch this screen vets.
+_INCOMING = "doc_id % 13 = 5"
+
+
+@register(
+    "d_incremental_near_dup",
+    oracle=_duck_lsh_pairs_ctes()
+    + f""",
+ib AS (
+  SELECT CASE WHEN {_INCOMING.replace('doc_id', 'a_id')} THEN a_id ELSE b_id END AS in_id,
+         CASE WHEN {_INCOMING.replace('doc_id', 'a_id')} THEN b_id ELSE a_id END AS base_id,
+         jaccard_e6
+  FROM lsh_pairs
+  WHERE ({_INCOMING.replace('doc_id', 'a_id')}) <> ({_INCOMING.replace('doc_id', 'b_id')})
+),
+m AS (
+  SELECT in_id,
+         CAST(MIN(base_id) AS BIGINT) AS matched_base_id,
+         CAST(MAX(jaccard_e6) AS BIGINT) AS best_jaccard_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_base_matches
+  FROM ib GROUP BY in_id
+)
+SELECT d.doc_id,
+       CASE WHEN m.in_id IS NULL THEN 'NOVEL' ELSE 'NEAR_DUP' END AS verdict,
+       COALESCE(m.matched_base_id, CAST(-1 AS BIGINT)) AS matched_base_id,
+       COALESCE(m.best_jaccard_e6, CAST(0 AS BIGINT)) AS best_jaccard_e6,
+       COALESCE(m.n_base_matches, CAST(0 AS BIGINT)) AS n_base_matches
+FROM (SELECT doc_id FROM documents WHERE {_INCOMING}) d
+LEFT JOIN m ON m.in_id = d.doc_id
+""",
+    doc="Incremental near-dup ingestion screen — the production form of "
+    "daily-crawl dedup: vet an INCOMING batch against the existing BASE "
+    "corpus without ever self-joining either side. Both sides share the "
+    "one cached minhash band table; candidates come from an equi-join of "
+    "incoming band buckets against base band buckets only (incoming x "
+    "base, never base x base — the base corpus is touched once to build "
+    "bands, and at 100 TB those bands are precomputed corpus state, "
+    "bucketed by band_val, so a daily screen re-reads band buckets, not "
+    "text). Shingle-Jaccard >= 0.5 confirms candidates exactly as "
+    "d_minhash_lsh does; every incoming doc then gets one verdict row "
+    "(NEAR_DUP with its lowest-id matched base doc + best similarity, or "
+    "NOVEL), so the output is incoming-batch-sized. The incoming slice "
+    "reuses the ADDED arrivals of d_corpus_diff's snapshot convention. "
+    "At daily-crawl scale the incoming band list is broadcast-sized and "
+    "AQE turns the screen into a map-side probe of the base buckets.",
+)
+def d_incremental_near_dup(e) -> DataFrame:
+    docs = e["documents"]
+    sh = eager_cache(e, "shingles", _shingles(docs))
+    bl = _band_long(_minhash_bands(e))
+    incoming = F.expr(_INCOMING)
+    in_bl = bl.filter(incoming).select(
+        F.col("doc_id").alias("in_id"), "band_idx", "band_val"
+    )
+    base_bl = bl.filter(~incoming).select(
+        F.col("doc_id").alias("base_id"), "band_idx", "band_val"
+    )
+    cand = (
+        in_bl.join(base_bl, ["band_idx", "band_val"])
+        .select("in_id", "base_id")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("in_id"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b"))
+    joined = cand.join(x, "in_id").join(y, "base_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = joined.filter(inter * 2 >= union).select(
+        "in_id",
+        "base_id",
+        F.floor(inter * 1000000.0 / union).cast("long").alias("jaccard_e6"),
+    )
+    m = verified.groupBy("in_id").agg(
+        F.min("base_id").alias("matched_base_id"),
+        F.max("jaccard_e6").alias("best_jaccard_e6"),
+        F.count("*").alias("n_base_matches"),
+    )
+    return (
+        docs.filter(incoming)
+        .select("doc_id")
+        .join(m, F.col("doc_id") == F.col("in_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_id").isNull(), F.lit("NOVEL"))
+            .otherwise(F.lit("NEAR_DUP"))
+            .alias("verdict"),
+            F.coalesce("matched_base_id", F.lit(-1)).cast("long").alias("matched_base_id"),
+            F.coalesce("best_jaccard_e6", F.lit(0)).cast("long").alias("best_jaccard_e6"),
+            F.coalesce("n_base_matches", F.lit(0)).cast("long").alias("n_base_matches"),
         )
     )
 

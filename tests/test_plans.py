@@ -374,3 +374,14 @@ def test_t23_leases_is_stateful_stream_shape(spark, sf_dir):
     df = registry.queries()["t23_lease_expiry_stream"](spark, sf_dir)
     n_leases = registry._entities(spark, sf_dir)["leases"].count()
     assert 0 < df.count() <= n_leases
+
+
+def test_incremental_near_dup_probes_base_buckets_only(spark, sf_dir):
+    # the ingestion screen must join INCOMING band buckets against BASE
+    # buckets on the (band_idx, band_val) equi-key — never self-join either
+    # side — and both sides must read the one cached band table (shared with
+    # d_minhash_lsh), so the base corpus text is touched once per session
+    plan = _plan(spark, sf_dir, "d_incremental_near_dup")
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # cached bands, both sides
+    assert "band_val" in plan  # the bucket equi-key drives the join
