@@ -385,3 +385,12 @@ def test_incremental_near_dup_probes_base_buckets_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2  # cached bands, both sides
     assert "band_val" in plan  # the bucket equi-key drives the join
+
+
+def test_rate_anomaly_aggregates_before_joining(spark, sf_dir):
+    # the audit stream must collapse to (ugi, hour) partials map-side; every
+    # later step (rollup, peak argmin, final join) runs on dimension-bounded
+    # frames — no window and no cartesian anywhere near record scale
+    plan = _plan(spark, sf_dir, "au_rate_anomaly")
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "Window" not in plan
