@@ -452,6 +452,22 @@ _STREAM_GATES = {
 }
 
 
+def _evict_result_memo(qname: str) -> None:
+    """The certification gates memoize their DRAINED result frame per
+    session (the bench headline deliberately measures the warm catalog,
+    where a gate certifies once). The staging/drain split exists to time
+    the REAL drain, so the memo must be evicted between the cold and warm
+    runs — otherwise drain_s measures a cache read and staging_s absorbs
+    the actual drain cost."""
+    pfx = qname.split("_")[0] + "_"
+    for key in [k for k in registry._CACHED if k[2].startswith(pfx)]:
+        frame = registry._CACHED.pop(key)
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+
+
 def streaming_probe() -> None:
     """Judge r4 #9 / r5 #7: the streaming certification drains stage their
     fixture as a single /tmp parquet before the first run, so their
@@ -484,6 +500,7 @@ def streaming_probe() -> None:
             t0 = time.perf_counter()
             qs[qname](spark, d).count()
             cold = time.perf_counter() - t0
+            _evict_result_memo(qname)  # warm must re-run the REAL drain
             t0 = time.perf_counter()
             qs[qname](spark, d).count()
             warm = time.perf_counter() - t0

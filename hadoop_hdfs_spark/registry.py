@@ -73,7 +73,23 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # pinned frames are queue/dimension/result-sized, so storage stays far
 # below executor memory.
 _CACHED: dict[tuple[str, str, str], DataFrame] = {}
-_CACHED_MAX = int(os.environ.get("SPARK_GRAFT_CACHE_PINS", "96"))
+
+
+def _cache_pins() -> int:
+    """Validated SPARK_GRAFT_CACHE_PINS: a floor of 1 keeps the eviction
+    loop well-defined (a cap of 0 would pop from an empty dict on the
+    first insert), and a malformed value fails with a named error instead
+    of an import-time ValueError with no context."""
+    raw = os.environ.get("SPARK_GRAFT_CACHE_PINS", "96")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_CACHE_PINS must be an integer, got {raw!r}"
+        ) from None
+
+
+_CACHED_MAX = _cache_pins()
 
 
 def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:

@@ -85,13 +85,20 @@ def write_xml_sink(df: DataFrame, path: str, row_tag: str = "RECORD") -> None:
 
 
 def load_xml_records(
-    spark: SparkSession, path: str, row_tag: str = "RECORD"
+    spark: SparkSession, path: str, row_tag: str = "RECORD", schema=None
 ) -> DataFrame:
     """Reparse an XML sink — the OfflineEditsViewer reverse direction
     (``oev -i edits.xml -o edits`` reconstructs the binary log from XML;
     offlineEditsViewer/XmlEditsVisitor.java). Schema is inferred from the
-    records; round-trip losslessness is tested in tests/test_sources.py."""
-    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+    records unless an explicit ``schema`` is passed (a re-emitter that
+    knows its record layout must pass one: inference type-guesses each
+    column from the VALUES, so a string field holding '007' comes back a
+    bigint and re-renders as '7'). Round-trip losslessness is tested in
+    tests/test_sources.py."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def write_delimited_sink(df: DataFrame, path: str) -> None:
@@ -113,17 +120,28 @@ def reemit_edits(
     XML -> reparse -> txid-range-partitioned parquet segments, with the
     same file-order==txid-order guarantee replay depends on.
 
-    The XML writer omits all-null fields and the reader widens integers,
-    so the reparse is coerced back to EDITS_SCHEMA exactly; the returned
-    frame is the re-emitted log as ``streaming.replay`` would stream it.
-    Txid-exactness (every record, every attribute, segment order) is
-    pinned by tests/test_sources.py."""
+    The reparse reads every field as STRING under an EXPLICIT schema —
+    never inference, which type-guesses from the values and corrupts
+    numeric-looking strings (an ``owner`` of '007' would infer bigint,
+    parse to 7, and re-render as '7') — then casts each column to its
+    EDITS_SCHEMA type; the XML writer omits all-null fields, so absent
+    columns re-enter as typed NULLs. (One representational limit is the
+    XML format's own, shared with the reference's XML visitor: an
+    empty-string attribute and an absent one render identically, so ''
+    round-trips to NULL — no edits field uses '' as a meaningful value.)
+    The returned frame is the re-emitted log as ``streaming.replay``
+    would stream it. Txid-exactness (every record, every attribute,
+    segment order) is pinned by tests/test_sources.py."""
     from .streaming.replay import EDITS_COLUMNS, EDITS_SCHEMA
 
     types = dict(
         f.split(" ", 1) for f in (p.strip() for p in EDITS_SCHEMA.split(","))
     )
-    back = load_xml_records(spark, xml_path)
+    back = load_xml_records(
+        spark,
+        xml_path,
+        schema=", ".join(f"{c} STRING" for c in EDITS_COLUMNS),
+    )
     cols = [
         (
             F.col(c) if c in back.columns else F.lit(None)

@@ -424,6 +424,14 @@ def _assemble_incremental_version(
     import os
     import shutil
 
+    if prev_dir is not None and os.path.realpath(prev_dir) == os.path.realpath(
+        final_dir
+    ):
+        raise ValueError(
+            f"refusing to assemble {final_dir!r} from itself: the previous "
+            "version would be deleted before its untouched partitions are "
+            "hardlinked (caller must skip already-committed versions)"
+        )
     shutil.rmtree(final_dir, ignore_errors=True)  # crashed prior attempt
     os.makedirs(final_dir)
     for d in glob.glob(os.path.join(tmp_dir, "pbucket=*")) + glob.glob(
@@ -535,8 +543,48 @@ def replay_edits_stream(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        import glob as _glob
+        import os
+        import re
+
         spark_ = batch.sparkSession
+        final_dir = f"{snapshot_dir}_v{batch_id}"
+        if os.path.exists(
+            os.path.join(final_dir, "_SUCCESS")
+        ) and not _glob.glob(os.path.join(final_dir, "prefix=*")):
+            # At-least-once redelivery of an ALREADY-COMMITTED batch (the
+            # marker was written but the checkpoint offset commit didn't
+            # land before a crash). The version this exact batch produces
+            # is already durable — the batch contents are deterministic
+            # for a given batch_id under a replayable source — and
+            # re-assembling would hardlink untouched buckets FROM the very
+            # directory being rebuilt (prev == final), losing them. Skip
+            # idempotently instead. (A committed version in the LEGACY
+            # raw-prefix layout is NOT this stream's own commit — it falls
+            # through to the migration path below, which is replace-safe:
+            # full_rewrite materializes the whole merged state into the
+            # .inprogress dir before assembly removes the old directory.)
+            return
         latest = _latest_snapshot_path(snapshot_dir)
+        if latest is not None:
+            latest_num = int(re.search(r"_v(\d+)$", latest).group(1))
+            if batch_id < latest_num:
+                # A fresh/reset checkpoint pointed at an EXISTING snapshot
+                # store: batch ids restart below the committed head, so
+                # the merged version would sort under it and
+                # load_latest_snapshot would serve the stale head forever
+                # (and a surviving _v{batch_id} directory would be
+                # clobbered). Refuse loudly — the operator must either
+                # keep the checkpoint with its snapshot store or start
+                # both fresh.
+                raise RuntimeError(
+                    f"snapshot version collision: micro-batch {batch_id} "
+                    f"would write {final_dir!r} below the committed head "
+                    f"{latest!r}. The streaming checkpoint and the "
+                    "snapshot store version together; point the stream at "
+                    "a fresh snapshot_dir or restore the matching "
+                    "checkpoint_dir."
+                )
         # Touched buckets: collect is O(distinct (h1, h2) pairs) — bounded
         # by B1*B2 + B1 however large the batch. A root-path op (NULL
         # seg1 / empty seg1) means a full rewrite; a depth-1 op (NULL
@@ -620,7 +668,7 @@ def replay_edits_stream(
         )
         _assemble_incremental_version(
             tmp,
-            f"{snapshot_dir}_v{batch_id}",
+            final_dir,
             None if full_rewrite else latest,
             is_touched_value,
         )

@@ -129,3 +129,30 @@ def test_cap_holds_two_scale_factors_of_static_working_set():
         f"{registry._CACHED_MAX}; bump the cap (see registry.py sizing "
         "note) before the LRU starts thrashing on full catalog passes"
     )
+
+
+def test_cache_pins_env_is_validated():
+    """A cap of 0/negative clamps to 1 (a 0 cap would pop from an empty
+    dict on the first insert); a malformed value raises a NAMED error."""
+    import os
+
+    import pytest
+
+    from hadoop_hdfs_spark.registry import _cache_pins
+
+    old = os.environ.get("SPARK_GRAFT_CACHE_PINS")
+    try:
+        os.environ["SPARK_GRAFT_CACHE_PINS"] = "0"
+        assert _cache_pins() == 1
+        os.environ["SPARK_GRAFT_CACHE_PINS"] = "-5"
+        assert _cache_pins() == 1
+        os.environ["SPARK_GRAFT_CACHE_PINS"] = "off"
+        with pytest.raises(ValueError, match="SPARK_GRAFT_CACHE_PINS"):
+            _cache_pins()
+        os.environ["SPARK_GRAFT_CACHE_PINS"] = "64"
+        assert _cache_pins() == 64
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_CACHE_PINS", None)
+        else:
+            os.environ["SPARK_GRAFT_CACHE_PINS"] = old

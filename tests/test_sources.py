@@ -224,3 +224,28 @@ def test_binary_reemit_roundtrip_txid_exact(spark, sf_dir, tmp_path):
         mt = os.path.getmtime(p)
         assert mt > prev_mtime
         prev_mtime = mt
+
+
+def test_binary_reemit_preserves_numeric_looking_strings(spark, tmp_path):
+    """The reparse must read under an explicit all-string schema: schema
+    INFERENCE type-guesses from values, so an owner of '007' would come
+    back bigint 7 and re-render as '7' — corrupting the txid-exact
+    contract for legal numeric usernames/uids."""
+    from hadoop_hdfs_spark.sources import reemit_edits, write_xml_sink
+    from hadoop_hdfs_spark.streaming.replay import EDITS_SCHEMA
+
+    edits = spark.createDataFrame(
+        [
+            (1, "OP_ADD", 1000, "/u/007/f", None, 2, "0644", "007", 10),
+            (2, "OP_SET_OWNER", 2000, "/u/007/f", None, None, None, "42", None),
+        ],
+        EDITS_SCHEMA,
+    )
+    xml = str(tmp_path / "numeric_xml")
+    out = str(tmp_path / "numeric_bin")
+    write_xml_sink(edits, xml)
+    back = reemit_edits(spark, xml, out, n_segments=1)
+    rows = {r["txid"]: r for r in back.collect()}
+    assert rows[1]["owner"] == "007" and rows[1]["perm"] == "0644"
+    assert rows[2]["owner"] == "42"
+    assert edits.exceptAll(back).isEmpty() and back.exceptAll(edits).isEmpty()

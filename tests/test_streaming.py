@@ -681,3 +681,99 @@ def test_legacy_prefix_snapshot_migrates_to_buckets(spark, tmp_path):
     newest = max(versions, key=lambda p: int(p.rsplit("_v", 1)[1]))
     assert glob.glob(os.path.join(newest, "pbucket=*"))
     assert not glob.glob(os.path.join(newest, "prefix=*"))
+
+
+def test_replay_redelivered_committed_batch_is_skipped(spark, tmp_path):
+    """At-least-once redelivery of an already-committed micro-batch must be
+    a no-op: assembling it again would hardlink untouched buckets FROM the
+    directory being rebuilt (prev == final) and silently drop them."""
+    import os
+
+    edits_dir = str(tmp_path / "edits_redeliver")
+    spark.createDataFrame(
+        [(1, "OP_ADD", 1000, "/a/x", None, 2)],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    ).coalesce(1).write.parquet(edits_dir)
+    snap = str(tmp_path / "snap_redeliver")
+    # simulate the redelivery: version _v0 is already committed when
+    # micro-batch 0 arrives (marker written, checkpoint offset lost)
+    os.makedirs(snap + "_v0")
+    open(os.path.join(snap + "_v0", "_SUCCESS"), "w").close()
+    q = replay_edits_stream(
+        spark, edits_dir, str(tmp_path / "ckpt_redeliver"), snap
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    # the committed version was left byte-untouched (no new partitions)
+    assert os.listdir(snap + "_v0") == ["_SUCCESS"]
+
+
+def test_replay_reset_checkpoint_fails_loudly_not_silently(spark, tmp_path):
+    """A fresh checkpoint pointed at an existing snapshot store restarts
+    batch ids below the committed head; the stream must refuse (the merged
+    version would sort under the head and never be served) instead of
+    clobbering or silently serving stale state."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    edits_dir = str(tmp_path / "edits_reset")
+    rows = [
+        (1, "OP_ADD", 1000, "/a/x", None, 2),
+        (2, "OP_ADD", 2000, "/b/y", None, 2),
+        (3, "OP_ADD", 3000, "/c/z", None, 2),
+    ]
+    schema = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT"
+    )
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(
+            f"{edits_dir}/seg{i}"
+        )
+    # one txid-range parquet per directory entry: point the stream at a
+    # flat dir of the three part files
+    import glob
+    import os
+
+    flat = str(tmp_path / "edits_reset_flat")
+    os.makedirs(flat)
+    for i in range(3):
+        (part,) = glob.glob(f"{edits_dir}/seg{i}/part-*.parquet")
+        shutil.copy(part, os.path.join(flat, f"seg{i}.parquet"))
+        os.utime(os.path.join(flat, f"seg{i}.parquet"), (1000 + i, 1000 + i))
+    ckpt = str(tmp_path / "ckpt_reset")
+    snap = str(tmp_path / "snap_reset")
+    q = replay_edits_stream(spark, flat, ckpt, snap)
+    assert q.awaitTermination(120), "first stream did not drain"
+    # retention keeps v1/v2; v0 is pruned — exactly the reset hazard shape
+    assert not os.path.exists(snap + "_v0")
+    head_before = {
+        (r["path"], r["exists"])
+        for r in load_latest_snapshot(spark, snap).collect()
+    }
+    shutil.rmtree(ckpt)  # the reset: fresh checkpoint, same snapshot store
+    q2 = replay_edits_stream(spark, flat, str(tmp_path / "ckpt_reset2"), snap)
+    with pytest.raises(StreamingQueryException, match="version collision"):
+        q2.awaitTermination(120)
+    # the committed head is intact and still served
+    head_after = {
+        (r["path"], r["exists"])
+        for r in load_latest_snapshot(spark, snap).collect()
+    }
+    assert head_after == head_before
+
+
+def test_assemble_refuses_prev_equals_final(tmp_path):
+    """Defense-in-depth under the redelivery skip: assembling a version from
+    itself must raise, never rmtree-then-hardlink from the deleted dir."""
+    import os
+
+    from hadoop_hdfs_spark.streaming.replay import _assemble_incremental_version
+
+    final = str(tmp_path / "snap_v3")
+    os.makedirs(final)
+    open(os.path.join(final, "_SUCCESS"), "w").close()
+    tmp = str(tmp_path / "tmp_v3")
+    os.makedirs(tmp)
+    with pytest.raises(ValueError, match="from itself"):
+        _assemble_incremental_version(tmp, final, final, lambda v: False)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
