@@ -23,7 +23,12 @@ _ANCESTORS = (
 )
 
 # DuckDB-side subtree membership predicate (dir d contains inode i,
-# including d itself). Paths contain no LIKE metacharacters.
+# including d itself). LIKE treats _ and % as wildcards; the fixture's
+# path alphabet contains neither, and the Spark sides of every _SUBTREE
+# consumer match by exact prefix algebra, so the predicate is exact
+# today. Queued for the r9 oracle sweep: rewrite as
+# starts_with(i.path, d.path || '/') so a future entity model with
+# metacharacter paths cannot diverge (t2c's oracle got this in r8).
 _SUBTREE = (
     "(i.path = d.path OR (d.path = '/' AND i.path <> '/') "
     "OR (d.path <> '/' AND i.path LIKE d.path || '/%'))"

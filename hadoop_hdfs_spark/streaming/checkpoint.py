@@ -93,7 +93,7 @@ SELECT l.path,
             WHEN EXISTS (SELECT 1 FROM t2seg d
                          WHERE d.op = 'OP_DELETE'
                            AND d.txid > l.exist_txid
-                           AND l.path LIKE d.path || '/%')
+                           AND starts_with(l.path, d.path || '/'))
                  THEN FALSE
             ELSE TRUE END AS "exists",
        r.replication,
@@ -130,12 +130,12 @@ def t2c_checkpoint_replay(e) -> DataFrame:
         from ..sources import save_edits
         from .drain import drain_partitions
         from .replay import load_latest_snapshot, replay_edits_stream
-        from .staging import staged_dir
+        from .staging import entities_sql_version, staged_dir
 
         sf_dir = str(e["__sf_dir__"])
         # v2: the stage layout depends on save_edits' ordered-mtime stamp
         code_ver = hashlib.md5(
-            f"{_T2C_SEG_SQL}|{_T2C_SEGMENTS}|v2".encode()
+            f"{_T2C_SEG_SQL}|{_T2C_SEGMENTS}|v2|{entities_sql_version()}".encode()
         ).hexdigest()[:6]
 
         def build_stage(stage: str) -> None:

@@ -90,11 +90,11 @@ def _stage_documents(e) -> str:
     availableNow drain is a single micro-batch (every duplicate meets its
     original in state; nothing is split across batch boundaries). Keyed on
     fixture content, built atomically (staging.staged_dir)."""
-    from .staging import staged_dir
+    from .staging import entities_sql_version, staged_dir
 
     return staged_dir(
         str(e["__sf_dir__"]),
-        "t19_docs",
+        f"t19_docs_{entities_sql_version()}",
         lambda p: e["documents"]
         .select("doc_id", "text")
         .coalesce(1)
@@ -124,6 +124,14 @@ SELECT DISTINCT md5(text) AS text_md5 FROM documents
     "like the other certification drains.",
 )
 def t19_stream_dedup(e):
+    # memoized like every other certification gate: each invocation would
+    # otherwise re-drain AND pin a fresh never-released localCheckpoint
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(e, "t19_dedup_result", lambda: _t19_run(e))
+
+
+def _t19_run(e):
     spark = e["documents"].sparkSession
     stage = _stage_documents(e)
     name = f"t19_stream_dedup_sink_{next(_T19_SEQ)}"

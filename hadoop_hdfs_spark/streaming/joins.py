@@ -125,11 +125,11 @@ def _stage_edits(e) -> str:
     equivalent: partition the changelog by opcode and subscribe to the two
     partitions the join consumes). Keyed on fixture content, built
     atomically (staging.staged_dir)."""
-    from .staging import staged_dir
+    from .staging import entities_sql_version, staged_dir
 
     return staged_dir(
         str(e["__sf_dir__"]),
-        "t18_pairs",
+        f"t18_pairs_{entities_sql_version()}",
         lambda p: e["edits"]
         .select("txid", "op", "ts_ms", "path")
         .filter(F.col("op").isin("OP_ADD", "OP_CLOSE"))

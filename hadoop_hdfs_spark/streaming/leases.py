@@ -88,7 +88,7 @@ def _stage_renewals(e) -> str:
     import pyarrow.parquet as pq
 
     from ..entities import ENTITY_SQL
-    from .staging import staged_dir
+    from .staging import entities_sql_version, staged_dir
 
     sf_dir = str(e["__sf_dir__"])
     pdf = (
@@ -106,6 +106,7 @@ def _stage_renewals(e) -> str:
         (
             ENTITY_SQL["lease_events"]
             + f"|{_T23_WINDOWS}|{NOW_MS}|{LEASE_SOFT_MS}|{LEASE_HARD_MS}"
+            + f"|{entities_sql_version()}"
         ).encode()
     ).hexdigest()[:6]
 

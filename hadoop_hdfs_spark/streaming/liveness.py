@@ -69,7 +69,7 @@ def _stage_pings(e) -> str:
     import pyarrow.parquet as pq
 
     from ..entities import ENTITY_SQL
-    from .staging import staged_dir
+    from .staging import entities_sql_version, staged_dir
 
     sf_dir = str(e["__sf_dir__"])
     pdf = (
@@ -87,6 +87,7 @@ def _stage_pings(e) -> str:
         (
             ENTITY_SQL["hb_events"]
             + f"|{_T22_WINDOWS}|{NOW_MS}|{HEARTBEAT_EXPIRY_MS}"
+            + f"|{entities_sql_version()}"
         ).encode()
     ).hexdigest()[:6]
 

@@ -88,7 +88,7 @@ def _stage_windows(e) -> tuple[str, int]:
     import pyarrow.parquet as pq
 
     from ..entities import ENTITY_SQL
-    from .staging import staged_dir
+    from .staging import entities_sql_version, staged_dir
 
     sf_dir = str(e["__sf_dir__"])
     pdf = (
@@ -110,6 +110,7 @@ def _stage_windows(e) -> tuple[str, int]:
         (
             ENTITY_SQL["repl_events"]
             + f"|{_T21_TIMEOUT_STEPS}|{_T21_SPAN_STEPS}"
+            + f"|{entities_sql_version()}"
         ).encode()
     ).hexdigest()[:6]
 

@@ -100,6 +100,15 @@ GROUP BY 1, 2
     "makes the result deterministic for the gate.)",
 )
 def t14_stream_rates(e) -> DataFrame:
+    # memoized like every other certification gate: each invocation would
+    # otherwise re-drain AND pin a fresh never-released localCheckpoint
+    # (one leaked pin per warm pass in a long-lived session)
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(e, "t14_rates_result", lambda: _t14_run(e))
+
+
+def _t14_run(e) -> DataFrame:
     ev_batch = e["events"]
     spark = ev_batch.sparkSession
     sf_dir = e["__sf_dir__"]

@@ -59,8 +59,15 @@ EDITS_COLUMNS = (
 
 def _rename_rewriter(rules: list[tuple[int, str, str]]):
     """pandas UDF: fold (txid, src, dst) prefix-rewrites over a path column
-    in txid order; returns 'newpath\\x00last_rule_txid' (the txid is the
-    row's rename authority for collision resolution, -1 if untouched).
+    in txid order; returns 'newpath\\x00t1,t2,...' — the comma-joined
+    txids of every rule that moved this row, in application order (empty
+    if untouched). The FULL chain is the row's rename authority: the last
+    txid alone cannot resolve a collision where a rename chains THROUGH
+    an occupied intermediate path (/a->/b then /b->/c moves both the /a
+    row and the pre-existing /b row to /c with the same final txid, but
+    sequentially the /a arrival replaced the /b incumbent at rule one —
+    the row with the LATER previous move wins, i.e. the lexicographically
+    greatest reversed chain).
 
     A join-based rewrite fans out on shared sources; composing k CASE
     expressions grows the tree O(4^k) and OOMs the planner at ~100
@@ -72,13 +79,15 @@ def _rename_rewriter(rules: list[tuple[int, str, str]]):
     @pandas_udf("string")
     def rewrite(paths: pd.Series) -> pd.Series:
         def f(p: str) -> str:
-            last = -1
+            applied = []
             for txid, s, d in rules:
                 if p == s:
-                    p, last = d, txid
+                    p = d
+                    applied.append(txid)
                 elif p.startswith(s + "/"):
-                    p, last = d + p[len(s):], txid
-            return f"{p}\x00{last}"
+                    p = d + p[len(s):]
+                    applied.append(txid)
+            return p + "\x00" + ",".join(map(str, applied))
 
         return paths.map(f)
 
@@ -200,29 +209,45 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     # pathological segment with 10^5 renames would otherwise ship one huge
     # closure to every Arrow worker and pay O(rules) per row in a single
     # unbounded pass. Chunks compose exactly like the full list (prefix
-    # rewrites in txid order); a later chunk's authority supersedes an
-    # earlier one's, so per-row authority is the last non-(-1) chunk tag --
+    # rewrites in txid order); each chunk appends its applied txids to the
+    # row's running chain, so the full chain is chunk-order concatenation --
     if renames:
         _RENAME_CHUNK = 4096
-        state = state.withColumn("_auth", F.lit(-1).cast("long"))
+        state = state.withColumn("_chain", F.lit(""))
         for lo in range(0, len(renames), _RENAME_CHUNK):
             rewrite = _rename_rewriter(renames[lo : lo + _RENAME_CHUNK])
             tagged = state.withColumn("_rw", rewrite(F.col("path")))
             split = F.split(F.col("_rw"), "\x00")
-            chunk_auth = split.getItem(1).cast("long")
+            chunk_chain = split.getItem(1)
             state = tagged.select(
                 split.getItem(0).alias("path"),
                 *STATE_COLUMNS,
-                F.when(chunk_auth >= 0, chunk_auth)
-                .otherwise(F.col("_auth"))
-                .alias("_auth"),
+                # chunks compose in txid order, so the full chain is the
+                # chunk chains concatenated in chunk order
+                F.when(chunk_chain == "", F.col("_chain"))
+                .when(F.col("_chain") == "", chunk_chain)
+                .otherwise(F.concat(F.col("_chain"), F.lit(","), chunk_chain))
+                .alias("_chain"),
             )
-        # collisions: later rename wins; renamed rows replace originals
-        w = Window.partitionBy("path").orderBy(F.col("_auth").desc())
+        # Collisions: the row whose rename history is sequentially LAST
+        # at this path wins — later rename beats earlier, a renamed row
+        # replaces an untouched incumbent (empty chain sorts lowest), and
+        # a final-txid tie (a chain THROUGH an occupied intermediate path
+        # gives both rows the same last rule) falls back to the previous
+        # move's txid, recursively: exactly descending lexicographic
+        # order of the REVERSED applied-txid chain.
+        ckey = F.when(F.col("_chain") == "", F.array().cast("array<long>")).otherwise(
+            F.reverse(
+                F.transform(
+                    F.split(F.col("_chain"), ","), lambda x: x.cast("long")
+                )
+            )
+        )
+        w = Window.partitionBy("path").orderBy(ckey.desc())
         state = (
             state.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_auth")
+            .drop("_rn", "_chain")
         )
 
     # -- 2. normalize ops to per-attribute payloads; a concat-delete also
@@ -359,11 +384,16 @@ def latest_genstamp(edits: DataFrame) -> int | None:
     return None if row is None or row["s"] is None else row["s"]["gen_stamp"]
 
 
-def _latest_snapshot_path(snapshot_dir: str) -> str | None:
-    """Highest COMMITTED snapshot version (``<dir>_v<batchId>`` with a
-    ``_SUCCESS`` marker). A torn write has no marker and is ignored —
-    it can never be mistaken for 'no snapshot yet'. Local-FS scan; a
-    cluster deployment would list through the Hadoop FileSystem API."""
+def _committed_versions(snapshot_dir: str) -> list[tuple[int, str]]:
+    """All COMMITTED snapshot versions (``<dir>_v<batchId>`` with a
+    ``_SUCCESS`` marker), sorted ascending. A torn write has no marker
+    and is ignored — it can never be mistaken for a committed version.
+    The ONE definition of 'committed' shared by the reader
+    (:func:`_latest_snapshot_path`) and the pruner
+    (:func:`_prune_snapshot_versions`): a protocol change applied to one
+    but not the other would let pruning delete what readers still serve.
+    Local-FS scan; a cluster deployment would list through the Hadoop
+    FileSystem API."""
     import glob
     import os
     import re
@@ -373,7 +403,13 @@ def _latest_snapshot_path(snapshot_dir: str) -> str | None:
         m = re.search(r"_v(\d+)$", p)
         if m and os.path.exists(os.path.join(p, "_SUCCESS")):
             versions.append((int(m.group(1)), p))
-    return max(versions)[1] if versions else None
+    return sorted(versions)
+
+
+def _latest_snapshot_path(snapshot_dir: str) -> str | None:
+    """Highest committed snapshot version, or None."""
+    versions = _committed_versions(snapshot_dir)
+    return versions[-1][1] if versions else None
 
 
 def load_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -395,17 +431,9 @@ def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
     this a long-running stream accumulates one snapshot directory per
     micro-batch, unbounded. Uncommitted (marker-less) directories are left
     alone — an in-flight write may own them."""
-    import glob
-    import os
-    import re
     import shutil
 
-    versions = []
-    for p in glob.glob(snapshot_dir + "_v*"):
-        m = re.search(r"_v(\d+)$", p)
-        if m and os.path.exists(os.path.join(p, "_SUCCESS")):
-            versions.append((int(m.group(1)), p))
-    for _, p in sorted(versions)[:-keep]:
+    for _, p in _committed_versions(snapshot_dir)[:-keep]:
         shutil.rmtree(p, ignore_errors=True)
 
 

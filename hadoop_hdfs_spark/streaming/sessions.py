@@ -132,7 +132,11 @@ def _stage_with_sentinel(sf_dir: str) -> str:
             _os.path.join(stage, "zz_sentinel.parquet"),
         )
 
-    return staged_dir(str(sf_dir), "t17_sessions", build)
+    from .staging import entities_sql_version
+
+    return staged_dir(
+        str(sf_dir), f"t17_sessions_{entities_sql_version()}", build
+    )
 
 
 _T17_SEQ = __import__("itertools").count(1)  # atomic under the GIL

@@ -27,6 +27,23 @@ from collections.abc import Callable
 _MARKER = "_STAGED"
 
 
+def entities_sql_version() -> str:
+    """6-hex digest of EVERY entity derivation SQL statement. Staged
+    fixtures derive from the entity model, so a stage keyed only on the
+    fixture-file fingerprint (or on its direct entity's SQL) replays
+    STALE bytes when an upstream entity derivation changes — the drain
+    then certifies old rows against a freshly-derived oracle (the hftp
+    lesson, ADVICE r6, one level up). Hashing the whole dict
+    over-invalidates (any entity edit restages every gate), which is the
+    cheap direction: staging is a one-time cached build."""
+    from ..entities import ENTITY_SQL
+
+    h = hashlib.md5(
+        "|".join(f"{k}={v}" for k, v in sorted(ENTITY_SQL.items())).encode()
+    )
+    return h.hexdigest()[:6]
+
+
 def fixture_fingerprint(sf_dir: str) -> str:
     """Content fingerprint of a fixture directory: every parquet file's
     (name, size, mtime_ns), hashed. Touching or regenerating any fixture
@@ -60,10 +77,17 @@ def staged_dir(sf_dir: str, tag: str, build: Callable[[str], None]) -> str:
     print(f"[staging] building {tag} (one-time, cached) ...",
           file=sys.stderr, flush=True)
     t0 = time.monotonic()
-    build(tmp)
+    try:
+        build(tmp)
+        open(os.path.join(tmp, _MARKER), "w").close()
+    except BaseException:
+        # a failed build (OOM, disk full, Ctrl-C) must not leak a partial
+        # pid-suffixed copy: the same-pid rmtree above never fires again
+        # (new process = new pid), so orphans would accumulate in /tmp
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     print(f"[staging] {tag} built in {time.monotonic() - t0:.1f}s",
           file=sys.stderr, flush=True)
-    open(os.path.join(tmp, _MARKER), "w").close()
     try:
         os.rename(tmp, stage)
     except OSError:

@@ -777,3 +777,38 @@ def test_assemble_refuses_prev_equals_final(tmp_path):
     with pytest.raises(ValueError, match="from itself"):
         _assemble_incremental_version(tmp, final, final, lambda v: False)
     assert os.path.exists(os.path.join(final, "_SUCCESS"))
+
+
+def test_rename_chain_through_occupied_path_is_deterministic(spark):
+    """An in-batch rename CHAIN through an occupied intermediate path must
+    resolve like the sequential loader: /a->/b replaces the incumbent /b
+    row, then /b->/c moves the survivor — so /c must carry /a's
+    attributes, never the dead /b row's (pre-fix, both rows reached /c
+    with the same final-rule authority and row_number picked one
+    arbitrarily)."""
+    state = spark.createDataFrame(
+        [("/a", True, 2, 0), ("/b", True, 3, 0)],
+        "path STRING, exists BOOLEAN, replication INT, exist_txid LONG",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "OP_RENAME", 1000, "/a", "/b", None),
+            (2, "OP_RENAME", 2000, "/b", "/c", None),
+        ],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    for _ in range(3):  # the pre-fix failure was nondeterministic
+        out = {r["path"]: r["replication"] for r in apply_edits_batch(state, batch).collect()}
+        assert set(out) == {"/c"}
+        assert out["/c"] == 2  # /a's row survived the chain
+    # and a swap via a temp path keeps both rows, attributes crossed
+    swap = spark.createDataFrame(
+        [
+            (1, "OP_RENAME", 1000, "/a", "/tmp_swap", None),
+            (2, "OP_RENAME", 2000, "/b", "/a", None),
+            (3, "OP_RENAME", 3000, "/tmp_swap", "/b", None),
+        ],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    )
+    out = {r["path"]: r["replication"] for r in apply_edits_batch(state, swap).collect()}
+    assert out == {"/a": 3, "/b": 2}
