@@ -64,7 +64,6 @@ operator.
 from __future__ import annotations
 
 import itertools
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,10 +84,13 @@ def _stage_renewals(e) -> str:
     import hashlib
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ..entities import ENTITY_SQL
-    from .staging import entities_sql_version, staged_dir
+    from .staging import (
+        entities_sql_version,
+        staged_dir,
+        write_windowed_stage,
+    )
 
     sf_dir = str(e["__sf_dir__"])
     pdf = (
@@ -118,31 +120,12 @@ def _stage_renewals(e) -> str:
         ]
     )
 
-    def build(stage: str) -> None:
-        os.makedirs(stage, exist_ok=True)
-        mtime = 1_700_000_000
-        for i in sorted(batch.unique()):
-            part = pdf[batch == i]
-            path = os.path.join(stage, f"win_{int(i):04d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(
-                    part, schema=schema, preserve_index=False
-                ),
-                path,
-            )
-            os.utime(path, (mtime, mtime))
-            mtime += 10
-        sent = os.path.join(stage, "zz_sentinel.parquet")
-        pq.write_table(
-            pa.Table.from_pylist(
-                [{"holder": "__sentinel__", "path": "", "renewed_ms": NOW_MS}],
-                schema=schema,
-            ),
-            sent,
-        )
-        os.utime(sent, (mtime, mtime))
-
-    return staged_dir(sf_dir, f"t23_leases_{code_ver}", build)
+    sentinel = {"holder": "__sentinel__", "path": "", "renewed_ms": NOW_MS}
+    return staged_dir(
+        sf_dir,
+        f"t23_leases_{code_ver}",
+        lambda stage: write_windowed_stage(stage, pdf, schema, batch, sentinel),
+    )
 
 
 @register(

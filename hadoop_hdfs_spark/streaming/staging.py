@@ -106,3 +106,36 @@ def staged_dir(sf_dir: str, tag: str, build: Callable[[str], None]) -> str:
         else:  # lost the race to a complete concurrent build
             shutil.rmtree(tmp, ignore_errors=True)
     return stage
+
+
+def write_windowed_stage(stage, pdf, schema, batch, sentinel_row) -> None:
+    """Write ``pdf`` as one parquet file per window bucket plus a trailing
+    sentinel file — the shared staging discipline of the GroupState
+    timeout gates (t21/t22/t23). ``batch`` is a pandas Series of window
+    indices aligned with ``pdf``; files are written in window order with
+    STRICTLY INCREASING mtimes because the file stream source orders its
+    micro-batches by modification time (the r7 equal-mtime lesson in
+    sources.save_edits: ties replay in arbitrary order), and the sentinel
+    lands last so the final micro-batch advances the watermark past every
+    real event. One definition on purpose: this ordering discipline has
+    already needed one subtle fix, and a fix applied to one hand-rolled
+    copy but not the others would silently skew the un-fixed gates."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(stage, exist_ok=True)
+    mtime = 1_700_000_000
+    for i in sorted(batch.unique()):
+        part = pdf[batch == i]
+        path = os.path.join(stage, f"win_{int(i):04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+        mtime += 10
+    sent = os.path.join(stage, "zz_sentinel.parquet")
+    pq.write_table(pa.Table.from_pylist([sentinel_row], schema=schema), sent)
+    os.utime(sent, (mtime, mtime))
