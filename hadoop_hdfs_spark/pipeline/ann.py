@@ -69,6 +69,50 @@ from .similarity import (  # noqa: E402
 from .similarity import QUERY_K as _QK  # noqa: E402
 
 
+def _quantized_vecs(e) -> DataFrame:
+    """e6-quantized embedding vectors (vec_id, label, xe), eager-cached
+    under the shared 'ivf_xe' tag — the common input of the Lloyd
+    assignment (s_ivf_build) and semantic dedup (d_semdedup). Components
+    quantize BEFORE any averaging so no float summation order can leak
+    into an argmin."""
+    xe = e["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+        ).alias("xe"),
+    )
+    return eager_cache(e, "ivf_xe", xe)
+
+
+def _label_centroids(xe: DataFrame) -> DataFrame:
+    """Per-label integer centroid table (cell, ce): dimension-wise floored
+    means assembled in pos order. Cell-count-sized — broadcast at any
+    corpus scale. ONE definition shared by s_ivf_build and d_semdedup so
+    a tiebreak or quantization change cannot drift between them."""
+    dims = (
+        xe.select("label", F.posexplode("xe").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("x")).cast("long").alias("c"))
+    )
+    return dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("ce")
+    )
+
+
+def _sq_dist(xe_col, ce_col):
+    """Integer squared L2 distance between two quantized vectors — exact
+    in any fold order."""
+    return F.aggregate(
+        F.zip_with(xe_col, ce_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+
 @register(
     "s_ivf_build",
     oracle="""
@@ -113,29 +157,9 @@ WHERE rk = 1
     "is the dimension-wise centroid aggregation.",
 )
 def s_ivf_build(e) -> DataFrame:
-    xe = e["embeddings"].select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
-        ).alias("xe"),
-    )
-    xe = eager_cache(e, "ivf_xe", xe)  # eager: feeds centroid agg + assignment join
-    dims = (
-        xe.select("label", F.posexplode("xe").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.floor(F.avg("x")).cast("long").alias("c"))
-    )
-    cent = dims.groupBy(F.col("label").alias("cell")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("ce")
-    )
-    sq_dist = F.aggregate(
-        F.zip_with("xe", "ce", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    xe = _quantized_vecs(e)  # eager: feeds centroid agg + assignment join
+    cent = _label_centroids(xe)
+    sq_dist = _sq_dist("xe", "ce")
     scored = xe.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "cell", sq_dist.alias("sq_dist")
     )
@@ -316,29 +340,9 @@ GROUP BY v.vec_id, v.cell, v.cent_cos_e6
     "verdict is bit-stable across engines and partitionings.",
 )
 def d_semdedup(e) -> DataFrame:
-    xe = e["embeddings"].select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
-        ).alias("xe"),
-    )
-    xe = eager_cache(e, "ivf_xe", xe)  # shared with s_ivf_build
-    dims = (
-        xe.select("label", F.posexplode("xe").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.floor(F.avg("x")).cast("long").alias("c"))
-    )
-    cent = dims.groupBy(F.col("label").alias("cell")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("ce")
-    )
-    sq_dist = F.aggregate(
-        F.zip_with("xe", "ce", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    xe = _quantized_vecs(e)  # shared with s_ivf_build
+    cent = _label_centroids(xe)
+    sq_dist = _sq_dist("xe", "ce")
     w = Window.partitionBy("vec_id").orderBy(sq_dist, "cell")
     asg = (
         xe.crossJoin(F.broadcast(cent))

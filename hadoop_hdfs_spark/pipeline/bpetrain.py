@@ -169,7 +169,10 @@ FROM (
     "Emits (doc_id, n_words, n_tokens, chars_per_token_e6) — the "
     "tokens-per-doc accounting a training-data pipeline bills by. "
     "Precondition (holds for the fixtures, asserted in tests): text has "
-    "no empty words and no chr(30)/chr(31). Oracle: the training chain's "
+    "no empty words and no chr(30)/chr(31) — bpe_apply defines words as "
+    "the NON-EMPTY split fragments (the tokenizer convention), while the "
+    "tokenize oracle counts every fragment; the two agree exactly under "
+    "the asserted precondition and the test pins it. Oracle: the training chain's "
     "CTEs cross-joined (six 1-row merge tables) into the same chained "
     "replace.",
 )

@@ -68,7 +68,7 @@ tf AS (
 ),
 scored AS (
   SELECT tf.doc_id, tf.t,
-         CAST(FLOOR(tf.tf * ln(n.n_docs * 1.0 / df_counts.df) * 1000000) AS BIGINT) AS tfidf_e6
+         CAST(FLOOR(tf.tf * ln(n.n_docs * 1.0 / df_counts.df) * 1000000 + 1e-9) AS BIGINT) AS tfidf_e6
   FROM tf JOIN df_counts ON df_counts.t = tf.t CROSS JOIN n
 )
 SELECT doc_id, t AS term, tfidf_e6, CAST(rk AS INT) AS rank
@@ -81,8 +81,9 @@ WHERE rk <= 3
 """,
     doc="TF-IDF top-3 terms per document: document frequency from distinct "
     "tokens, term frequency with multiplicity, idf = ln(N/df), score "
-    "integer-quantized (floor*1e6) so cross-engine float noise cannot reach "
-    "the comparator.",
+    "integer-quantized (floor(x*1e6 + 1e-9), the nudge because ln is "
+    "libm-dependent in its last bit) so cross-engine float noise "
+    "cannot reach the comparator.",
 )
 def t_tfidf_top_terms(e) -> DataFrame:
     from pyspark.sql import Window
@@ -102,7 +103,10 @@ def t_tfidf_top_terms(e) -> DataFrame:
     scored = tf.join(F.broadcast(df_counts), "t").select(
         "doc_id",
         "t",
-        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000)
+        F.floor(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000
+            + 1e-9
+        )
         .cast("long")
         .alias("tfidf_e6"),
     )
@@ -153,10 +157,10 @@ def d_near_dup_clusters(e) -> DataFrame:
     )
 
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over the near-dup pair graph by iterative
     min-label propagation: every doc adopts the smallest doc_id reachable
-    so far; iterate to fixpoint (or max_iter).
+    so far; iterate to fixpoint (raises if max_iter rounds don't reach it).
 
     Returns (doc_id, cluster_id). Each round is ONE equi-join (pull every
     neighbor's current label) + ONE union-groupBy-min — the standard
@@ -219,6 +223,18 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         if new_sig == sig:  # sum strictly decreases until fixpoint
             break
         sig = new_sig
+    else:
+        # A silent cap here would return labels that DISAGREE with the
+        # transitive closure (a chain component with diameter > max_iter+1
+        # leaves its tail mislabeled), and every downstream consumer
+        # (keeper selection, corpus verdict) would quietly pick wrong
+        # winners. Converged-or-error is the contract.
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within {max_iter} rounds "
+            "— a component's diameter exceeds the cap. Raise max_iter "
+            "(rounds are O(diameter), each one join+agg)."
+        )
     edges.unpersist()
     return labels
 

@@ -22,7 +22,7 @@ emitted as floor(x*1e6) BIGINTs so no float ever reaches the comparator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..registry import eager_cache, register
@@ -175,12 +175,15 @@ def _minhash_bands(e) -> DataFrame:
     return eager_cache(e, "minhash_bands", sig.select("doc_id", *band_cols))
 
 
-def _band_long(bands: DataFrame) -> DataFrame:
-    """Long-format LSH bucket keys: (doc_id, band_idx, band_val)."""
+def _band_long(
+    bands: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Long-format LSH bucket keys: (id, band_idx, band_val) — shared by
+    the MinHash paths (doc_id) and the embedding-LSH path (vec_id)."""
     bl = None
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         part = bands.select(
-            "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+            id_col, F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
         )
         bl = part if bl is None else bl.unionAll(part)
     return bl
@@ -686,8 +689,8 @@ def _duck_emb_lsh_sql() -> str:
         f"SELECT vec_id, {b} AS band_idx, band{b} AS band_val FROM sig"
         for b in range(_EMB_BANDS)
     )
-    pair_dot = "list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (acc, x) -> acc + x)"
-    norm = "sqrt(list_reduce(list_transform(range(1, 65), i -> {t}.v[i] * {t}.v[i]), (acc, x) -> acc + x))"
+    pair_dot = _DUCK_PAIR_DOT  # one definition of the fold convention
+    norm = _DUCK_PAIR_NORM
     return f"""
 WITH e AS (
   SELECT vec_id,
@@ -776,12 +779,7 @@ def d_embedding_cosine_lsh(e) -> DataFrame:
             "vec_id", "v", *[band_col(bands[b]).alias(f"band{b}") for b in range(_EMB_BANDS)]
         ),
     )
-    bl = None
-    for b in range(_EMB_BANDS):
-        part = sig.select(
-            "vec_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
-        )
-        bl = part if bl is None else bl.unionAll(part)
+    bl = _band_long(sig, id_col="vec_id", n_bands=_EMB_BANDS)
     cand = (
         bl.alias("x")
         .join(
@@ -808,7 +806,7 @@ def d_embedding_cosine_lsh(e) -> DataFrame:
         .filter(F.col("cos_e6") >= _EMB_THRESH_E6)
     )
     assigned = (
-        vecs.select("vec_id")
+        sig.select("vec_id")  # the cached frame; vecs would re-scan parquet
         .join(pairs, pairs["b_id"] == F.col("vec_id"), "left")
         .groupBy("vec_id")
         .agg(

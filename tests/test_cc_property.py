@@ -49,3 +49,24 @@ def test_cc_long_chain_converges(spark):
     df = spark.createDataFrame(pairs, "a_id LONG, b_id LONG")
     got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(df, max_iter=30).collect()}
     assert set(got.values()) == {0}
+
+
+def test_cc_long_chain_converges_or_raises(spark):
+    """A chain component with diameter above the round cap must either
+    converge (default cap) or raise loudly — never return labels that
+    disagree with the transitive closure."""
+    import pytest
+
+    from hadoop_hdfs_spark.pipeline.corpus import near_dup_clusters
+
+    n = 15  # diameter 14: beyond the old silent cap of 10 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id LONG, b_id LONG"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}  # one component, min label
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iter=3)
