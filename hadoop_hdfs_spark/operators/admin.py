@@ -82,43 +82,24 @@ def c5_permission_codec(e) -> DataFrame:
 
 # t6's oracle text, shared: j10_replication_targets (cluster.py) wraps the
 # same work queue in a CTE so the target chooser's oracle is built from the
-# identical scheduler definition.
-_T6_ORACLE = """
+# identical scheduler definition. COMPOSED from _W2_SQL (one definition of
+# the queue — an edit to the W2 semantics cannot leave this copy stale);
+# priority < 4 keeps exactly the schedulable blocks (some non-corrupt
+# replica exists to copy from — priority 4 is the no-source queue).
+from .blocks import _W2_SQL as _W2_SQL_FOR_T6  # noqa: E402
+
+_T6_ORACLE = f"""
 SELECT block_id, priority, source_datanode, rk AS round_slot
 FROM (
   SELECT w.block_id, w.priority, s.source_datanode,
          CAST(ROW_NUMBER() OVER (PARTITION BY s.source_datanode
                                  ORDER BY w.priority, w.block_id) AS INT) AS rk
-  FROM (
-    SELECT c.block_id,
-           CAST(CASE WHEN c.live = 0 AND c.decom_live > 0 THEN 0
-                WHEN c.live = 0 THEN 4
-                WHEN c.live >= i.replication THEN 3
-                WHEN c.live = 1 THEN 0
-                WHEN c.live * 3 < i.replication THEN 1
-                ELSE 2 END AS INT) AS priority
-    FROM (
-      SELECT b.block_id, b.file_id,
-             CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
-             CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
-                      THEN 1 ELSE 0 END) AS BIGINT) AS decom_live,
-             MIN(CASE WHEN NOT r.is_corrupt THEN d.rack END) AS rack_lo,
-             MAX(CASE WHEN NOT r.is_corrupt THEN d.rack END) AS rack_hi
-      FROM blocks b
-      LEFT JOIN replicas r ON r.block_id = b.block_id
-      LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
-      GROUP BY b.block_id, b.file_id
-    ) c
-    JOIN inodes i ON i.id = c.file_id
-    WHERE (c.live < i.replication
-           OR (c.live >= i.replication AND i.replication > 1
-               AND c.rack_lo = c.rack_hi))
-      AND c.live > 0
-  ) w
+  FROM ({_W2_SQL_FOR_T6}) w
   JOIN (
     SELECT block_id, MIN(datanode_id) AS source_datanode
     FROM replicas WHERE NOT is_corrupt GROUP BY block_id
   ) s ON s.block_id = w.block_id
+  WHERE w.priority < 4
 ) t
 WHERE rk <= 2
 """
@@ -138,7 +119,10 @@ WHERE rk <= 2
 def t6_replication_work(e) -> DataFrame:
     from .blocks import w2_replication_priority
 
-    work = w2_replication_priority(e).filter(F.col("live") > 0)
+    # priority < 4 = some non-corrupt replica exists to copy from (a
+    # decom-only block is priority 0 and MUST be scheduled — the copy
+    # source is the draining node itself); priority 4 has no source
+    work = w2_replication_priority(e).filter(F.col("priority") < 4)
     sources = (
         e["replicas"]
         .filter(~F.col("is_corrupt"))
@@ -269,7 +253,7 @@ SELECT ns.namespace,
        CAST(SUM(CASE WHEN i.under_construction THEN 1 ELSE 0 END) AS BIGINT) AS open_files
 FROM inodes i
 JOIN (SELECT path AS ns_path, name AS namespace FROM inodes WHERE parent_id = 1) ns
-  ON i.path = ns.ns_path OR i.path LIKE ns.ns_path || '/%'
+  ON i.path = ns.ns_path OR starts_with(i.path, ns.ns_path || '/')
 GROUP BY ns.namespace
 """,
     doc="Federation multi-namespace rollup (ClusterJspHelper.java:55-286 — "
@@ -618,7 +602,13 @@ def m1_metasave(e) -> DataFrame:
         e["blocks"],
     )
     q = w2_replication_priority(e)  # cached queue: block_id, live, expected, priority
+    # classify ONLY the queued blocks' replicas: without the broadcast
+    # semi-join the classification frame is block-population-sized and the
+    # left join below shuffles every replica row for a queue-sized result
+    # (the j10 holder-restriction pattern — Catalyst cannot infer it)
     cls = replicas.join(
+        F.broadcast(q.select("block_id")), "block_id", "left_semi"
+    ).join(
         F.broadcast(datanodes.select("datanode_id", "admin_state")), "datanode_id"
     ).select(
         "block_id",

@@ -450,11 +450,14 @@ SELECT c.block_id, c.live, i.replication AS expected,
             ELSE 2 END AS INT)                        AS priority
 FROM (
   SELECT b.block_id, b.file_id,
-         CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live,
+         CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state = 'NORMAL'
+                  THEN 1 ELSE 0 END) AS BIGINT)                            AS live,
          CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state <> 'NORMAL'
                   THEN 1 ELSE 0 END) AS BIGINT)                            AS decom_live,
-         MIN(CASE WHEN NOT r.is_corrupt THEN d.rack END)                   AS rack_lo,
-         MAX(CASE WHEN NOT r.is_corrupt THEN d.rack END)                   AS rack_hi
+         MIN(CASE WHEN NOT r.is_corrupt AND d.admin_state = 'NORMAL'
+             THEN d.rack END)                                              AS rack_lo,
+         MAX(CASE WHEN NOT r.is_corrupt AND d.admin_state = 'NORMAL'
+             THEN d.rack END)                                              AS rack_hi
   FROM blocks b
   LEFT JOIN replicas r ON r.block_id = b.block_id
   LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
@@ -472,6 +475,12 @@ WHERE c.live < i.replication
     doc="W2 UnderReplicatedBlocks 5-level priority "
     "(UnderReplicatedBlocks.getPriority:85-107): CASE priority column over "
     "blocks needing replication work; queue drain = ORDER BY priority. "
+    "live follows countNodes (BlockManager.countNodes:1726-1750): a "
+    "non-corrupt replica on a DECOMMISSION* node is counted separately, "
+    "NOT as live — so a block whose only copies sit on draining nodes "
+    "has curReplicas=0/decom>0 and lands in priority 0 (the reference's "
+    "highest-urgency queue), exactly the branch getPriority:92-97 "
+    "reserves for it. "
     "Priority 3 is the rack-deficit queue (UnderReplicatedBlocks.java:90-92: "
     "enough replicas but all on one rack, replication > 1) — reachable only "
     "via the widened filter, since those blocks are NOT under-replicated "
@@ -495,12 +504,26 @@ def w2_replication_priority(e) -> DataFrame:
         )
         .groupBy("block_id", "file_id")
         .agg(
-            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
+            F.sum(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"), 1
+                ).otherwise(0)
+            ).alias("live"),
             F.sum(
                 F.when(~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1).otherwise(0)
             ).alias("decom_live"),
-            F.min(F.when(~F.col("is_corrupt"), F.col("rack"))).alias("rack_lo"),
-            F.max(F.when(~F.col("is_corrupt"), F.col("rack"))).alias("rack_hi"),
+            F.min(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"),
+                    F.col("rack"),
+                )
+            ).alias("rack_lo"),
+            F.max(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"),
+                    F.col("rack"),
+                )
+            ).alias("rack_hi"),
         )
     )
     j = counts.join(

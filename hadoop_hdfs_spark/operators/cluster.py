@@ -591,6 +591,10 @@ def t15_genstamp_blocks(e) -> DataFrame:
         .filter(F.col("op") == "OP_SET_GENSTAMP")
         .select(F.max(F.struct("txid", "gen_stamp")).alias("s"))
         .select(F.col("s.gen_stamp").alias("latest_gen_stamp"))
+        # an ungrouped max over ZERO genstamp ops yields one NULL row;
+        # the oracle's LIMIT-1 subquery yields zero — drop the NULL so
+        # both engines emit nothing when the log carries no authority
+        .filter(F.col("latest_gen_stamp").isNotNull())
     )
     b = e["blocks"].crossJoin(F.broadcast(latest))
     return b.groupBy("latest_gen_stamp").agg(
@@ -760,9 +764,14 @@ def _j10_oracle() -> str:
     return f"""
 WITH work AS ({_T6_ORACLE}),
 bc AS (
+  -- countNodes live: replicas on DECOMMISSION* nodes are not live, so a
+  -- draining block's deficit is its full expected count (matches _W2_SQL)
   SELECT b.block_id, b.file_id,
-         CAST(SUM(CASE WHEN NOT r.is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS live
-  FROM blocks b LEFT JOIN replicas r ON r.block_id = b.block_id
+         CAST(SUM(CASE WHEN NOT r.is_corrupt AND d.admin_state = 'NORMAL'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS live
+  FROM blocks b
+  LEFT JOIN replicas r ON r.block_id = b.block_id
+  LEFT JOIN datanodes d ON d.datanode_id = r.datanode_id
   GROUP BY b.block_id, b.file_id
 ),
 need AS (

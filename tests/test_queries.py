@@ -110,3 +110,58 @@ def test_chunk_windows_cover_every_token(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_w2_decommission_only_block_is_priority_zero(spark):
+    """UnderReplicatedBlocks.getPriority:92-97 + BlockManager.countNodes:
+    1726-1750: a replica on a DECOMMISSION* node is NOT live, so a block
+    whose only copies sit on draining nodes has curReplicas=0/decom>0 and
+    must land in priority 0 (highest urgency) — and must be schedulable
+    by t6 (the draining node is the copy source). Pre-fix, live counted
+    every non-corrupt replica and the branch was unreachable."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark.operators.blocks import w2_replication_priority
+
+    e = {
+        "blocks": spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 100)], "block_id LONG, file_id LONG"
+        ),
+        "replicas": spark.createDataFrame(
+            # blk 1: all copies on draining nodes; blk 2: healthy x3;
+            # blk 3: only a corrupt replica
+            [(1, "dnA", False), (1, "dnB", False),
+             (2, "dn1", False), (2, "dn2", False), (2, "dn3", False),
+             (3, "dn1", True)],
+            "block_id LONG, datanode_id STRING, is_corrupt BOOLEAN",
+        ),
+        "datanodes": spark.createDataFrame(
+            [("dnA", "DECOMMISSION_INPROGRESS", "r1"),
+             ("dnB", "DECOMMISSIONED", "r2"),
+             ("dn1", "NORMAL", "r1"), ("dn2", "NORMAL", "r2"),
+             ("dn3", "NORMAL", "r3")],
+            "datanode_id STRING, admin_state STRING, rack STRING",
+        ),
+        "inodes": spark.createDataFrame(
+            [(100, 3)], "id LONG, replication INT"
+        ),
+    }
+    rows = {r["block_id"]: r for r in w2_replication_priority(e).collect()}
+    assert rows[1]["priority"] == 0 and rows[1]["live"] == 0  # decom-only
+    assert rows[3]["priority"] == 4  # no usable replica at all
+    assert 2 not in rows  # healthy, spread over 3 racks: not queued
+
+
+def test_t15_no_genstamp_op_emits_zero_rows(spark):
+    """With no OP_SET_GENSTAMP in the log there is no authority: both
+    engines must emit ZERO rows (the ungrouped max's NULL row is dropped;
+    the oracle's LIMIT-1 subquery is empty)."""
+    from hadoop_hdfs_spark.operators.cluster import t15_genstamp_blocks
+
+    e = {
+        "edits": spark.createDataFrame(
+            [(1, "OP_ADD", 5)], "txid LONG, op STRING, gen_stamp LONG"
+        ),
+        "blocks": spark.createDataFrame([(1, 7)], "block_id LONG, gen_stamp LONG"),
+    }
+    assert t15_genstamp_blocks(e).count() == 0
