@@ -114,14 +114,16 @@ FROM (
 # Replica fan-out: each block gets (block_id % 6) replicas (0..5 — so missing,
 # under- and over-replicated blocks all exist vs expected replication 1..4).
 # Datanode assignment stride 17 guarantees distinct nodes per block; the
-# 1 + (expr % N) form lands on dn1..dnN exactly — the datanode ids that
-# exist (s_suppkey is 1-based), so no replica dangles on a phantom dn0.
+# plain (expr % N) form lands on dn0..dn(N-1) exactly — the datanode ids
+# that exist (s_suppkey is 0-BASED in the fixtures; the earlier 1 + form
+# parked ~0.3% of replicas on a phantom dnN and left dn0 empty, invisible
+# to the hash gates because both engines share this SQL).
 # on_disk/in_memory model the DirectoryScanner disk<->memory diff
 # (DirectoryScanner.java:332-396); is_corrupt models CorruptReplicasMap.
 _REPLICAS_SQL = """
 SELECT
   b.block_id                                                   AS block_id,
-  'dn' || CAST(1 + (b.block_id * 31 + r.r * 17)
+  'dn' || CAST((b.block_id * 31 + r.r * 17)
                % (SELECT COUNT(*) FROM supplier) AS STRING)    AS datanode_id,
   CASE WHEN (b.block_id + r.r) % 20 = 0 THEN 'RBW'
        WHEN (b.block_id + r.r) % 20 = 1 THEN 'RWR'

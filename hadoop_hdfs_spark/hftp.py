@@ -84,14 +84,28 @@ def write_hftp_listing(inodes: DataFrame, out_path: str) -> int:
     return n
 
 
-def _parse_listing(url: str):
-    """SAX-parse a listing URL into HdfsFileStatus tuples (all rows)."""
+def _parse_listing(url: str, residue: int = 0, modulus: int = 1):
+    """SAX-parse a listing URL into HdfsFileStatus tuples.
+
+    ``residue``/``modulus`` select every modulus-th record starting at
+    record index ``residue`` INSIDE the SAX handler: each reader partition
+    still streams the whole document (the servlet emits one document), but
+    only its own stripe is ever materialized as tuples — without this, a
+    4-partition scan of a 10M-entry listing built 40M tuples and threw
+    30M away AFTER paying their construction cost."""
     import xml.sax
 
     rows: list[tuple] = []
 
     class Handler(xml.sax.ContentHandler):
+        idx = -1
+
         def startElement(self, name, attrs):
+            if name not in ("file", "directory"):
+                return
+            Handler.idx += 1
+            if Handler.idx % modulus != residue:
+                return
             if name == "file":
                 rows.append(
                     (
@@ -101,7 +115,7 @@ def _parse_listing(url: str):
                         attrs["permission"], attrs["owner"], attrs["group"],
                     )
                 )
-            elif name == "directory":
+            else:
                 rows.append(
                     (
                         attrs["path"], True, 0, 0, 0,
@@ -167,9 +181,10 @@ class HftpReader(DataSourceReader):
         return True
 
     def read(self, partition):
-        idx = partition.value
-        for i, row in enumerate(_parse_listing(self.url)):
-            if i % self.num_partitions == idx and self._keep(row[0]):
+        for row in _parse_listing(
+            self.url, residue=partition.value, modulus=self.num_partitions
+        ):
+            if self._keep(row[0]):
                 yield row
 
 
@@ -330,7 +345,16 @@ def range_read(url: str, offset: int, length: int) -> bytes:
     """
     if url.startswith("file://"):
         with urllib.request.urlopen(url) as resp:
-            resp.read(offset)  # file handler: no seek API on the response
+            # file handler: no seek API on the response — discard the
+            # prefix in bounded chunks (a single read(offset) materializes
+            # the whole skipped prefix: ~232 MB per task at the sf1 blob
+            # sizes, a transient-OOM hazard across parallel range tasks)
+            skip = offset
+            while skip > 0:
+                chunk = resp.read(min(skip, 1 << 20))
+                if not chunk:
+                    break
+                skip -= len(chunk)
             return resp.read(length)
     req = urllib.request.Request(
         url, headers={"Range": f"bytes={offset}-{offset + length - 1}"}

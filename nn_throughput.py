@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, functions as F
 
-from hadoop_hdfs_spark.entities import load_entities
 from hadoop_hdfs_spark.session import get_spark
 
 
@@ -36,11 +35,18 @@ def _timed(n_ops: int, df: DataFrame) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    from bench import _parse_sf  # handles 'sf0.1', 'sf1', 'sf1_<hash>'
+
+    sf = _parse_sf(sf_dir, -1.0)
     n = int(os.environ.get("NN_OPS", "100000"))
     spark = get_spark("nn-throughput")
     spark.sparkContext.setLogLevel("ERROR")
-    e = load_entities(spark, sf_dir)
+    from hadoop_hdfs_spark import registry
+
+    # registry._entities memoizes: the t6 call below goes through the same
+    # path, so loading via load_entities here would derive and pin a
+    # SECOND copy of every entity frame
+    e = registry._entities(spark, sf_dir)
     inodes = e["inodes"]
     inodes.count()  # warm the cached entity (fsimage load, untimed)
 
@@ -95,8 +101,6 @@ def main() -> None:
     # op=replication (ReplicationStats, :1043-1090): one pass of the
     # replication monitor — compute and assign the pending-replication work
     # queue (the T6 scheduler plan); ops = work items scheduled
-    from hadoop_hdfs_spark import registry
-
     work = registry.queries()["t6_replication_work"](spark, sf_dir)
     n_work = max(work.count(), 1)
     ops["replication"] = _timed(n_work, work)
