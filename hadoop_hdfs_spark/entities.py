@@ -257,7 +257,7 @@ SELECT
   CASE WHEN event_type = 'signup' AND event_id % 9 = 0
        THEN '/ev/u' || CAST(user_id AS STRING) || '/t'
             || CAST(event_id % 100 AS STRING)
-       WHEN event_type = 'signup'
+       WHEN event_type = 'signup' AND event_id % 9 NOT IN (1, 2)
        THEN '/ev/u' || CAST(user_id AS STRING) || '/g'
             || CAST(event_id % 100 AS STRING)
        WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup')
