@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..entities import HEARTBEAT_EXPIRY_MS, NOW_MS
+from ..entities import HEARTBEAT_EXPIRY_MS, LEASE_HARD_MS, LEASE_SOFT_MS, NOW_MS
 from ..registry import register
 
 
@@ -500,6 +500,99 @@ def t4_lease_expiry(e) -> DataFrame:
         "last_renewed_ms",
         (age > 60000).alias("soft_expired"),
         (age > 3600000).alias("hard_expired"),
+    )
+
+
+@register(
+    "t24_lease_recovery",
+    oracle=f"""
+WITH uc AS (
+  SELECT l.holder, l.path, l.last_renewed_ms, i.id AS file_id
+  FROM leases l JOIN inodes i ON i.path = l.path
+),
+lastb AS (
+  SELECT file_id, block_id
+  FROM (
+    SELECT b.file_id, b.block_id,
+           ROW_NUMBER() OVER (PARTITION BY b.file_id ORDER BY b.seq DESC) AS rn
+    FROM blocks b) t
+  WHERE rn = 1
+),
+rec AS (
+  SELECT lb.file_id, lb.block_id AS last_block_id,
+         MAX(CASE WHEN r.state = 'RWR' THEN 1 ELSE 0 END) AS under_recovery
+  FROM lastb lb LEFT JOIN replicas r ON r.block_id = lb.block_id
+  GROUP BY lb.file_id, lb.block_id
+)
+SELECT uc.path, uc.holder,
+       CAST(uc.file_id AS BIGINT) AS file_id,
+       uc.last_renewed_ms,
+       COALESCE(rec.last_block_id, CAST(-1 AS BIGINT)) AS last_block_id,
+       CASE WHEN {NOW_MS} - uc.last_renewed_ms > {LEASE_HARD_MS}
+                 THEN 'MONITOR_RELEASED'
+            WHEN {NOW_MS} - uc.last_renewed_ms > {LEASE_SOFT_MS}
+                 THEN 'RECOVERY_STARTED'
+            WHEN COALESCE(rec.under_recovery, 0) = 1
+                 THEN 'RECOVERY_IN_PROGRESS'
+            ELSE 'DENIED_ALREADY_BEING_CREATED' END AS verdict
+FROM uc LEFT JOIN rec ON rec.file_id = uc.file_id
+""",
+    doc="T4 companion: the lease RECOVERY verdict ladder of "
+    "recoverLeaseInternal (FSNamesystem.java:1521-1596), restated per open "
+    "file at time NOW for a non-holder caller. Hard-expired leases are "
+    "already the Monitor's to release (LeaseManager.Monitor:365-411) -> "
+    "MONITOR_RELEASED; a soft-expired lease lets the new client preempt "
+    "via internalReleaseLease(:1569-1576) -> RECOVERY_STARTED; an active "
+    "lease whose last block is UNDER_RECOVERY (an RWR replica exists, "
+    "ReplicaWaitingToBeRecovered) raises RecoveryInProgressException "
+    "(:1580-1584) -> RECOVERY_IN_PROGRESS; otherwise "
+    "AlreadyBeingCreatedException (:1585-1592) -> DENIED. Scale shape: "
+    "leases are driver-small next to blocks, so the per-file last-block "
+    "window runs on a lease-semi-joined slice of blocks (broadcast "
+    "semi-join — never a full-blocks window), and the replica probe only "
+    "touches those last blocks.",
+)
+def t24_lease_recovery(e) -> DataFrame:
+    uc = e["leases"].join(
+        e["inodes"].select("path", F.col("id").alias("file_id")), "path"
+    )
+    uc_files = uc.select("file_id").distinct()
+    lastb = (
+        e["blocks"]
+        .join(F.broadcast(uc_files), "file_id", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("file_id").orderBy(F.col("seq").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("file_id", "block_id")
+    )
+    rec = (
+        lastb.join(e["replicas"].select("block_id", "state"), "block_id", "left")
+        .groupBy("file_id", F.col("block_id").alias("last_block_id"))
+        .agg(
+            F.max(F.when(F.col("state") == "RWR", 1).otherwise(0)).alias(
+                "under_recovery"
+            )
+        )
+    )
+    age = F.lit(NOW_MS) - F.col("last_renewed_ms")
+    return uc.join(rec, "file_id", "left").select(
+        "path",
+        "holder",
+        F.col("file_id").cast("long").alias("file_id"),
+        "last_renewed_ms",
+        F.coalesce("last_block_id", F.lit(-1)).cast("long").alias("last_block_id"),
+        F.when(age > LEASE_HARD_MS, F.lit("MONITOR_RELEASED"))
+        .when(age > LEASE_SOFT_MS, F.lit("RECOVERY_STARTED"))
+        .when(
+            F.coalesce("under_recovery", F.lit(0)) == 1,
+            F.lit("RECOVERY_IN_PROGRESS"),
+        )
+        .otherwise(F.lit("DENIED_ALREADY_BEING_CREATED"))
+        .alias("verdict"),
     )
 
 

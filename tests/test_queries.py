@@ -152,6 +152,53 @@ def test_w2_decommission_only_block_is_priority_zero(spark):
     assert 2 not in rows  # healthy, spread over 3 racks: not queued
 
 
+def test_t24_recovery_ladder_all_branches(spark):
+    """recoverLeaseInternal's four outcomes (FSNamesystem.java:1521-1596)
+    on synthetic entities — the fixture rarely produces an active lease
+    whose last block is UNDER_RECOVERY, so the RECOVERY_IN_PROGRESS branch
+    is pinned here: the RWR check applies ONLY below the soft limit, and
+    only to the LAST block (an RWR on an earlier block must not trip it)."""
+    from hadoop_hdfs_spark.entities import LEASE_HARD_MS, LEASE_SOFT_MS, NOW_MS
+    from hadoop_hdfs_spark.operators.cluster import t24_lease_recovery
+
+    def renewed(age_ms):
+        return NOW_MS - age_ms
+
+    e = {
+        "leases": spark.createDataFrame(
+            [("c1", "/f/hard", renewed(LEASE_HARD_MS + 1)),
+             ("c2", "/f/soft", renewed(LEASE_SOFT_MS + 1)),
+             ("c3", "/f/rwr", renewed(1000)),
+             ("c4", "/f/active", renewed(1000)),
+             ("c5", "/f/earlier_rwr", renewed(1000))],
+            "holder STRING, path STRING, last_renewed_ms LONG",
+        ),
+        "inodes": spark.createDataFrame(
+            [(1, "/f/hard"), (2, "/f/soft"), (3, "/f/rwr"),
+             (4, "/f/active"), (5, "/f/earlier_rwr")],
+            "id LONG, path STRING",
+        ),
+        "blocks": spark.createDataFrame(
+            # file 5: RWR sits on seq 0, last block (seq 1) is healthy
+            [(10, 1, 0), (20, 2, 0), (30, 3, 0),
+             (40, 4, 0), (50, 5, 0), (51, 5, 1)],
+            "block_id LONG, file_id LONG, seq INT",
+        ),
+        "replicas": spark.createDataFrame(
+            [(10, "FINALIZED"), (20, "FINALIZED"), (30, "RWR"),
+             (40, "FINALIZED"), (50, "RWR"), (51, "FINALIZED")],
+            "block_id LONG, state STRING",
+        ),
+    }
+    rows = {r["path"]: r for r in t24_lease_recovery(e).collect()}
+    assert rows["/f/hard"]["verdict"] == "MONITOR_RELEASED"
+    assert rows["/f/soft"]["verdict"] == "RECOVERY_STARTED"
+    assert rows["/f/rwr"]["verdict"] == "RECOVERY_IN_PROGRESS"
+    assert rows["/f/active"]["verdict"] == "DENIED_ALREADY_BEING_CREATED"
+    assert rows["/f/earlier_rwr"]["verdict"] == "DENIED_ALREADY_BEING_CREATED"
+    assert rows["/f/earlier_rwr"]["last_block_id"] == 51
+
+
 def test_t15_no_genstamp_op_emits_zero_rows(spark):
     """With no OP_SET_GENSTAMP in the log there is no authority: both
     engines must emit ZERO rows (the ungrouped max's NULL row is dropped;
