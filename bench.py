@@ -234,9 +234,14 @@ def _sf1_dir_for(src_dir: str, factor: int = 10) -> str:
 
     from hadoop_hdfs_spark.streaming.staging import fixture_fingerprint
 
-    return "/tmp/spark_graft_sf1_" + hashlib.md5(
-        f"{src_dir.rstrip('/')}|{factor}|{fixture_fingerprint(src_dir)}".encode()
-    ).hexdigest()[:8]
+    # stable source prefix + content suffix: the prefix lets a rebuild for
+    # a REGENERATED fixture find (and prune) its predecessor's multi-GB
+    # scale-up instead of orphaning it in /tmp forever (ADVICE r8), while
+    # the content suffix keeps the staleness guarantee — a stale dir can
+    # never be served, only deleted
+    src_key = hashlib.md5(f"{src_dir.rstrip('/')}|{factor}".encode()).hexdigest()[:8]
+    content = hashlib.md5(fixture_fingerprint(src_dir).encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_sf1_{src_key}_{content}"
 
 
 _FACT_KEYS = {
@@ -264,6 +269,18 @@ def _materialize_sf1(src_dir: str, factor: int = 10) -> str:
     done = os.path.join(_SF1_DIR, "_DONE")
     if os.path.exists(done):
         return _SF1_DIR
+    # fingerprint miss: prune this source's SUPERSEDED scale-ups (older
+    # content suffixes and their crashed .build leftovers) before building
+    # the new one — without this every fixture regeneration orphans a
+    # multi-GB directory in /tmp (ADVICE r8). Same-content dirs (including
+    # concurrent builders' .build-<pid> dirs for the CURRENT target) are
+    # left alone.
+    import glob as _glob
+
+    src_prefix = _SF1_DIR.rsplit("_", 1)[0]
+    for stale in _glob.glob(f"{src_prefix}_*"):
+        if not os.path.basename(stale).startswith(os.path.basename(_SF1_DIR)):
+            shutil.rmtree(stale, ignore_errors=True)
     # build into a pid-suffixed dir and rename into place (the
     # blobfixture pattern): two concurrent probes must never interleave
     # COPYs into one directory and mark the mix done
@@ -313,7 +330,16 @@ def _materialize_sf1(src_dir: str, factor: int = 10) -> str:
             shutil.rmtree(build_dir, ignore_errors=True)
         else:  # torn leftover from a crashed builder — replace it
             shutil.rmtree(_SF1_DIR, ignore_errors=True)
-            os.rename(build_dir, _SF1_DIR)
+            try:
+                os.rename(build_dir, _SF1_DIR)
+            except OSError:
+                # two builders that both found the torn target take this
+                # branch together and race the rename; the loser must
+                # treat the winner's complete build as success (mirror of
+                # the staged-dir race handling), not die on the OSError
+                shutil.rmtree(build_dir, ignore_errors=True)
+                if not os.path.exists(done):
+                    raise
     return _SF1_DIR
 
 

@@ -438,7 +438,11 @@ def _prune_snapshot_versions(snapshot_dir: str, keep: int = 2) -> None:
 
 
 def _assemble_incremental_version(
-    tmp_dir: str, final_dir: str, prev_dir: str | None, is_touched
+    tmp_dir: str,
+    final_dir: str,
+    prev_dir: str | None,
+    is_touched,
+    marker_content: str = "",
 ) -> None:
     """Build snapshot version ``final_dir`` from the freshly-written touched
     partitions in ``tmp_dir`` plus the UNTOUCHED partitions of ``prev_dir``
@@ -481,7 +485,10 @@ def _assemble_incremental_version(
                     os.link(src, dst)
                 except OSError:
                     shutil.copy2(src, dst)
-    open(os.path.join(final_dir, "_SUCCESS"), "w").close()
+    # the marker carries the COMMITTER's checkpoint identity: redelivery
+    # of a committed batch is only skippable by the stream that wrote it
+    with open(os.path.join(final_dir, "_SUCCESS"), "w") as fh:
+        fh.write(marker_content)
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
@@ -577,22 +584,44 @@ def replay_edits_stream(
 
         spark_ = batch.sparkSession
         final_dir = f"{snapshot_dir}_v{batch_id}"
-        if os.path.exists(
-            os.path.join(final_dir, "_SUCCESS")
-        ) and not _glob.glob(os.path.join(final_dir, "prefix=*")):
-            # At-least-once redelivery of an ALREADY-COMMITTED batch (the
+        ckpt_id = (
+            checkpoint_dir
+            if "://" in checkpoint_dir
+            else os.path.realpath(checkpoint_dir)
+        )
+        marker = os.path.join(final_dir, "_SUCCESS")
+        if os.path.exists(marker) and not _glob.glob(
+            os.path.join(final_dir, "prefix=*")
+        ):
+            # A committed _v{batch_id} already exists. Skipping is only
+            # safe for an at-least-once redelivery by the SAME stream (the
             # marker was written but the checkpoint offset commit didn't
-            # land before a crash). The version this exact batch produces
-            # is already durable — the batch contents are deterministic
-            # for a given batch_id under a replayable source — and
+            # land before a crash): the batch contents are deterministic
+            # for a given batch_id under a replayable source, and
             # re-assembling would hardlink untouched buckets FROM the very
-            # directory being rebuilt (prev == final), losing them. Skip
-            # idempotently instead. (A committed version in the LEGACY
+            # directory being rebuilt (prev == final), losing them. The
+            # marker carries the committer's checkpoint identity, so a
+            # RESET checkpoint pointed at an existing store whose head
+            # versions survived retention raises loudly here instead of
+            # silently no-op-dropping its first batches (a collision the
+            # head-version guard below can't see when batch ids coincide
+            # with surviving versions). (A committed version in the LEGACY
             # raw-prefix layout is NOT this stream's own commit — it falls
             # through to the migration path below, which is replace-safe:
             # full_rewrite materializes the whole merged state into the
             # .inprogress dir before assembly removes the old directory.)
-            return
+            with open(marker) as fh:
+                committed_by = fh.read().strip()
+            if committed_by == ckpt_id:
+                return
+            raise RuntimeError(
+                f"snapshot version collision: micro-batch {batch_id} is "
+                f"already committed at {final_dir!r} by a different stream "
+                f"(checkpoint {committed_by or '<unknown>'!r}, this stream "
+                f"{ckpt_id!r}). The streaming checkpoint and the snapshot "
+                "store version together; point the stream at a fresh "
+                "snapshot_dir or restore the matching checkpoint_dir."
+            )
         latest = _latest_snapshot_path(snapshot_dir)
         if latest is not None:
             latest_num = int(re.search(r"_v(\d+)$", latest).group(1))
@@ -699,6 +728,7 @@ def replay_edits_stream(
             final_dir,
             None if full_rewrite else latest,
             is_touched_value,
+            marker_content=ckpt_id,
         )
         # bounded retention (hardlinked files survive source-version pruning)
         _prune_snapshot_versions(snapshot_dir)

@@ -695,16 +695,61 @@ def test_replay_redelivered_committed_batch_is_skipped(spark, tmp_path):
         "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
     ).coalesce(1).write.parquet(edits_dir)
     snap = str(tmp_path / "snap_redeliver")
-    # simulate the redelivery: version _v0 is already committed when
-    # micro-batch 0 arrives (marker written, checkpoint offset lost)
+    ckpt = str(tmp_path / "ckpt_redeliver")
+    # simulate the redelivery: version _v0 is already committed BY THIS
+    # STREAM when micro-batch 0 arrives (marker written with the stream's
+    # checkpoint identity, checkpoint offset lost)
     os.makedirs(snap + "_v0")
-    open(os.path.join(snap + "_v0", "_SUCCESS"), "w").close()
-    q = replay_edits_stream(
-        spark, edits_dir, str(tmp_path / "ckpt_redeliver"), snap
-    )
+    with open(os.path.join(snap + "_v0", "_SUCCESS"), "w") as fh:
+        fh.write(os.path.realpath(ckpt))
+    q = replay_edits_stream(spark, edits_dir, ckpt, snap)
     assert q.awaitTermination(120), "stream did not drain"
     # the committed version was left byte-untouched (no new partitions)
     assert os.listdir(snap + "_v0") == ["_SUCCESS"]
+
+
+def test_replay_reset_onto_surviving_head_versions_raises(spark, tmp_path):
+    """The shadowed collision (ADVICE r8): a RESET checkpoint pointed at an
+    existing store whose head versions survived retention (prior stream ran
+    <=2 batches, so _v0/_v1 are still committed) must raise, not silently
+    no-op batch ids that coincide with surviving versions — the new
+    batching may differ from the old one, and a silent skip drops edits."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    edits_dir = str(tmp_path / "edits_survive")
+    os.makedirs(edits_dir)
+    schema = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT"
+    )
+    for i, r in enumerate(
+        [(1, "OP_ADD", 1000, "/a/x", None, 2), (2, "OP_ADD", 2000, "/b/y", None, 2)]
+    ):
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(
+            str(tmp_path / f"seg_survive{i}")
+        )
+        import glob as _g
+        import shutil as _sh
+
+        (part,) = _g.glob(str(tmp_path / f"seg_survive{i}") + "/part-*.parquet")
+        _sh.copy(part, os.path.join(edits_dir, f"seg{i}.parquet"))
+        os.utime(os.path.join(edits_dir, f"seg{i}.parquet"), (1000 + i, 1000 + i))
+    snap = str(tmp_path / "snap_survive")
+    q = replay_edits_stream(
+        spark, edits_dir, str(tmp_path / "ckpt_survive"), snap
+    )
+    assert q.awaitTermination(120), "first stream did not drain"
+    assert os.path.exists(snap + "_v0") and os.path.exists(snap + "_v1")
+    # the reset: fresh checkpoint, same store — batch 0 collides with the
+    # SURVIVING committed _v0, which the head-version guard can't see
+    q2 = replay_edits_stream(
+        spark, edits_dir, str(tmp_path / "ckpt_survive2"), snap
+    )
+    with pytest.raises(
+        StreamingQueryException, match="committed .* by a different stream"
+    ):
+        q2.awaitTermination(120)
 
 
 def test_replay_reset_checkpoint_fails_loudly_not_silently(spark, tmp_path):
