@@ -599,3 +599,131 @@ def c_epoch_shuffle(e) -> DataFrame:
         .select("epoch", "doc_id", pos.alias("pos"))
         .withColumn("shard", ((F.col("pos") - 1) % 16).cast("int"))
     )
+
+
+@register(
+    "c_quality_filter_cascade",
+    oracle="""
+WITH cls AS (
+  SELECT source,
+         CASE WHEN ntok < 20 THEN 0
+              WHEN div_e6 < 300000 THEN 1
+              WHEN nb >= 20 AND dup_e6 >= 200000 THEN 2
+              WHEN punct_e6 >= 250000 THEN 3
+              ELSE 4 END AS stage_idx
+  FROM (
+    SELECT source,
+           len(string_split(text, ' ')) AS ntok,
+           CAST(FLOOR(len(list_distinct(string_split(text, ' '))) * 1000000.0
+                / len(string_split(text, ' '))) AS BIGINT) AS div_e6,
+           nb,
+           CAST(CASE WHEN nb > 0 THEN FLOOR((nb - nd) * 1000000.0 / nb)
+                ELSE 0 END AS BIGINT) AS dup_e6,
+           CAST(FLOOR((length(text)
+                - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                * 1000000.0 / GREATEST(length(text), 1)) AS BIGINT) AS punct_e6
+    FROM (
+      SELECT source, text, len(bg) AS nb, len(list_distinct(bg)) AS nd
+      FROM (
+        SELECT source, text,
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1]) AS bg
+        FROM documents
+      ) b
+    ) s
+  ) sig
+),
+counts AS (
+  SELECT source, CAST(stage_idx AS BIGINT) AS stage_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM cls GROUP BY source, stage_idx
+)
+SELECT source, stage_idx,
+       CASE stage_idx WHEN 0 THEN 'TOO_SHORT' WHEN 1 THEN 'LOW_DIVERSITY'
+            WHEN 2 THEN 'REPETITIVE_BIGRAMS' WHEN 3 THEN 'HIGH_PUNCT'
+            ELSE 'PASS' END AS stage,
+       n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY stage_idx DESC)
+            AS BIGINT) AS n_entering,
+       CAST(FLOOR(n_docs * 1000000.0
+            / SUM(n_docs) OVER (PARTITION BY source ORDER BY stage_idx DESC))
+            AS BIGINT) AS share_of_entering_e6
+FROM counts
+""",
+    doc="Quality-filter cascade funnel: every production corpus pipeline "
+    "publishes a per-stage attrition table (how many docs each filter "
+    "removed, of how many that reached it). Stages run cheap-to-expensive "
+    "with FIRST-FAILING-STAGE attribution — short-circuit semantics, like "
+    "the real cascade that stops evaluating a dropped doc: TOO_SHORT "
+    "(<20 tokens) -> LOW_DIVERSITY (type/token < 0.3, t_quality_score's "
+    "rule) -> REPETITIVE_BIGRAMS (t_repetition's Gopher/C4 rule) -> "
+    "HIGH_PUNCT (>=25% punctuation chars, t_quality_signals' ratio) -> "
+    "PASS. All signals are map-side expression work inside whole-stage "
+    "codegen; the only shuffle is the (source x 5 stages)-bounded funnel "
+    "aggregation, and n_entering is a reverse-cumulative window over that "
+    "bounded frame — per-doc cost is one corpus scan at any scale.",
+)
+def c_quality_filter_cascade(e) -> DataFrame:
+    d = e["documents"]
+    text = F.col("text")
+    toks = F.split(text, " ")
+    ntok = F.size(toks)
+    div_e6 = F.floor(
+        F.size(F.array_distinct(toks)) * 1000000.0 / ntok
+    ).cast("long")
+    # multiplicity-preserving bigrams with t_repetition's <2-token guard
+    bg = F.when(
+        ntok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), ntok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bg)
+    dup_e6 = (
+        F.when(nb > 0, F.floor((nb - F.size(F.array_distinct(bg))) * 1000000.0 / nb))
+        .otherwise(0)
+        .cast("long")
+    )
+    chars = F.greatest(F.length(text), F.lit(1))
+    punct_e6 = F.floor(
+        (F.length(text) - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        * 1000000.0
+        / chars
+    ).cast("long")
+    stage_idx = (
+        F.when(ntok < 20, 0)
+        .when(div_e6 < 300000, 1)
+        .when((nb >= 20) & (dup_e6 >= 200000), 2)
+        .when(punct_e6 >= 250000, 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    counts = (
+        d.select("source", stage_idx.alias("stage_idx"))
+        .groupBy("source", "stage_idx")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    entering = F.sum("n_docs").over(
+        Window.partitionBy("source").orderBy(F.col("stage_idx").desc())
+    )
+    stage_name = (
+        F.when(F.col("stage_idx") == 0, "TOO_SHORT")
+        .when(F.col("stage_idx") == 1, "LOW_DIVERSITY")
+        .when(F.col("stage_idx") == 2, "REPETITIVE_BIGRAMS")
+        .when(F.col("stage_idx") == 3, "HIGH_PUNCT")
+        .otherwise("PASS")
+    )
+    return counts.select(
+        "source",
+        "stage_idx",
+        stage_name.alias("stage"),
+        "n_docs",
+        entering.cast("long").alias("n_entering"),
+        F.floor(F.col("n_docs") * 1000000.0 / entering)
+        .cast("long")
+        .alias("share_of_entering_e6"),
+    )

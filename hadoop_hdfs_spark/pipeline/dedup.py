@@ -668,6 +668,54 @@ def d_normalized_dedup(e) -> DataFrame:
     )
 
 
+@register(
+    "d_source_dup_stats",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_redundant,
+       CAST(FLOOR((COUNT(*) - COUNT(DISTINCT md5(norm))) * 1000000.0
+            / COUNT(*)) AS BIGINT) AS dup_rate_e6
+FROM (
+  SELECT source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             '  +', ' ', 'g')) AS norm
+  FROM documents
+)
+GROUP BY source
+""",
+    doc="Per-source duplication factor: how internally duplicative each "
+    "ingestion source is under the d_normalized_dedup normalization — the "
+    "number corpus teams watch to decide which crawls deserve an expensive "
+    "near-dup pass and how to weight c_source_mixture. Normalization and "
+    "hashing are map-side; the distinct count shuffles 16-byte digests "
+    "keyed by (source, digest) with partial aggregation, and the output "
+    "is source-cardinality bounded.",
+)
+def d_source_dup_stats(e) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    n = F.count("*")
+    nd = F.count_distinct(F.col("norm_md5"))
+    return (
+        e["documents"]
+        .select("source", F.md5(norm).alias("norm_md5"))
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            nd.alias("n_distinct"),
+            (n - nd).alias("n_redundant"),
+            F.floor((n - nd) * 1000000.0 / n).cast("long").alias("dup_rate_e6"),
+        )
+    )
+
+
 # ------------------------------------- hyperplane-LSH embedding near-dup
 # The DECLARED 100 TB form of d_embedding_cosine: the blocking key is a
 # banded random-hyperplane signature (4 bands x 4 planes, OR-construction

@@ -101,27 +101,32 @@ def test_rotation_queues_most_deserving_queries():
     )
 
 
-def _simulate_rotation_breach(this_order, latest, budget):
+def _simulate_rotation_breach(this_order, latest, budget, needy=()):
     """Forward-simulate the rotation (judge r8 #3): round 0 runs with the
-    REAL tiered driver order (capturing this round's tier-0/1 spend);
-    later rounds assume the round-start manifest promotion (tier 1 empty)
-    and zero new spend, i.e. pure stalest-first. Before each simulated
-    driver run, apply the contract test's staleness check to the rows left
-    outside the budget. Returns (round, breaching rows) for the first
-    breach, else None — a non-None result means THIS round's new/touched
-    spend has already locked in a bound breach even if every future round
-    spends nothing."""
+    REAL tiered driver order (capturing this round's tier-0/1 spend).
+    Tier-0/1 rows that DON'T get a slot stay needy — the manifest only
+    promotes rows the driver actually verified — so they keep outranking
+    stale rows in later rounds too; beyond that, later rounds assume zero
+    NEW spend. Before each simulated driver run, apply the contract
+    test's staleness check to the rows left outside the budget. Returns
+    (round, breaching rows) for the first breach, else None — a non-None
+    result means THIS round's new/touched spend has already locked in a
+    bound breach even if every future round spends nothing."""
     import math
 
     bound = max(2, math.ceil(len(this_order) / budget))
     r0 = max(latest.values(), default=0) + 1
     sim = dict(latest)
+    pending = set(needy)
     for i in range(2 * bound + 1):
         cur = r0 + i
         ranked = (
             this_order
             if i == 0
-            else sorted(this_order, key=lambda n: sim.get(n, 0))
+            else sorted(
+                this_order,
+                key=lambda n: (n not in pending, sim.get(n, 0)),
+            )
         )
         breach = [
             n for n in ranked[budget:] if cur - sim.get(n, 0) > bound
@@ -130,6 +135,7 @@ def _simulate_rotation_breach(this_order, latest, budget):
             return cur, sorted((sim.get(n, 0), n) for n in breach)
         for n in ranked[:budget]:
             sim[n] = cur
+            pending.discard(n)
     return None
 
 
@@ -140,12 +146,15 @@ def test_rotation_budget_lookahead():
     stale) was only caught by the judge because this check didn't exist;
     any round overspending its new/touched slots fails HERE, before the
     driver runs."""
-    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark import manifest, registry
 
     registry._import_operator_modules()
     order = registry._driver_order(list(registry._REGISTRY))
     latest = registry._latest_green_round()
-    breach = _simulate_rotation_breach(order, latest, registry._DRIVER_BUDGET)
+    needy = {n for n in order if n not in latest} | manifest.touched_queries()
+    breach = _simulate_rotation_breach(
+        order, latest, registry._DRIVER_BUDGET, needy
+    )
     assert breach is None, (
         f"rotation breach locked in at round {breach[0]}: {breach[1]} — "
         "this round's new/touched spend exceeds the drain rate; defer "
@@ -154,9 +163,10 @@ def test_rotation_budget_lookahead():
 
 
 def test_rotation_budget_lookahead_fires_on_overspend():
-    """The guard must FIRE on a synthetic over-budget manifest: flip enough
-    fresh-green fingerprints into tier 1 and the displaced stale rows
-    provably breach the bound."""
+    """The guard must FIRE on a synthetic over-budget manifest: touch more
+    than two budgets' worth of fresh greens and the needy backlog starves
+    the stale tail past the bound (needy rows stay tier 1 until verified,
+    so they keep crowding in the FOLLOWING rounds too)."""
     import copy
 
     from hadoop_hdfs_spark import manifest, registry
@@ -165,14 +175,16 @@ def test_rotation_budget_lookahead_fires_on_overspend():
     names = list(registry._REGISTRY)
     latest = registry._latest_green_round()
     m = copy.deepcopy(manifest.load_manifest())
-    # touch the 35 freshest greens — tier 1 crowds the stale tail out
     fresh = sorted(
         (n for n in names if n in latest), key=lambda n: -latest[n]
-    )[:35]
+    )[: 2 * registry._DRIVER_BUDGET + 20]
     for n in fresh:
         m["queries"][n]["fingerprint"] = "0" * 64
     order = registry._driver_order(names, manifest=m)
-    breach = _simulate_rotation_breach(order, latest, registry._DRIVER_BUDGET)
+    needy = {n for n in order if n not in latest} | manifest.touched_queries(m)
+    breach = _simulate_rotation_breach(
+        order, latest, registry._DRIVER_BUDGET, needy
+    )
     assert breach is not None
 
 

@@ -387,6 +387,25 @@ def test_incremental_near_dup_probes_base_buckets_only(spark, sf_dir):
     assert "band_val" in plan  # the bucket equi-key drives the join
 
 
+def test_quality_cascade_is_one_scan_then_bounded(spark, sf_dir):
+    # the funnel must classify each doc in the corpus scan (map-side
+    # expression work) and aggregate once; the reverse-cumulative window
+    # runs on the (source x 5)-bounded counts frame — no join anywhere
+    plan = _plan(spark, sf_dir, "c_quality_filter_cascade")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_source_dup_stats_shuffles_digests_only(spark, sf_dir):
+    # per-source distinct counting must shuffle 16-byte digests with
+    # partial aggregation, never the text — and never join
+    plan = _plan(spark, sf_dir, "d_source_dup_stats")
+    assert "Join" not in plan
+    assert "norm_md5" in plan
+    assert plan.count("HashAggregate") >= 3  # two-phase distinct
+
+
 def test_t24_windows_only_lease_restricted_blocks(spark, sf_dir):
     # the last-block window must run on the lease-semi-joined slice of
     # blocks (open files are driver-small next to the block table, so the
