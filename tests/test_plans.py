@@ -395,6 +395,18 @@ def test_quality_cascade_is_one_scan_then_bounded(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+    # staged projections must survive optimization: the bigram transform
+    # evaluates ONCE per doc — an inline rewrite duplicates it ~6x per row
+    # (9.8 s vs 0.5 s at sf0.1) and shows up as repeated lambda bodies
+    from hadoop_hdfs_spark import registry
+
+    opt = (
+        registry.queries()["c_quality_filter_cascade"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert opt.count("transform(") <= 1, opt.count("transform(")
 
 
 def test_source_dup_stats_shuffles_digests_only(spark, sf_dir):
