@@ -199,6 +199,40 @@ def test_t24_recovery_ladder_all_branches(spark):
     assert rows["/f/earlier_rwr"]["last_block_id"] == 51
 
 
+def test_quality_cascade_funnel_algebra(spark, sf_dir):
+    """Funnel invariants that hold for ANY corpus (engine-independent, so
+    they also guard the shared-SQL blind spot): per source, the funnel
+    telescopes — n_entering at a stage equals that stage's removals plus
+    the next present stage's n_entering; the first present stage's
+    n_entering equals the source's total doc count; and every doc is
+    attributed exactly once (stage n_docs sum to the corpus size)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark import registry
+
+    rows = (
+        registry.queries()["c_quality_filter_cascade"](spark, sf_dir)
+        .orderBy("source", "stage_idx")
+        .collect()
+    )
+    docs = registry._entities(spark, sf_dir)["documents"]
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(by_source) == set(totals)
+    for source, srows in by_source.items():
+        assert srows[0]["n_entering"] == totals[source]
+        assert sum(r["n_docs"] for r in srows) == totals[source]
+        for cur, nxt in zip(srows, srows[1:]):
+            assert cur["n_entering"] - cur["n_docs"] == nxt["n_entering"]
+        last = srows[-1]
+        assert last["n_entering"] == last["n_docs"]  # funnel bottoms out
+
+
 def test_t15_no_genstamp_op_emits_zero_rows(spark):
     """With no OP_SET_GENSTAMP in the log there is no authority: both
     engines must emit ZERO rows (the ungrouped max's NULL row is dropped;
