@@ -114,30 +114,44 @@ FROM (
 )
 def t_repetition(e) -> DataFrame:
     d = e["documents"]
+    # STAGED selects (the c_quality_filter_cascade lesson, r9): alias each
+    # non-cheap array once and reference it by name — CollapseProject
+    # declines to inline multiply-referenced non-cheap expressions, so the
+    # token split and the bigram transform evaluate ONCE per doc instead
+    # of once per consuming expression (the inline form carried 11 copies
+    # of the transform in the physical plan).
     toks = F.split("text", " ")
+    t1 = d.select("doc_id", toks.alias("toks"))
     # multiplicity-preserving bigrams, with the same <n-token guard as
     # functions.ngrams (a bare descending sequence() faults under ANSI)
     bg = F.when(
-        F.size(toks) >= 2,
+        F.size("toks") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size("toks") - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    nb = F.size(bg).cast("long")
-    nd = F.size(F.array_distinct(bg)).cast("long")
+    t2 = t1.select("doc_id", bg.alias("bg"))
+    t3 = t2.select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("long").alias("distinct_bigrams"),
+    )
+    nb, nd = F.col("n_bigrams"), F.col("distinct_bigrams")
     # flag compares the GUARDED integer, never the raw ratio: 0/0 is NaN,
     # and Spark orders NaN above every number (DuckDB doesn't) — the raw
     # comparison would diverge on bigram-less docs
     dup_e6 = (
         F.when(nb > 0, F.floor((nb - nd) * 1000000.0 / nb)).otherwise(0).cast("long")
     )
-    return d.select(
+    return t3.select(
         "doc_id",
-        nb.alias("n_bigrams"),
-        nd.alias("distinct_bigrams"),
+        "n_bigrams",
+        "distinct_bigrams",
         dup_e6.alias("dup_bigram_e6"),
         ((nb >= 20) & (dup_e6 >= 200000)).alias("repetitive"),
     )
