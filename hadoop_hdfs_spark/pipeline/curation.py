@@ -270,17 +270,29 @@ WHERE rk <= 20
 )
 def c_stratified_sample(e) -> DataFrame:
     d = e["documents"]
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    div = F.size(F.array_distinct(toks)) * 1000000.0 / n
-    band = (
-        F.when(n < 20, "TOO_SHORT").when(div < 300000, "REPETITIVE").otherwise("OK")
+    # staged select (r9): the token split evaluates once per doc — inline,
+    # the band CASE re-derived it per branch (6 splits/row in the plan)
+    t1 = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks"), F.expr(_HASH_SQL).alias("h")
     )
-    banded = d.select(
+    t2 = t1.select(
+        "doc_id",
+        "lang",
+        "h",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("ndt"),
+    )
+    div = F.col("ndt") * 1000000.0 / F.col("n")
+    band = (
+        F.when(F.col("n") < 20, "TOO_SHORT")
+        .when(div < 300000, "REPETITIVE")
+        .otherwise("OK")
+    )
+    banded = t2.select(
         "doc_id",
         "lang",
         band.alias("quality_band"),
-        F.expr(_HASH_SQL).alias("h"),
+        "h",
     )
     strata = banded.groupBy("lang", "quality_band").agg(
         F.count("*").cast("long").alias("stratum_n")

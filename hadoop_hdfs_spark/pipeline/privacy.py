@@ -100,15 +100,28 @@ FROM o
 )
 def p_pii_signals(e) -> DataFrame:
     o = _overlaid(e)
-    n_emails = F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), 0))
-    n_phones = F.size(F.regexp_extract_all("text", F.lit(_RE_PHONE), 0))
-    n_ips = F.size(F.regexp_extract_all("text", F.lit(_RE_IP), 0))
-    return o.select(
+    # staged select (r9): each PII regex scans the text ONCE — inline, the
+    # has_pii sum re-ran all three extracts (6 regex passes/row)
+    t1 = o.select(
         "doc_id",
-        n_emails.cast("long").alias("n_emails"),
-        n_phones.cast("long").alias("n_phones"),
-        n_ips.cast("long").alias("n_ips"),
-        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_IP), 0))
+        .cast("long")
+        .alias("n_ips"),
+    )
+    return t1.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0).alias(
+            "has_pii"
+        ),
     )
 
 

@@ -64,16 +64,21 @@ FROM documents
 )
 def t_quality_score(e) -> DataFrame:
     d = e["documents"]
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    nd = F.size(F.array_distinct(toks))
-    div = nd * 1000000.0 / n
+    # staged select (r9): the token split evaluates once per doc — inline,
+    # the CASE band re-derived it per branch (5 splits/row in the plan)
+    t1 = d.select("doc_id", F.split("text", " ").alias("toks"))
+    t2 = t1.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+    )
+    div = F.col("nd") * 1000000.0 / F.col("n")
     band = (
-        F.when(n < 20, "TOO_SHORT")
+        F.when(F.col("n") < 20, "TOO_SHORT")
         .when(div < 300000, "REPETITIVE")
         .otherwise("OK")
     )
-    return d.select(
+    return t2.select(
         "doc_id",
         F.floor(div).cast("long").alias("diversity_e6"),
         band.alias("quality_band"),
@@ -317,25 +322,27 @@ def t_fingerprint(e) -> DataFrame:
     # explode->window->groupBy formulation costs two shuffles for the same
     # answer; at 100 TB this version is embarrassingly parallel)
     d = fan_out(e["documents"])
-    toks = F.split("text", " ")
+    # staged select (r9): the token split evaluates once per doc — inline,
+    # the filter + sequence + three element_at bases each re-split (5/row)
+    t1 = d.select("doc_id", F.split("text", " ").alias("toks"))
     # <3-token docs are filtered BEFORE the sequence() (which would descend
     # and fault element_at under ANSI mode) — and filtering, not an empty
     # array, is what matches the oracle: its unnest of an empty shingle
     # list produces no row for the document at all
-    d = d.filter(F.size(toks) >= 3)
+    t1 = t1.filter(F.size("toks") >= 3)
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size("toks") - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
             ),
         )
     )
     top4 = F.slice(F.sort_array(F.transform(sh, lambda s: F.md5(s))), 1, 4)
-    return d.select(
+    return t1.select(
         "doc_id", F.md5(F.array_join(top4, "")).alias("fingerprint")
     )
 
