@@ -138,18 +138,27 @@ def ngrams(text: Column | str, n: int = 3) -> Column:
     bare sequence() would DESCEND and element_at would fault under ANSI
     mode — return an empty array instead, mirroring DuckDB's empty range().
     """
-    toks = F.split(_c(text), " ")
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-binding via a single-element transform: the lambda variable binds
+    # the token split ONCE per row — referencing `F.split(...)` directly in
+    # the guard, the sequence bound, and each element_at would re-evaluate
+    # the split 5x per row (higher-order functions are interpreted, so no
+    # codegen subexpression elimination rescues the duplicates; r9 sweep)
+    def build(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(F.split(_c(text), " ")), build), 1
+    )
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
