@@ -408,19 +408,23 @@ def t_top_bigrams(e) -> DataFrame:
     # single parquet file = single input partition; spread the CPU-heavy
     # bigram explode across cores (a cluster reads many files and skips this)
     d = fan_out(e["documents"])
-    toks = F.split("text", " ")
+    # staged select (r9): the token split evaluates once per doc — inline,
+    # the guard + sequence + element_at bases re-split 4x per row
+    t1 = d.select("lang", F.split("text", " ").alias("toks"))
     # <2-token guard mirrors DuckDB's empty range(); sequence() would descend
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size("toks") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size("toks") - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     cnt = (
-        d.select("lang", F.explode(bigrams).alias("bigram"))
+        t1.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n_occurrences"))
     )
@@ -462,9 +466,15 @@ FROM (
 )
 def t_ols_tokens_chars(e) -> DataFrame:
     d = e["documents"]
-    x = F.length("text").cast("long")
-    y = F.size(F.split("text", " ")).cast("long")
-    g = d.groupBy("lang").agg(
+    # staged select (r9): compute x/y once per row below the aggregate —
+    # inline, sum(y) and sum(x*y) each re-ran the token split per row
+    t1 = d.select(
+        "lang",
+        F.length("text").cast("long").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    g = t1.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
