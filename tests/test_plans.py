@@ -436,3 +436,51 @@ def test_rate_anomaly_aggregates_before_joining(spark, sf_dir):
     plan = _plan(spark, sf_dir, "au_rate_anomaly")
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
     assert "Window" not in plan
+
+
+# Adjudicated multi-occurrence cases for the catalog-wide hygiene audit
+# below (r9 sweep): cached explodes pay the cost once per session; the
+# cosine/dot aggregates re-inline via filter pushdown but only over
+# candidate-bounded post-join frames; the knn_recall gates are one-shot
+# acceptance checks; bpe_tokenize's chained per-merge transforms are the
+# declared (non-production) tokenization form.
+_DUP_ALLOWLIST = {
+    "t_lm_perplexity",  # splits live inside the cached bigram explode
+    "d_minhash_lsh",  # cached shingle/band build renders in both join sides
+    "d_incremental_near_dup",  # same cached band table, incoming + base legs
+    "d_ngram_jaccard",  # cached shingle postings, two join legs
+    "d_ngram_jaccard_capped",
+    "d_near_dup_clusters",
+    "t_shingle_kmv",
+    "d_span_dedup",  # span windows rebuilt per leg on the bounded hash join
+    "d_span_removal",
+    "c_token_packing",  # chunk windows over the cached token frame
+    "t_chunk_windows",
+}
+
+
+def test_no_query_duplicates_noncheap_expressions(spark, sf_dir):
+    """Catalog-wide plan hygiene (the r9 staging lesson, mechanized):
+    higher-order functions evaluate interpreted — codegen subexpression
+    elimination never rescues an inline-duplicated lambda — so a query
+    whose PHYSICAL plan re-derives the token split many times is paying
+    per-consuming-expression per-row cost. The staged-projection pattern
+    (alias once, reference by name) or functions.ngrams' let-binding is
+    the fix; this audit fails on any non-allowlisted query that regresses
+    into the classic inline shape (5+ copies). Multi-leg DAGs that split
+    once per DISTINCT row set (dsir's two LM branches, the bpe encode
+    legs) legitimately carry up to 4."""
+    from hadoop_hdfs_spark.plans import formatted_plan
+
+    offenders = {}
+    for name in QUERIES:
+        if name in _DUP_ALLOWLIST:
+            continue
+        try:
+            plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        except Exception:
+            continue  # streaming drains etc. — covered by their own gates
+        n = plan.count("split(text")
+        if n > 4:
+            offenders[name] = n
+    assert not offenders, offenders
