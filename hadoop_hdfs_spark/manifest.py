@@ -154,6 +154,22 @@ def compute_fingerprints(spark) -> dict[str, str]:
     Queries are built in REGISTRATION order (stable run to run) so the
     operator-level eager caches evolve identically and plan strings are
     reproducible.
+
+    The fingerprint plan is rendered CACHE-FREE: the CacheManager is
+    cleared after each query builds and before its plan stringifies, so
+    cache substitution never injects an InMemoryRelation — whose rendered
+    cachedPlan body is NOT deterministic (AQE re-plans it in place, so the
+    same cache stringifies as raw Exchanges, ShuffleQueryStage subtrees or
+    ResultQueryStage wrappers depending on which queries materialized
+    before the render; the body also prints at a SHALLOWER indent than the
+    InMemoryRelation line, which is why the indent-based body stripper
+    below could not remove it — observed r9 as three replica-family
+    queries flapping between two fingerprints with zero code change).
+    The cleared caches also mean the fingerprint sees the FULL logical
+    construction of shared intermediates, so a semantic edit inside a
+    cached frame is now caught by the plan component, not only the result
+    hash. Execution (the result-hash toPandas) simply rebuilds uncached —
+    identical values, and cheap at the pinned sf0.001.
     """
     from . import registry
 
@@ -161,6 +177,7 @@ def compute_fingerprints(spark) -> dict[str, str]:
     out: dict[str, str] = {}
     for name, q in registry._REGISTRY.items():
         df = q.fn(registry._entities(spark, FINGERPRINT_SF_DIR))
+        spark.catalog.clearCache()  # render plans cache-free (see above)
         plan = _normalize_plan(
             df._jdf.queryExecution().optimizedPlan().toString()
         )
