@@ -186,3 +186,70 @@ def au_rate_anomaly(e) -> DataFrame:
         (F.col("peak_ops") * F.col("n_active_hours")
          > 3 * F.col("total_ops")).alias("is_spike"),
     )
+
+
+@register(
+    "au_ip_profile",
+    oracle="""
+WITH au_per_ip AS (
+  SELECT ugi, ip, CAST(COUNT(*) AS BIGINT) AS n
+  FROM audit GROUP BY ugi, ip
+),
+au_top_ip AS (
+  SELECT ugi, ip AS top_ip, n AS top_ip_ops FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ugi
+                                 ORDER BY n DESC, ip) AS rk
+    FROM au_per_ip
+  ) t WHERE rk = 1
+),
+au_tot AS (
+  SELECT ugi, CAST(SUM(n) AS BIGINT) AS n_ops,
+         CAST(COUNT(*) AS BIGINT) AS n_ips
+  FROM au_per_ip GROUP BY ugi
+)
+SELECT t.ugi, t.n_ops, t.n_ips, p.top_ip, p.top_ip_ops,
+       CAST(p.top_ip_ops * 1000 // t.n_ops AS BIGINT)
+         AS top_ip_share_permille,
+       (t.n_ips >= 2 AND p.top_ip_ops * 1000 // t.n_ops < 800) AS dispersed
+FROM au_tot t JOIN au_top_ip p ON p.ugi = t.ugi
+""",
+    doc="Per-principal IP-dispersion profile over the audit stream: op "
+    "count, distinct client IPs, the dominant IP (ties to the "
+    "lexicographically lowest) with its op count and integer permille "
+    "share, and a 'dispersed' flag (2+ IPs and the dominant one under "
+    "80%) — the shared-credential / NAT-detection screen a security "
+    "review runs against the reference's audit records, which carry the "
+    "client address on every successful RPC (FSNamesystem.java:131-175, "
+    "the Server.getRemoteIp() field). Scale: the only record-scale "
+    "shuffle is the map-side-combined (ugi, ip) count; the argmax runs "
+    "as a single min-of-struct aggregate on that bounded frame — no "
+    "window, and the output is principal-bounded.",
+)
+def au_ip_profile(e) -> DataFrame:
+    per_ip = e["audit"].groupBy("ugi", "ip").agg(F.count("*").alias("n"))
+    # argmax with lowest-ip tiebreak as ONE aggregate: min of
+    # struct(-n, ip) is (largest n, then lexicographically lowest ip)
+    return (
+        per_ip.groupBy("ugi")
+        .agg(
+            F.sum("n").cast("long").alias("n_ops"),
+            F.count("*").cast("long").alias("n_ips"),
+            F.min(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("ip").alias("ip"))
+            ).alias("s"),
+        )
+        .select(
+            "ugi",
+            "n_ops",
+            "n_ips",
+            F.col("s.ip").alias("top_ip"),
+            (-F.col("s.neg_n")).cast("long").alias("top_ip_ops"),
+            F.expr("CAST((-s.neg_n) * 1000 DIV n_ops AS BIGINT)").alias(
+                "top_ip_share_permille"
+            ),
+            (
+                (F.col("n_ips") >= 2)
+                & (F.expr("(-s.neg_n) * 1000 DIV n_ops") < 800)
+            ).alias("dispersed"),
+        )
+    )

@@ -246,3 +246,32 @@ def test_t15_no_genstamp_op_emits_zero_rows(spark):
         "blocks": spark.createDataFrame([(1, 7)], "block_id LONG, gen_stamp LONG"),
     }
     assert t15_genstamp_blocks(e).count() == 0
+
+
+def test_au_ip_profile_branches(spark):
+    """All au_ip_profile verdict branches on synthetic audit records:
+    single-IP principal (never dispersed), dominant-IP principal (>= 80%
+    share, not dispersed), dispersed principal, and an op-count tie that
+    must break to the lexicographically lowest ip."""
+    from hadoop_hdfs_spark.operators.audit import au_ip_profile
+
+    rows = []
+    rows += [("solo", "10.0.0.1")] * 4                      # 1 ip
+    rows += [("dom", "10.0.0.2")] * 8 + [("dom", "10.0.0.3")] * 2
+    rows += [("disp", "10.0.0.4")] * 3 + [("disp", "10.0.0.5")] * 3 \
+        + [("disp", "10.0.0.6")] * 2
+    rows += [("tie", "10.0.0.9")] * 3 + [("tie", "10.0.0.8")] * 3
+    e = {
+        "audit": spark.createDataFrame(
+            [(i, u, ip) for i, (u, ip) in enumerate(rows)],
+            "audit_id LONG, ugi STRING, ip STRING",
+        )
+    }
+    got = {r.ugi: r for r in au_ip_profile(e).collect()}
+    assert (got["solo"].n_ips, got["solo"].dispersed) == (1, False)
+    assert got["solo"].top_ip_share_permille == 1000
+    assert (got["dom"].top_ip, got["dom"].dispersed) == ("10.0.0.2", False)
+    assert got["dom"].top_ip_share_permille == 800
+    assert got["disp"].dispersed and got["disp"].n_ips == 3
+    assert got["disp"].top_ip == "10.0.0.4"                 # 3-3 tie, lowest
+    assert got["tie"].top_ip == "10.0.0.8"                  # tie -> lowest ip
