@@ -104,3 +104,18 @@ def test_shortlist_recall_passes_ship_gate_on_clustered_geometry(recall_pair):
     plain, clustered = recall_pair
     assert clustered >= 800, clustered
     assert clustered > plain
+
+
+def test_pq_adc_recall_broadcasts_query_side(spark, sf_dir):
+    """Both scoring legs (ADC and exact) must broadcast the fixed-K query
+    sample against the corpus — a BroadcastNestedLoopJoin per leg (the
+    join predicate is the self-exclusion inequality), never an unplanned
+    CartesianProduct; the only sort-merge work runs on the K x 5 compare
+    frames, far from record scale."""
+    from hadoop_hdfs_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["s_pq_adc_recall"](spark, sf_dir)).split(
+        "\n\n"
+    )[0]
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
