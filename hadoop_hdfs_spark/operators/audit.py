@@ -247,9 +247,11 @@ def au_ip_profile(e) -> DataFrame:
             F.expr("CAST((-s.neg_n) * 1000 DIV n_ops AS BIGINT)").alias(
                 "top_ip_share_permille"
             ),
-            (
-                (F.col("n_ips") >= 2)
-                & (F.expr("(-s.neg_n) * 1000 DIV n_ops") < 800)
-            ).alias("dispersed"),
+        )
+        # derive the flag FROM the staged share so the threshold and the
+        # reported number cannot drift apart
+        .withColumn(
+            "dispersed",
+            (F.col("n_ips") >= 2) & (F.col("top_ip_share_permille") < 800),
         )
     )

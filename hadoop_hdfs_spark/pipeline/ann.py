@@ -69,6 +69,19 @@ from .similarity import (  # noqa: E402
 from .similarity import QUERY_K as _QK  # noqa: E402
 
 
+# DuckDB form of _quantized_vecs below — the ONE quantization definition
+# the IVF/semdedup/PQ oracles interpolate, so an e6 or floor change cannot
+# drift between the oracles and the shared Spark frame they all restate.
+# (ivftrain.py carries a structural variant — MATERIALIZED, no label — for
+# its unrolled iteration CTEs; its formula line must match this one.)
+DUCK_XE = """
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
+  FROM embeddings
+"""
+
+
 def _quantized_vecs(e) -> DataFrame:
     """e6-quantized embedding vectors (vec_id, label, xe), eager-cached
     under the shared 'ivf_xe' tag — the common input of the Lloyd
@@ -115,13 +128,8 @@ def _sq_dist(xe_col, ce_col):
 
 @register(
     "s_ivf_build",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
-  FROM embeddings
-),
+    oracle=f"""
+WITH e AS ({DUCK_XE}),
 dims AS (
   SELECT label, i, CAST(FLOOR(AVG(xe[i])) AS BIGINT) AS c
   FROM e, range(1, 65) t(i)
@@ -269,12 +277,7 @@ _SEM_THRESH_E6 = 300_000  # fixture tail, matches d_embedding_cosine
 @register(
     "d_semdedup",
     oracle=f"""
-WITH e AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
-  FROM embeddings
-),
+WITH e AS ({DUCK_XE}),
 dims AS (
   SELECT label, i, CAST(FLOOR(AVG(xe[i])) AS BIGINT) AS c
   FROM e, range(1, 65) t(i)

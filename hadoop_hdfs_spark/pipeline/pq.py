@@ -36,21 +36,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import eager_cache_thunk, register
-from .ann import _quantized_vecs
-from .similarity import QUERY_K
+from .ann import DUCK_XE as _DUCK_XE  # the ONE quantization definition
+from .ann import _quantized_vecs, _sq_dist
+from .similarity import QUERY_K, _query_sample
 
 M = 4  # subspaces
 SUB = 16  # dims per subspace (M * SUB = 64)
 KW = 16  # codewords per subspace (< 64: packs into dist*64+k)
 SHORTLIST = 50  # ADC candidate count the exact re-rank then scans
-
-# DuckDB: the e6-quantized vector CTE (shared form with ann.py oracles).
-_DUCK_XE = """
-  SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
-  FROM embeddings
-"""
 
 # Sampled codebook: KW whole vectors by salted-md5 rank; subspace m's
 # codeword k is the m-th 16-d slice of sample vector k.
@@ -107,9 +100,7 @@ def _codebook_row(xe: DataFrame) -> DataFrame:
     """The codebook folded to ONE row: array of struct(k, xe) sorted by k.
     KW x 64 BIGINTs (~8 KB) — broadcast at any corpus scale."""
     rank = F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string")))
-    w = Window.orderBy(
-        F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string"))), "vec_id"
-    )
+    w = Window.orderBy(rank, "vec_id")
     cb = (
         xe.orderBy(rank, "vec_id")
         .limit(KW)
@@ -252,10 +243,9 @@ def s_pq_adc_recall(e) -> DataFrame:
 
 
 def _adc_recall(xe: DataFrame) -> DataFrame:
-    q = (
-        xe.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(QUERY_K)
-        .select(F.col("vec_id").alias("query_id"), F.col("xe").alias("qxe"))
+    # the same fixed-K sample every recall gate draws (similarity.py)
+    q = _query_sample(xe).select(
+        F.col("vec_id").alias("query_id"), F.col("xe").alias("qxe")
     )
 
     # Database side: reconstruct each vector from its codes ONCE (staged),
@@ -275,13 +265,6 @@ def _adc_recall(xe: DataFrame) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), recon.alias("recon")
     )
 
-    def full_sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     def topn(scored, dcol, n):
         w = Window.partitionBy("query_id").orderBy(dcol, "neighbor_id")
         return (
@@ -295,7 +278,7 @@ def _adc_recall(xe: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            full_sqdist(F.col("qxe"), F.col("recon")).alias("adist"),
+            _sq_dist("qxe", "recon").alias("adist"),
         ),
         F.col("adist"),
         SHORTLIST,
@@ -306,7 +289,7 @@ def _adc_recall(xe: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            full_sqdist(F.col("qxe"), F.col("xe")).alias("edist"),
+            _sq_dist("qxe", "xe").alias("edist"),
         ),
         F.col("edist"),
         5,
