@@ -274,12 +274,22 @@ def _materialize_sf1(src_dir: str, factor: int = 10) -> str:
     # the new one — without this every fixture regeneration orphans a
     # multi-GB directory in /tmp (ADVICE r8). Same-content dirs (including
     # concurrent builders' .build-<pid> dirs for the CURRENT target) are
-    # left alone.
+    # left alone, and so is anything touched within the last 6 hours: a
+    # probe that started before the fixture regeneration may still be
+    # READING the superseded parquet, and rmtree under its scan turns a
+    # cleanup into a mid-query FileNotFound. Recently-superseded dirs get
+    # pruned by the next build after the grace window instead.
     import glob as _glob
 
     src_prefix = _SF1_DIR.rsplit("_", 1)[0]
     for stale in _glob.glob(f"{src_prefix}_*"):
-        if not os.path.basename(stale).startswith(os.path.basename(_SF1_DIR)):
+        if os.path.basename(stale).startswith(os.path.basename(_SF1_DIR)):
+            continue
+        try:
+            age_s = time.time() - os.path.getmtime(stale)
+        except OSError:
+            continue  # vanished under a concurrent pruner
+        if age_s > 6 * 3600:
             shutil.rmtree(stale, ignore_errors=True)
     # build into a pid-suffixed dir and rename into place (the
     # blobfixture pattern): two concurrent probes must never interleave
@@ -336,7 +346,19 @@ def _materialize_sf1(src_dir: str, factor: int = 10) -> str:
                 # two builders that both found the torn target take this
                 # branch together and race the rename; the loser must
                 # treat the winner's complete build as success (mirror of
-                # the staged-dir race handling), not die on the OSError
+                # the staged-dir race handling), not die on the OSError.
+                # KEEP our own complete build until a winner is confirmed:
+                # the winner sits between its rmtree and rename for a
+                # moment, so wait out that window (retrying our own rename
+                # too) before deleting the one complete build we hold.
+                for _ in range(50):
+                    if os.path.exists(done):
+                        break
+                    try:
+                        os.rename(build_dir, _SF1_DIR)
+                        break
+                    except OSError:
+                        time.sleep(0.1)
                 shutil.rmtree(build_dir, ignore_errors=True)
                 if not os.path.exists(done):
                     raise

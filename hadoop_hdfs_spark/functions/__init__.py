@@ -164,3 +164,34 @@ def ngrams(text: Column | str, n: int = 3) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct md5-hashed n-gram shingles (the join/compare-ready form)."""
     return F.transform(ngrams(text, n), lambda s: F.md5(s))
+
+
+# The Gopher/C4 repetition rule (t_repetition's flag): a doc is repetitive
+# when it has at least REPETITION_MIN_BIGRAMS bigrams and at least
+# REPETITION_DUP_E6 of them (e6 fixed-point fraction) are duplicates.
+# t_repetition's flag and c_quality_filter_cascade's REPETITIVE_BIGRAMS
+# stage both state this ONE rule — shared constants so
+# an adjustment cannot de-sync the cascade stage from the flag it
+# restates (the oracles carry the same literals; each query's own hash
+# gate catches a Spark/oracle mismatch immediately).
+REPETITION_MIN_BIGRAMS = 20
+REPETITION_DUP_E6 = 200_000
+
+
+def bigrams(toks: Column | str) -> Column:
+    """Multiplicity-PRESERVING word bigrams of a pre-split token array —
+    the counting form t_repetition's duplicate ratio needs (ngrams() is
+    the distinct form), with the same <2-token guard (a bare descending
+    sequence() faults element_at under ANSI mode). The ONE definition the
+    repetition-rule consumers transform; callers alias the result once
+    (staged select) so it evaluates once per row."""
+    t = _c(toks)
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -175,9 +175,17 @@ def compute_fingerprints(spark) -> dict[str, str]:
 
     registry._import_operator_modules()
     out: dict[str, str] = {}
+    app = spark.sparkContext.applicationId
     for name, q in registry._REGISTRY.items():
         df = q.fn(registry._entities(spark, FINGERPRINT_SF_DIR))
         spark.catalog.clearCache()  # render plans cache-free (see above)
+        # clearCache unpersists but the eager-cache memo still holds the
+        # frames; left in place, a memo HIT returns an unpersisted frame
+        # without re-caching, silently degrading every later query in a
+        # SHARED session (regenerate(spark=...)) to recompute-per-use.
+        # Evicting this app's entries makes the next use rebuild+re-cache.
+        for key in [k for k in registry._CACHED if k[0] == app]:
+            registry._CACHED.pop(key)
         plan = _normalize_plan(
             df._jdf.queryExecution().optimizedPlan().toString()
         )

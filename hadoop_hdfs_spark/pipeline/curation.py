@@ -684,19 +684,11 @@ def c_quality_filter_cascade(e) -> DataFrame:
     # non-cheap expression, so every signal costs ONE evaluation per doc.
     # Building the nested CASE inline instead duplicates the bigram tree
     # ~6x per row (measured 9.8 s vs 0.5 s warm at sf0.1).
+    from ..functions import REPETITION_DUP_E6, REPETITION_MIN_BIGRAMS, bigrams
+
     toks = F.split(F.col("text"), " ")
     t1 = d.select("source", "text", toks.alias("toks"))
-    bg = F.when(
-        F.size(F.col("toks")) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bg = bigrams("toks")  # the exact rule t_repetition flags (functions/)
     t1b = t1.select(
         "source",
         F.size("toks").alias("ntok"),
@@ -731,7 +723,7 @@ def c_quality_filter_cascade(e) -> DataFrame:
     stage_idx = (
         F.when(ntok < 20, 0)
         .when(div_e6 < 300000, 1)
-        .when((nb >= 20) & (dup_e6 >= 200000), 2)
+        .when((nb >= REPETITION_MIN_BIGRAMS) & (dup_e6 >= REPETITION_DUP_E6), 2)
         .when(F.col("punct_e6") >= 250000, 3)
         .otherwise(4)
         .cast("long")

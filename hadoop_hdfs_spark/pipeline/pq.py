@@ -294,18 +294,17 @@ def _adc_recall(xe: DataFrame) -> DataFrame:
         F.col("edist"),
         5,
     )
-    common = (
-        e5.join(aR, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_in_shortlist"))
-    )
-    base = e5.groupBy("query_id").agg(F.count("*").cast("long").alias("k_exact"))
+    # One LEFT JOIN with a hit indicator, then a single groupBy — the
+    # oracle's shape. The two-branch form (left_semi for the overlap +
+    # a second groupBy for the totals, joined back) re-executed the
+    # whole K x N exact-ranking subtree once per branch.
+    hits = aR.withColumn("hit", F.lit(1))
     return (
-        base.join(common, "query_id", "left")
-        .select(
-            "query_id",
-            "k_exact",
-            F.coalesce(F.col("n_in_shortlist"), F.lit(0))
+        e5.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
             .cast("long")
             .alias("n_in_shortlist"),
         )

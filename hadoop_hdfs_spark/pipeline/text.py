@@ -125,22 +125,11 @@ def t_repetition(e) -> DataFrame:
     # token split and the bigram transform evaluate ONCE per doc instead
     # of once per consuming expression (the inline form carried 11 copies
     # of the transform in the physical plan).
+    from ..functions import REPETITION_DUP_E6, REPETITION_MIN_BIGRAMS, bigrams
+
     toks = F.split("text", " ")
     t1 = d.select("doc_id", toks.alias("toks"))
-    # multiplicity-preserving bigrams, with the same <n-token guard as
-    # functions.ngrams (a bare descending sequence() faults under ANSI)
-    bg = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    t2 = t1.select("doc_id", bg.alias("bg"))
+    t2 = t1.select("doc_id", bigrams("toks").alias("bg"))
     t3 = t2.select(
         "doc_id",
         F.size("bg").cast("long").alias("n_bigrams"),
@@ -158,7 +147,9 @@ def t_repetition(e) -> DataFrame:
         "n_bigrams",
         "distinct_bigrams",
         dup_e6.alias("dup_bigram_e6"),
-        ((nb >= 20) & (dup_e6 >= 200000)).alias("repetitive"),
+        (
+            (nb >= REPETITION_MIN_BIGRAMS) & (dup_e6 >= REPETITION_DUP_E6)
+        ).alias("repetitive"),
     )
 
 

@@ -612,12 +612,21 @@ def replay_edits_stream(
             # .inprogress dir before assembly removes the old directory.)
             with open(marker) as fh:
                 committed_by = fh.read().strip()
-            if committed_by == ckpt_id:
+            if committed_by in (ckpt_id, ""):
+                # An EMPTY marker is a commit by a pre-identity release
+                # (the old protocol wrote a bare _SUCCESS): it cannot name
+                # its stream, and raising here would turn the ordinary
+                # at-least-once redelivery after an upgrade (marker
+                # written, offset commit lost to a crash, library
+                # upgraded, batch redelivered) into a permanent stream
+                # failure. Legacy-unknown keeps the old skip semantics;
+                # only a marker that POSITIVELY names a different
+                # checkpoint is a collision.
                 return
             raise RuntimeError(
                 f"snapshot version collision: micro-batch {batch_id} is "
                 f"already committed at {final_dir!r} by a different stream "
-                f"(checkpoint {committed_by or '<unknown>'!r}, this stream "
+                f"(checkpoint {committed_by!r}, this stream "
                 f"{ckpt_id!r}). The streaming checkpoint and the snapshot "
                 "store version together; point the stream at a fresh "
                 "snapshot_dir or restore the matching checkpoint_dir."

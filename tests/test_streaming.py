@@ -857,3 +857,25 @@ def test_rename_chain_through_occupied_path_is_deterministic(spark):
     )
     out = {r["path"]: r["replication"] for r in apply_edits_batch(state, swap).collect()}
     assert out == {"/a": 3, "/b": 2}
+
+
+def test_replay_redelivery_onto_legacy_empty_marker_is_skipped(spark, tmp_path):
+    """Upgrade path: a version committed by a PRE-identity release wrote a
+    bare _SUCCESS (no checkpoint identity). Redelivery of that batch id
+    after the upgrade must keep the old skip semantics — an empty marker is
+    legacy-unknown, not a different stream — or the ordinary at-least-once
+    crash-redelivery becomes a permanent stream failure on upgrade."""
+    import os
+
+    edits_dir = str(tmp_path / "edits_legacy_marker")
+    spark.createDataFrame(
+        [(1, "OP_ADD", 1000, "/a/x", None, 2)],
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, replication INT",
+    ).coalesce(1).write.parquet(edits_dir)
+    snap = str(tmp_path / "snap_legacy_marker")
+    ckpt = str(tmp_path / "ckpt_legacy_marker")
+    os.makedirs(snap + "_v0")
+    open(os.path.join(snap + "_v0", "_SUCCESS"), "w").close()  # legacy: empty
+    q = replay_edits_stream(spark, edits_dir, ckpt, snap)
+    assert q.awaitTermination(120), "stream did not drain"
+    assert os.listdir(snap + "_v0") == ["_SUCCESS"]  # left byte-untouched
