@@ -98,7 +98,11 @@ SELECT l.path,
             ELSE TRUE END AS "exists",
        r.replication,
        m.mtime_ms,
-       l.exist_txid
+       COALESCE((SELECT MAX(d.txid) FROM t2seg d
+                 WHERE d.op = 'OP_DELETE'
+                   AND d.txid > l.exist_txid
+                   AND starts_with(l.path, d.path || '/')), l.exist_txid)
+         AS exist_txid
 FROM t2last l
 LEFT JOIN t2repl r ON l.path = r.path
 LEFT JOIN t2mt m ON l.path = m.path

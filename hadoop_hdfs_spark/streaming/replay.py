@@ -29,10 +29,15 @@ is treated as if it happened after (renames-first); exact interleaving
 fidelity holds across micro-batches — feed one edit segment per trigger
 (``maxFilesPerTrigger=1``, the HDFS segment-per-roll layout,
 ``sources.save_edits`` range-partitions on txid so file order == txid
-order) and the window of approximation is a single segment. Existence
+order) and the window of approximation is a single segment. EXISTENCE
 authority (``exist_txid``) is PERSISTED in the snapshot, so even a segment
-replayed out of order cannot regress newer state: a create/delete applies
-only with txid >= the path's recorded authority. The MERGE is idempotent
+replayed out of order cannot regress newer existence state: a create/delete
+applies only with txid >= the path's recorded authority, and a subtree
+delete stamps its txid onto every row it kills. The guarantee is scoped to
+existence on purpose: attribute upserts and renames assume in-order
+segments (no per-attribute authority is persisted) — exactly the
+reference's own contract, whose loader is a strictly sequential loop
+(FSEditLogLoader.java:107-485). The MERGE is idempotent
 (re-applying a batch converges — Structured Streaming's at-least-once
 ``foreachBatch`` contract) and is property-tested against a model encoding
 exactly these rules (tests/test_replay_property.py).
@@ -122,6 +127,20 @@ _STATE_TYPES = {
 _CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
 _REMOVE_OPS = ("OP_DELETE", "OP_CONCAT_DELETE")  # concat deletes its srcs
 _MTIME_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK", "OP_CLOSE", "OP_TIMES")
+# Every op that can change THIS projection (apply_edits_batch's vocabulary);
+# anything else (quota, genstamp, delegation-token ops) is a documented
+# no-op whose path must not mark snapshot buckets as touched.
+_EFFECTIVE_OPS = (
+    *_CREATE_OPS,
+    *_REMOVE_OPS,
+    "OP_RENAME",
+    "OP_SET_REPLICATION",
+    "OP_SET_PERMISSIONS",
+    "OP_SET_OWNER",
+    "OP_REASSIGN_LEASE",
+    "OP_CLOSE",
+    "OP_TIMES",
+)
 
 
 def _with_missing_nulls(df: DataFrame, cols: dict[str, str]) -> DataFrame:
@@ -191,8 +210,20 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     See module docstring for the batch-ordering contract.
     """
     state = _with_missing_nulls(state, _STATE_TYPES)
+    # default the FULL edits vocabulary, not just the attr payloads: the
+    # rename list selects dst and the payload projection reads replication,
+    # so a caller carrying the old (txid, op, path) projection would crash
+    # on those, contradicting the missing-columns promise above
     batch = _with_missing_nulls(
-        batch, {"perm": "string", "owner": "string", "ts_ms": "long"}
+        batch,
+        {
+            "dst": "string",
+            "replication": "int",
+            "perm": "string",
+            "owner": "string",
+            "ts_ms": "long",
+            "gen_stamp": "long",
+        },
     )
 
     renames = [
@@ -341,26 +372,38 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
             if dt > del_max.get(dp, -1):
                 del_max[dp] = dt
 
-        @pandas_udf("boolean")
-        def killed(paths: pd.Series, txids: pd.Series) -> pd.Series:
-            def f(p: str, t: int) -> bool:
+        @pandas_udf("long")
+        def kill_txid(paths: pd.Series, txids: pd.Series) -> pd.Series:
+            def f(p: str, t):
+                best = None
                 idx = p.find("/", 1)
                 while idx != -1:
                     dt = del_max.get(p[:idx])
-                    if dt is not None and dt > t:
-                        return True
+                    if dt is not None and dt > t and (best is None or dt > best):
+                        best = dt
                     idx = p.find("/", idx + 1)
-                return False
+                return best
 
             return pd.Series(
-                [f(p, t) for p, t in zip(paths, txids)], dtype="boolean"
+                [f(p, t) for p, t in zip(paths, txids)], dtype="Int64"
             )
 
+        # The killing delete's txid becomes the row's existence authority —
+        # without the bump, an out-of-order segment whose create carries a
+        # txid above the row's ORIGINAL create authority (but below the
+        # delete's) would resurrect the killed row, breaking the persisted-
+        # authority invariant the module promises for existence. Staged
+        # select: the Arrow fold evaluates once per row, not once per
+        # consuming column.
         merged = merged.withColumn(
-            "exists",
-            F.when(killed(F.col("path"), F.col("exist_txid")), F.lit(False)).otherwise(
-                F.col("exists")
-            ),
+            "_kt", kill_txid(F.col("path"), F.col("exist_txid"))
+        ).select(
+            "path",
+            F.when(F.col("_kt").isNotNull(), F.lit(False))
+            .otherwise(F.col("exists"))
+            .alias("exists"),
+            *("replication", "perm", "owner", "lease_holder", "mtime_ms"),
+            F.coalesce("_kt", "exist_txid").alias("exist_txid"),
         )
 
     # exist_txid stays in the output: the snapshot persists it, so authority
@@ -377,7 +420,9 @@ def latest_genstamp(edits: DataFrame) -> int | None:
     rows). Returns None if the log carries no genstamp op. One max-agg —
     no collect of the log."""
     row = (
-        edits.filter(F.col("op") == "OP_SET_GENSTAMP")
+        edits.filter(
+            (F.col("op") == "OP_SET_GENSTAMP") & F.col("gen_stamp").isNotNull()
+        )
         .select(F.max(F.struct("txid", "gen_stamp")).alias("s"))
         .first()
     )
@@ -399,7 +444,10 @@ def _committed_versions(snapshot_dir: str) -> list[tuple[int, str]]:
     import re
 
     versions = []
-    for p in glob.glob(snapshot_dir + "_v*"):
+    # glob.escape: a snapshot_dir containing glob metacharacters ([1] etc.)
+    # would otherwise silently match nothing — every committed version
+    # invisible, every batch a full rewrite against empty state
+    for p in glob.glob(glob.escape(snapshot_dir) + "_v*"):
         m = re.search(r"_v(\d+)$", p)
         if m and os.path.exists(os.path.join(p, "_SUCCESS")):
             versions.append((int(m.group(1)), p))
@@ -466,14 +514,14 @@ def _assemble_incremental_version(
         )
     shutil.rmtree(final_dir, ignore_errors=True)  # crashed prior attempt
     os.makedirs(final_dir)
-    for d in glob.glob(os.path.join(tmp_dir, "pbucket=*")) + glob.glob(
-        os.path.join(tmp_dir, "prefix=*")
+    for d in glob.glob(os.path.join(glob.escape(tmp_dir), "pbucket=*")) + glob.glob(
+        os.path.join(glob.escape(tmp_dir), "prefix=*")
     ):
         shutil.move(d, os.path.join(final_dir, os.path.basename(d)))
     if prev_dir is not None:
-        for d in glob.glob(os.path.join(prev_dir, "pbucket=*")) + glob.glob(
-            os.path.join(prev_dir, "prefix=*")
-        ):
+        for d in glob.glob(
+            os.path.join(glob.escape(prev_dir), "pbucket=*")
+        ) + glob.glob(os.path.join(glob.escape(prev_dir), "prefix=*")):
             name = os.path.basename(d)
             value = name.split("=", 1)[1]
             if is_touched(value) or os.path.exists(os.path.join(final_dir, name)):
@@ -591,7 +639,7 @@ def replay_edits_stream(
         )
         marker = os.path.join(final_dir, "_SUCCESS")
         if os.path.exists(marker) and not _glob.glob(
-            os.path.join(final_dir, "prefix=*")
+            os.path.join(_glob.escape(final_dir), "prefix=*")
         ):
             # A committed _v{batch_id} already exists. Skipping is only
             # safe for an at-least-once redelivery by the SAME stream (the
@@ -611,7 +659,10 @@ def replay_edits_stream(
             # full_rewrite materializes the whole merged state into the
             # .inprogress dir before assembly removes the old directory.)
             with open(marker) as fh:
-                committed_by = fh.read().strip()
+                # first line = committer's checkpoint identity; later
+                # lines carry layout metadata (see marker_content below)
+                head = fh.read().strip().splitlines()
+                committed_by = head[0] if head else ""
             if committed_by in (ckpt_id, ""):
                 # An EMPTY marker is a commit by a pre-identity release
                 # (the old protocol wrote a bare _SUCCESS): it cannot name
@@ -651,12 +702,23 @@ def replay_edits_stream(
                     "a fresh snapshot_dir or restore the matching "
                     "checkpoint_dir."
                 )
+        # The micro-batch is read several times below (two driver op-list
+        # collects, the touched-prefix collect, and the snapshot write's
+        # multi-window plan) — without a persist each reference re-reads
+        # the batch source files.
+        batch.persist()
         # Touched buckets: collect is O(distinct (h1, h2) pairs) — bounded
         # by B1*B2 + B1 however large the batch. A root-path op (NULL
         # seg1 / empty seg1) means a full rewrite; a depth-1 op (NULL
-        # seg2) touches every bucket under its seg1 hash.
-        paths = batch.select(F.col("path").alias("p")).unionAll(
-            batch.filter(F.col("dst").isNotNull()).select(
+        # seg2) touches every bucket under its seg1 hash. Only ops that
+        # can CHANGE this projection count — OP_SET_QUOTA, OP_SET_GENSTAMP
+        # and the delegation-token ops are documented no-ops here, and
+        # letting their paths mark buckets touched forces a re-merge and
+        # fresh parquet write of buckets the batch cannot have changed
+        # (defeating the hardlink fast path for token-heavy segments).
+        effective = batch.filter(F.col("op").isin(*_EFFECTIVE_OPS))
+        paths = effective.select(F.col("path").alias("p")).unionAll(
+            effective.filter(F.col("dst").isNotNull()).select(
                 F.col("dst").alias("p")
             )
         )
@@ -697,12 +759,37 @@ def replay_edits_stream(
                 # never hardlink the stale copy
                 return True
 
+        cur_layout = f"layout=pbucket:{b1}x{b2}"
         if latest is not None:
             state = spark_.read.parquet(latest)
             part_col = next(
                 (c for c in ("pbucket", "prefix") if c in state.columns), None
             )
             if part_col is not None:
+                if part_col == "pbucket":
+                    # Layout guard: the bucket algebra (touched sets,
+                    # partition pruning, hardlink decisions) is only valid
+                    # when prev was written with the SAME (b1, b2). The
+                    # committed marker records the writer's layout; a
+                    # mismatch — or a pre-layout-stamp marker under
+                    # non-default constants, where the writer's layout is
+                    # unknowable — falls back to a FULL rewrite, which
+                    # re-merges and re-buckets the whole store correctly
+                    # under the new constants (the same migration path the
+                    # legacy prefix layout takes).
+                    prev_layout = None
+                    try:
+                        with open(os.path.join(latest, "_SUCCESS")) as fh:
+                            for ln in fh.read().splitlines()[1:]:
+                                if ln.startswith("layout="):
+                                    prev_layout = ln
+                    except OSError:
+                        pass
+                    if prev_layout != cur_layout and not (
+                        prev_layout is None
+                        and (b1, b2) == (SNAPSHOT_B1, SNAPSHOT_B2)
+                    ):
+                        full_rewrite = True
                 if not full_rewrite and part_col == "pbucket":
                     # partition filter -> Spark reads ONLY touched dirs;
                     # the null guard keeps any default-partition
@@ -720,7 +807,11 @@ def replay_edits_stream(
             state = spark_.createDataFrame(
                 [], "path STRING, exists BOOLEAN, replication INT"
             )
-        new_state = apply_edits_batch(state, batch.orderBy("txid"))
+        # no orderBy: every fold inside apply_edits_batch orders explicitly
+        # (driver op lists by txid, per-path windows by txid desc) — a
+        # global batch sort here is a shuffle every downstream exchange
+        # immediately destroys
+        new_state = apply_edits_batch(state, batch)
         tmp = f"{snapshot_dir}_v{batch_id}.inprogress"
         (
             new_state.withColumn("pbucket", snapshot_bucket(F.col("path"), b1, b2))
@@ -737,10 +828,11 @@ def replay_edits_stream(
             final_dir,
             None if full_rewrite else latest,
             is_touched_value,
-            marker_content=ckpt_id,
+            marker_content=f"{ckpt_id}\n{cur_layout}",
         )
         # bounded retention (hardlinked files survive source-version pruning)
         _prune_snapshot_versions(snapshot_dir)
+        batch.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -758,12 +850,21 @@ def edits_opcode_stream_stats(spark: SparkSession, edits_parquet_dir: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(edits_parquet_dir)
     )
+    import hashlib
+
+    # memory-sink table names are session-global: a fixed name would make
+    # two concurrent invocations (two monitored edits dirs in one session)
+    # collide on registration; key the name by the source directory
+    name = (
+        "edits_opcode_stats_"
+        + hashlib.md5(edits_parquet_dir.encode()).hexdigest()[:8]
+    )
     agg = stream.groupBy("op").count()
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName("edits_opcode_stats")
+        .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
-    return q, lambda: spark.table("edits_opcode_stats")
+    return q, lambda: spark.table(name)

@@ -879,3 +879,103 @@ def test_replay_redelivery_onto_legacy_empty_marker_is_skipped(spark, tmp_path):
     q = replay_edits_stream(spark, edits_dir, ckpt, snap)
     assert q.awaitTermination(120), "stream did not drain"
     assert os.listdir(snap + "_v0") == ["_SUCCESS"]  # left byte-untouched
+
+
+def test_subtree_delete_stamps_authority_on_killed_rows(spark):
+    """A subtree delete must bump the killed row's exist_txid to the
+    delete's txid: otherwise an out-of-order segment whose create carries
+    a txid above the row's ORIGINAL create authority (but below the
+    delete's) resurrects the killed row, violating the persisted-authority
+    guarantee for existence."""
+    sch = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT"
+    )
+    empty = spark.createDataFrame([], "path STRING, exists BOOLEAN, replication INT")
+    seg_a = spark.createDataFrame([(4, "OP_ADD", 4000, "/d/x", None, 2)], sch)
+    seg_c = spark.createDataFrame([(9, "OP_DELETE", 9000, "/d", None, None)], sch)
+    seg_b = spark.createDataFrame([(6, "OP_ADD", 6000, "/d/x", None, 2)], sch)
+    state = apply_edits_batch(apply_edits_batch(empty, seg_a), seg_c)
+    killed = {r["path"]: r for r in state.collect()}
+    assert killed["/d/x"]["exists"] is False
+    assert killed["/d/x"]["exist_txid"] == 9  # the delete's authority
+    # the out-of-order middle segment must NOT resurrect the row
+    out = {r["path"]: r for r in apply_edits_batch(state, seg_b).collect()}
+    assert out["/d/x"]["exists"] is False
+    # while a genuinely newer create does
+    seg_d = spark.createDataFrame([(12, "OP_ADD", 12000, "/d/x", None, 2)], sch)
+    out2 = {r["path"]: r for r in apply_edits_batch(state, seg_d).collect()}
+    assert out2["/d/x"]["exists"] is True
+
+
+def test_latest_genstamp_skips_null_payloads(spark):
+    """The last NON-NULL payload wins (the module's uniform attribute
+    rule) — a higher-txid OP_SET_GENSTAMP carrying a NULL stamp must not
+    erase the valid one before it."""
+    from hadoop_hdfs_spark.streaming.replay import latest_genstamp
+
+    edits = spark.createDataFrame(
+        [(5, "OP_SET_GENSTAMP", 1007), (9, "OP_SET_GENSTAMP", None)],
+        "txid LONG, op STRING, gen_stamp LONG",
+    )
+    assert latest_genstamp(edits) == 1007
+
+
+def test_committed_versions_with_glob_metacharacters(tmp_path):
+    """Snapshot paths containing glob metacharacters ([1] etc.) must not
+    make committed versions invisible — that silently degrades every
+    batch to a full rewrite against EMPTY state."""
+    import os
+
+    from hadoop_hdfs_spark.streaming.replay import _latest_snapshot_path
+
+    snap = str(tmp_path / "run[1]" / "snap")
+    os.makedirs(snap + "_v3")
+    open(os.path.join(snap + "_v3", "_SUCCESS"), "w").close()
+    assert _latest_snapshot_path(snap) == snap + "_v3"
+
+
+def test_replay_bucket_relayout_triggers_full_rewrite(spark, tmp_path):
+    """Restarting the stream with different (b1, b2) against an existing
+    pbucket store must take the full-rewrite migration path: the bucket
+    algebra (touched sets, pruning, hardlinks) is only valid at the
+    writer's layout, and mixing numberings would serve duplicate rows."""
+    import glob as _glob
+    import os
+
+    sch = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT"
+    )
+    edits_dir = str(tmp_path / "edits_relayout")
+    spark.createDataFrame(
+        [(i, "OP_ADD", 1000 * i, f"/m/d{i}/f", None, 2) for i in range(1, 9)],
+        sch,
+    ).coalesce(1).write.parquet(edits_dir)
+    snap = str(tmp_path / "snap_relayout")
+    ckpt = str(tmp_path / "ckpt_relayout")
+    q = replay_edits_stream(spark, edits_dir, ckpt, snap)
+    assert q.awaitTermination(120), "first stream did not drain"
+    # append a second segment and restart at a DIFFERENT bucket layout
+    spark.createDataFrame(
+        [(20, "OP_ADD", 20000, "/m/d1/g", None, 2)], sch
+    ).coalesce(1).write.mode("append").parquet(edits_dir)
+    q2 = replay_edits_stream(spark, edits_dir, ckpt, snap, b1=4, b2=4)
+    assert q2.awaitTermination(120), "relayout stream did not drain"
+    snap_df = load_latest_snapshot(spark, snap)
+    rows = snap_df.collect()
+    paths = [r["path"] for r in rows]
+    assert len(paths) == len(set(paths)), "relayout served duplicate rows"
+    assert f"/m/d1/g" in paths and all(r["exists"] for r in rows)
+    # the new version is fully re-bucketed under the 4x4 numbering
+    latest = max(
+        _glob.glob(_glob.escape(snap) + "_v*"),
+        key=lambda p: int(p.rsplit("_v", 1)[1]),
+    )
+    buckets = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(os.path.join(_glob.escape(latest), "pbucket=*"))
+    ]
+    assert buckets and all(b < 16 for b in buckets), buckets
+    with open(os.path.join(latest, "_SUCCESS")) as fh:
+        assert "layout=pbucket:4x4" in fh.read()
