@@ -70,7 +70,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .replay import apply_edits_batch
+from .replay import MAX_DRIVER_FOLD_OPS, _with_missing_nulls, apply_edits_batch
 
 _CREATE_OPS = ("OP_ADD", "OP_MKDIR", "OP_SYMLINK")
 
@@ -164,15 +164,13 @@ def _initial_counts(
         )
         .collect()
     }
-    exact = {
-        r["t"]: bool(r["e"])
-        for r in F.broadcast(tdf)
-        .join(live.select(F.col("path").alias("t")), "t", "left_semi")
-        .select("t", F.lit(True).alias("e"))
-        .collect()
-    }
+    # exact-path existence falls out of self_len: it is non-null exactly
+    # when the tracked path itself is a live row (NULL lengths coalesce to
+    # 0, which is still non-null) — no second join/collect needed
     init_count = {t: counts.get(t, (0, 0, None))[0] for t in tracked}
-    init_exists = {t: exact.get(t, False) for t in tracked}
+    init_exists = {
+        t: counts.get(t, (0, 0, None))[2] is not None for t in tracked
+    }
     init_bytes = {t: int(counts.get(t, (0, 0, None))[1] or 0) for t in tracked}
     init_psize = {t: int(counts.get(t, (0, 0, None))[2] or 0) for t in tracked}
     return init_count, init_exists, init_bytes, init_psize
@@ -191,18 +189,49 @@ def verify_quota_batch(
     -> byte limit; ``blocks`` is the (txid, block_seq, num_bytes) side
     table carrying each OP_ADD/OP_CLOSE's block payload (the
     ``edit_blocks`` entity). Returns the rejections (empty = all fit)."""
+    # the same reduced-projection tolerance apply_edits_batch documents:
+    # a (txid, op, path) batch or a (path, exists)-only state must work
+    batch = _with_missing_nulls(batch, {"dst": "string", "replication": "int"})
+    state = _with_missing_nulls(
+        state, {"exists": "boolean", "length": "long"}
+    )
     ds_quotas = ds_quotas or {}
-    verb_ops = [*_CREATE_OPS, "OP_DELETE", "OP_RENAME"]
-    if ds_quotas:
-        # OP_CLOSE only RESIZES — observable solely through byte quotas
+    if ds_quotas and blocks is None:
+        # silent non-enforcement trap: without the block payload every
+        # op's byte charge is 0, so no DS rejection could ever fire and
+        # every close would "shrink" its file to zero — fail loudly
+        raise ValueError(
+            "ds_quotas given without the blocks side table: byte charges "
+            "cannot be derived — pass blocks (the edit_blocks entity) or "
+            "drop ds_quotas"
+        )
+    verb_ops = [*_CREATE_OPS, "OP_DELETE", "OP_CONCAT_DELETE", "OP_RENAME"]
+    if blocks is not None:
+        # OP_CLOSE only RESIZES. Its growth delta is quota-checked in BOTH
+        # dimensions (verifyQuota gates on either positive delta, then
+        # checks both counts) — so it belongs in the fold whenever byte
+        # charges are derivable, NOT only when ds_quotas is non-empty: a
+        # growth close inside an already-over-NS-quota directory must
+        # reject even with no byte quota configured.
         verb_ops.append("OP_CLOSE")
-    ops = [
-        r.asDict()
-        for r in batch.filter(F.col("op").isin(*verb_ops))
+    # limit+1 fetch (replay._bounded_op_list discipline): the creates this
+    # list is dominated by are THE numerous op class of any edit segment —
+    # an unbounded collect here reintroduces the driver OOM that ceiling
+    # exists to prevent
+    rows = (
+        batch.filter(F.col("op").isin(*verb_ops))
         .select("txid", "op", "path", "dst", "replication")
         .orderBy("txid")
+        .limit(MAX_DRIVER_FOLD_OPS + 1)
         .collect()
-    ]
+    )
+    if len(rows) > MAX_DRIVER_FOLD_OPS:
+        raise ValueError(
+            f"edit micro-batch carries more than {MAX_DRIVER_FOLD_OPS} "
+            "quota-relevant ops; refusing the driver-side fold — replay "
+            "with smaller segments or raise replay.MAX_DRIVER_FOLD_OPS"
+        )
+    ops = [r.asDict() for r in rows]
     # Per-op byte charge: block-byte sum x carried replication (default 1),
     # aggregated DISTRIBUTEDLY then semi-joined to the bounded op list —
     # the payload table scales with the changelog, the collect with the
@@ -329,6 +358,9 @@ def verify_quota_batch(
             if r == 0:
                 continue
             b = nbytes.get(p, 0)
+            # p is always tracked (op paths are), so the ancestor loop
+            # zeroes live[p]/nbytes[p] itself and the subtree loop flips
+            # exists[p]/psize[p] — no trailing special-case needed
             for x in ancestors_in_tracked(p):
                 live[x] -= r
                 nbytes[x] -= b
@@ -338,10 +370,20 @@ def verify_quota_batch(
                     nbytes[x] = 0
                 exists[x] = False
                 psize[x] = 0
-            live[p] = 0
-            nbytes[p] = 0
-            if p in exists:
-                exists[p] = False
+        elif op == "OP_CONCAT_DELETE":
+            # concat removes exactly its SOURCE path (a file — the merge's
+            # _REMOVE_OPS treats it the same way, never as a subtree kill);
+            # ignoring it here made the fold blind to in-batch frees the
+            # merge applies, rejecting creates the reference's sequential
+            # loader would accept
+            if not exists.get(p, False):
+                continue
+            pb = psize.get(p, 0)
+            for x in ancestors_in_tracked(p):
+                live[x] -= 1
+                nbytes[x] -= pb
+            exists[p] = False
+            psize[p] = 0
         elif op == "OP_RENAME" and dst:
             s_cnt = live.get(p, 0)
             if s_cnt == 0 or live.get(dst, 0) > 0:

@@ -51,6 +51,8 @@ def simulate(initial: set[str], ops: list[dict], quotas: dict[str, int]):
         elif op == "OP_DELETE":
             victims = {e for e in ns if _within(p, e)}
             ns -= victims
+        elif op == "OP_CONCAT_DELETE":
+            ns.discard(p)  # exact path only: concat sources are files
         elif op == "OP_RENAME" and dst:
             moved = {e for e in ns if _within(p, e)}
             if not moved or any(_within(dst, e) for e in ns):
@@ -71,7 +73,12 @@ def simulate(initial: set[str], ops: list[dict], quotas: dict[str, int]):
 
 
 op_strategy = st.one_of(
-    st.tuples(st.sampled_from(["OP_ADD", "OP_MKDIR", "OP_DELETE"]), paths).map(
+    st.tuples(
+        st.sampled_from(
+            ["OP_ADD", "OP_MKDIR", "OP_DELETE", "OP_CONCAT_DELETE"]
+        ),
+        paths,
+    ).map(
         lambda t: {"op": t[0], "path": t[1], "dst": None}
     ),
     st.tuples(st.just("OP_RENAME"), paths, paths).map(
@@ -218,6 +225,8 @@ def simulate_ds(
         elif op == "OP_DELETE":
             for e in [e for e in sizes if _within(p, e)]:
                 del sizes[e]
+        elif op == "OP_CONCAT_DELETE":
+            sizes.pop(p, None)  # exact path only: concat sources are files
         elif op == "OP_RENAME" and dst:
             moved = {e: s for e, s in sizes.items() if _within(p, e)}
             if not moved or any(_within(dst, e) for e in sizes):
@@ -243,7 +252,9 @@ def simulate_ds(
 
 ds_op_strategy = st.one_of(
     st.tuples(
-        st.sampled_from(["OP_ADD", "OP_CLOSE", "OP_DELETE"]),
+        st.sampled_from(
+            ["OP_ADD", "OP_CLOSE", "OP_DELETE", "OP_CONCAT_DELETE"]
+        ),
         paths,
         st.integers(min_value=0, max_value=5),
     ).map(lambda t: {"op": t[0], "path": t[1], "dst": None, "bytes": t[2]}),
@@ -389,3 +400,76 @@ def test_ds_close_resize_and_replication_multiplier(spark):
         state, batch, {}, ds_quotas={"/a": 9}, blocks=blocks
     )
     assert [(r.txid, r.quota_type, r.used) for r in rej] == [(1, "DS", 4)]
+
+
+def test_growth_close_ns_checked_without_ds_quotas(spark):
+    """A growth close in an already-over-NS-quota directory must reject
+    even when NO byte quota is configured: verifyQuota gates on either
+    positive delta, then checks BOTH dimensions — the pre-fix code only
+    folded OP_CLOSE at all when ds_quotas was non-empty."""
+    state = spark.createDataFrame(
+        [("/a/x", True, 0, 0), ("/a/y", True, 0, 0)],
+        "path string, exists boolean, exist_txid long, length long",
+    )
+    batch = spark.createDataFrame(
+        [(1, "OP_CLOSE", 1001, "/a/y", None, None, None, None, None)],
+        "txid long, op string, ts_ms long, path string, dst string,"
+        " replication int, perm string, owner string, gen_stamp long",
+    )
+    blocks = spark.createDataFrame(
+        [(1, 0, 4)], "txid long, block_seq int, num_bytes long"
+    )
+    rej = verify_quota_batch(state, batch, {"/a": 1}, blocks=blocks)
+    assert [(r.txid, r.quota_type) for r in rej] == [(1, "NS")]
+
+
+def test_concat_delete_frees_quota_within_batch(spark):
+    """OP_CONCAT_DELETE removes exactly its source path, and the fold
+    must credit that in-batch free — otherwise it rejects a create the
+    merge (and the reference's sequential loader) would accept."""
+    state = spark.createDataFrame(
+        [("/a/x", True, 0, 0)],
+        "path string, exists boolean, exist_txid long, length long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "OP_CONCAT_DELETE", 1001, "/a/x", "/b/t", None, None, None, None),
+            (2, "OP_ADD", 1002, "/a/y", None, None, None, None, None),
+        ],
+        "txid long, op string, ts_ms long, path string, dst string,"
+        " replication int, perm string, owner string, gen_stamp long",
+    )
+    assert verify_quota_batch(state, batch, {"/a": 1}) == []
+
+
+def test_ds_quotas_without_blocks_raises(spark):
+    """ds_quotas with no block payload table is silent non-enforcement
+    (every charge would read 0) — it must fail loudly instead."""
+    import pytest
+
+    state = spark.createDataFrame(
+        [("/a/x", True, 0, 0)],
+        "path string, exists boolean, exist_txid long, length long",
+    )
+    batch = spark.createDataFrame(
+        [(1, "OP_ADD", 1001, "/a/y", None, None, None, None, None)],
+        "txid long, op string, ts_ms long, path string, dst string,"
+        " replication int, perm string, owner string, gen_stamp long",
+    )
+    with pytest.raises(ValueError, match="blocks side table"):
+        verify_quota_batch(state, batch, {}, ds_quotas={"/a": 3})
+
+
+def test_verify_accepts_reduced_projections(spark):
+    """The drop-in contract apply_edits_batch documents: a (txid, op,
+    path) batch and a (path, exists)-only state must verify without
+    AnalysisException."""
+    state = spark.createDataFrame(
+        [("/a/x", True)], "path string, exists boolean"
+    )
+    batch = spark.createDataFrame(
+        [(1, "OP_ADD", "/a/y"), (2, "OP_ADD", "/a/z")],
+        "txid long, op string, path string",
+    )
+    rej = verify_quota_batch(state, batch, {"/a": 2})
+    assert [(r.txid, r.quota_type) for r in rej] == [(2, "NS")]
