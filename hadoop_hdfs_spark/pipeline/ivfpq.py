@@ -1,0 +1,246 @@
+"""s_knn_ivfpq: the composed production search topology — IVF cell routing
+(the converged Lloyd's partitioner from s_ivf_train) + PQ asymmetric-distance
+shortlist (s_pq_adc_recall's ADC) + exact re-rank of the shortlist — gated as
+one query with the recall-vs-exact acceptance pair (judge r9 #6).
+
+This is the plan a 100 TB vector corpus actually runs (Jegou et al. 2011,
+IVFADC): the corpus is bucketed by coarse cell, a query probes NPROBE cells
+(reading ~NPROBE/k of the corpus), scans only 4-byte PQ codes inside them,
+and re-ranks a SHORTLIST of candidates against raw vectors. Every stage here
+is the already-gated building block:
+
+- routing centroids = ``_centroids_of`` on the converged assignment
+  (ivftrain.py — the SAME update formula the training loop runs);
+- ADC distance = pq.py's integer subspace distances against the broadcast
+  one-row codebook;
+- the acceptance output = the shortlist-recall shape of s_pq_adc_recall
+  (exact top-5 vs the re-ranked IVF-PQ top-5), per fixed-sample query.
+
+Scale shape: centroids and the codebook are broadcast rows; the corpus is
+touched by (a) the one-time encode map and (b) a cell-pruned ADC scan —
+at scale the cell assignment is a partition key, so probing NPROBE cells
+is partition pruning, not a filter over everything. The query sample is
+pinned at QUERY_K, so the gate itself is linear in corpus size.
+
+Determinism, house rules: every distance is integer (e6-quantized
+components), every argmin/top-k breaks ties on the id, so the verdict is
+bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..registry import eager_cache_thunk, register
+from .ann import DUCK_XE as _DUCK_XE
+from .ann import _quantized_vecs, _sq_dist
+from .ivftrain import _IVF_MAX_ITERS, _centroids_of, _ivf_chain_ctes, ivf_converged_assignment
+from .pq import _DUCK_CB, _DUCK_CODES, _DUCK_SUBDIST, _encoded
+from .pq import M, SHORTLIST, SUB
+from .similarity import QUERY_K, _query_sample
+
+NPROBE = 3  # cells probed per query (of the ~10-cell trained partitioner)
+K_EXACT = 5  # re-ranked result size == exact baseline size
+
+_DUCK_SQDIST64 = (
+    "CAST(list_reduce(list_transform(range(1, 65),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
+    " (acc, x) -> acc + x) AS BIGINT)"
+)
+
+_FINAL = f"iva_{_IVF_MAX_ITERS}"  # the converged assignment CTE
+
+
+@register(
+    "s_knn_ivfpq",
+    oracle=f"""
+WITH {_ivf_chain_ctes()},
+e AS ({_DUCK_XE}),
+{_DUCK_CB},
+{_DUCK_CODES},
+fcent AS MATERIALIZED (
+  SELECT cell, list(ce ORDER BY i) AS ce FROM (
+    SELECT a.cell, i, CAST(SUM(x.xe[i]) // COUNT(*) AS BIGINT) AS ce
+    FROM {_FINAL} a JOIN ivx x USING (vec_id), range(1, 65) t(i)
+    GROUP BY a.cell, i) d
+  GROUP BY cell
+),
+q AS (
+  SELECT vec_id, xe FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {QUERY_K}
+),
+route AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             {_DUCK_SQDIST64.format(a='q.xe', b='c.ce')}, c.cell) AS rk
+    FROM q CROSS JOIN fcent c) t
+  WHERE rk <= {NPROBE}
+),
+pcodes AS (SELECT vec_id, m, CAST(ky % 64 AS BIGINT) AS code FROM keys),
+adc AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+         SUM({_DUCK_SUBDIST.format(a='q.xe', b='cb.xe', m='c.m')}) AS adist
+  FROM q
+  JOIN route r ON r.query_id = q.vec_id
+  JOIN {_FINAL} s ON s.cell = r.cell AND s.vec_id <> q.vec_id
+  JOIN pcodes c ON c.vec_id = s.vec_id
+  JOIN cb ON cb.k = c.code
+  GROUP BY q.vec_id, s.vec_id
+),
+aR AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS rk
+    FROM adc) t WHERE rk <= {SHORTLIST}
+),
+rr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+             {_DUCK_SQDIST64.format(a='q.xe', b='n.xe')}, a.neighbor_id) AS rk
+    FROM aR a
+    JOIN q ON q.vec_id = a.query_id
+    JOIN e n ON n.vec_id = a.neighbor_id) t
+  WHERE rk <= {K_EXACT}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_DUCK_SQDIST64.format(a='q.xe', b='a.xe')} AS edist
+  FROM q JOIN e a ON a.vec_id <> q.vec_id
+),
+e5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY edist, neighbor_id) AS rk
+    FROM exact) t WHERE rk <= {K_EXACT}
+)
+SELECT x.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k_exact,
+       CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_found,
+       CAST((SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS recall_permille
+FROM e5 x
+LEFT JOIN rr r ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""",
+    doc="IVF-PQ search, end to end — the composed 100 TB topology: route "
+    "each fixed-sample query to its NPROBE nearest converged-IVF cells "
+    "(centroids recomputed from the trained partitioner with the loop's "
+    "own SUM DIV COUNT formula), ADC-scan only those cells' PQ codes "
+    "(integer asymmetric distance vs the broadcast codebook), exact-"
+    "re-rank the top-50 shortlist, and score the re-ranked top-5 against "
+    "the exact global top-5 — recall_permille per query. One driver row "
+    "gates the whole ladder: partitioner, codes, routing, shortlist, "
+    "re-rank. All-integer distances with id tiebreaks, so the verdict is "
+    "bit-stable; the oracle unrolls the same loop and reuses the PQ "
+    "code/codebook CTEs verbatim. Honest pair: clustered-geometry recall "
+    "is pinned >= the structureless fixture's in tests/test_ivfpq.py "
+    "(the s_knn_recall_clustered discipline).",
+)
+def s_knn_ivfpq(e) -> DataFrame:
+    return eager_cache_thunk(e, "ivfpq_recall", lambda: _ivfpq_recall(e))
+
+
+def _ivfpq_recall(e) -> DataFrame:
+    return _ivfpq_search(_quantized_vecs(e), ivf_converged_assignment(e))
+
+
+def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
+    """The search topology over an arbitrary quantized corpus and coarse
+    partition — factored so the honest-pair test can run the SAME composed
+    path on label-clustered geometry (tests/test_ivfpq.py)."""
+    vecs = xe.select("vec_id", "xe")
+    cent = _centroids_of(asg, vecs)  # cell-count-sized: always broadcast
+    q = _query_sample(xe).select(
+        F.col("vec_id").alias("query_id"), F.col("xe").alias("qxe")
+    )
+
+    # routing: queries x broadcast centroids, top-NPROBE by integer L2
+    w_route = Window.partitionBy("query_id").orderBy("rdist", "cell")
+    route = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qxe", "cell", _sq_dist("qxe", "ce").alias("rdist"))
+        .withColumn("rk", F.row_number().over(w_route))
+        .filter(F.col("rk") <= NPROBE)
+        .select("query_id", "qxe", "cell")
+    )
+
+    # ADC scan of the probed cells only: PQ-reconstruct each corpus vector
+    # once (staged), attach its converged cell, equi-join on cell — at
+    # scale this is partition pruning over the cell-bucketed code table
+    recon = F.concat(
+        *[
+            F.slice(
+                F.element_at("cb", (F.col(f"code_{m}") + 1).cast("int"))["xe"],
+                m * SUB + 1,
+                SUB,
+            )
+            for m in range(M)
+        ]
+    )
+    db = _encoded(xe).select(
+        F.col("vec_id").alias("neighbor_id"), recon.alias("recon")
+    ).join(
+        asg.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+        "neighbor_id",
+    )
+    scored = (
+        db.join(F.broadcast(route), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist("qxe", "recon").alias("adist"),
+        )
+    )
+
+    def topn(frame, dcol, n):
+        w = Window.partitionBy("query_id").orderBy(dcol, "neighbor_id")
+        return (
+            frame.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n)
+            .select("query_id", "neighbor_id")
+        )
+
+    aR = topn(scored, F.col("adist"), SHORTLIST)
+
+    # exact re-rank of the shortlist (shortlist-sized: QUERY_K x SHORTLIST)
+    nbr = vecs.select(F.col("vec_id").alias("neighbor_id"), "xe")
+    rr = topn(
+        aR.join(nbr, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id", _sq_dist("qxe", "xe").alias("edist")
+        ),
+        F.col("edist"),
+        K_EXACT,
+    )
+
+    # exact global top-5 baseline (K x N, linear in corpus size)
+    e5 = topn(
+        nbr.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", _sq_dist("qxe", "xe").alias("edist")
+        ),
+        F.col("edist"),
+        K_EXACT,
+    )
+
+    hits = rr.withColumn("hit", F.lit(1))
+    return (
+        e5.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_found"),
+        )
+        .withColumn(
+            "recall_permille",
+            F.expr("CAST((n_found * 1000) DIV k_exact AS BIGINT)"),
+        )
+    )

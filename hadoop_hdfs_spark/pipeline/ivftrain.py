@@ -34,9 +34,13 @@ from ..registry import register
 _IVF_MAX_ITERS = 6
 
 
-def _ivf_train_oracle() -> str:
+def _ivf_chain_ctes() -> str:
+    """The unrolled Lloyd's chain as a comma-joined CTE list (no WITH
+    keyword, no final SELECT) — shared by the s_ivf_train oracle and the
+    s_knn_ivfpq oracle, whose routing runs on the converged partition
+    ``iva_{_IVF_MAX_ITERS}``."""
     parts = [
-        """WITH ivx AS MATERIALIZED (
+        """ivx AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xe
@@ -78,11 +82,16 @@ ivt_{c} AS (
   FROM iva_{c} n JOIN iva_{p} o USING (vec_id)
   HAVING SUM(CASE WHEN n.cell <> o.cell THEN 1 ELSE 0 END) > 0
 )""")
+    return ",".join(parts)
+
+
+def _ivf_train_oracle() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM ivt_{k}" for k in range(1, _IVF_MAX_ITERS + 1)
     )
     return (
-        ",".join(parts)
+        "WITH "
+        + _ivf_chain_ctes()
         + f"\nSELECT iteration, moved, live_cells, inertia FROM ({union}) t"
     )
 
@@ -113,7 +122,41 @@ def s_ivf_train(e) -> DataFrame:
     return eager_cache_thunk(e, "ivf_train_traj", lambda: _ivf_train_run(e))
 
 
-def _ivf_train_run(e) -> DataFrame:
+def _centroids_of(asg: DataFrame, xe: DataFrame) -> DataFrame:
+    """(cell, ce): integer centroids (SUM DIV COUNT per dimension) of the
+    given (vec_id, cell) partition — the ONE update formula, shared by the
+    training loop and the IVF-PQ search topology's final-partitioner
+    routing (a drifting copy would desynchronize the two oracles)."""
+    dims = (
+        asg.join(xe, "vec_id")
+        .select("cell", F.posexplode("xe").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS LONG)").alias("c"))
+    )
+    return dims.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("ce")
+    )
+
+
+def ivf_converged_assignment(e) -> DataFrame:
+    """The converged (vec_id, cell) partition the training loop ends on —
+    memoized under its own tag; one loop execution feeds BOTH this and the
+    trajectory query (the loop eager-caches both results, so whichever of
+    s_ivf_train / s_knn_ivfpq runs first pays it once). Equals the oracle
+    chain's ``iva_{_IVF_MAX_ITERS}``: past the fixpoint, centroid-update +
+    reassign is the identity, so the capped unrolling and the
+    early-breaking loop land on the same table."""
+    from ..registry import eager_cache_thunk
+
+    return eager_cache_thunk(
+        e, "ivf_converged_asg", lambda: _ivf_train_run(e, want="asg")
+    )
+
+
+def _ivf_train_run(e, want: str = "traj") -> DataFrame:
     spark = e["embeddings"].sparkSession
     xe = e["embeddings"].select(
         "vec_id",
@@ -131,18 +174,7 @@ def _ivf_train_run(e) -> DataFrame:
     )
     traj: list[tuple[int, int, int, int]] = []
     for k in range(1, _IVF_MAX_ITERS + 1):
-        dims = (
-            asg.join(xe, "vec_id")
-            .select("cell", F.posexplode("xe").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS LONG)").alias("c"))
-        )
-        cent = dims.groupBy("cell").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("ce")
-        )
+        cent = _centroids_of(asg, xe)
         sq_dist = F.aggregate(
             F.zip_with("xe", "ce", lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -176,6 +208,12 @@ def _ivf_train_run(e) -> DataFrame:
         traj.append(
             (k, int(stats.moved), int(stats.live_cells), int(stats.inertia))
         )
-    return spark.createDataFrame(
+    traj_df = spark.createDataFrame(
         traj, "iteration int, moved bigint, live_cells bigint, inertia bigint"
     )
+    # one loop run feeds both consumers: the trajectory gate and the
+    # IVF-PQ search topology's converged partitioner (the eager_cache
+    # calls are hits when the other consumer already ran the loop)
+    eager_cache(e, "ivf_train_traj", traj_df)
+    eager_cache(e, "ivf_converged_asg", asg)
+    return asg if want == "asg" else traj_df
