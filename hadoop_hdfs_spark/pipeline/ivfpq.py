@@ -36,7 +36,7 @@ from ..registry import eager_cache_thunk, register
 from .ann import DUCK_XE as _DUCK_XE
 from .ann import _quantized_vecs, _sq_dist
 from .ivftrain import _IVF_MAX_ITERS, _centroids_of, _ivf_chain_ctes, ivf_converged_assignment
-from .pq import _DUCK_CB, _DUCK_CODES, _DUCK_SUBDIST, _encoded
+from .pq import _DUCK_CB, _DUCK_CODES, _DUCK_SUBDIST, _codebook_row, _encoded
 from .pq import M, SHORTLIST, SUB
 from .similarity import QUERY_K, _query_sample
 
@@ -148,30 +148,25 @@ def _ivfpq_recall(e) -> DataFrame:
     return _ivfpq_search(_quantized_vecs(e), ivf_converged_assignment(e))
 
 
-def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
-    """The search topology over an arbitrary quantized corpus and coarse
-    partition — factored so the honest-pair test can run the SAME composed
-    path on label-clustered geometry (tests/test_ivfpq.py)."""
-    vecs = xe.select("vec_id", "xe")
-    cent = _centroids_of(asg, vecs)  # cell-count-sized: always broadcast
-    q = _query_sample(xe).select(
+def _query_frame(xe: DataFrame) -> DataFrame:
+    return _query_sample(xe).select(
         F.col("vec_id").alias("query_id"), F.col("xe").alias("qxe")
     )
 
-    # routing: queries x broadcast centroids, top-NPROBE by integer L2
-    w_route = Window.partitionBy("query_id").orderBy("rdist", "cell")
-    route = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qxe", "cell", _sq_dist("qxe", "ce").alias("rdist"))
-        .withColumn("rk", F.row_number().over(w_route))
-        .filter(F.col("rk") <= NPROBE)
-        .select("query_id", "qxe", "cell")
+
+def _topn(frame: DataFrame, dcol, n: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(dcol, "neighbor_id")
+    return (
+        frame.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .select("query_id", "neighbor_id")
     )
 
-    # ADC scan of the probed cells only: PQ-reconstruct each corpus vector
-    # once (staged), attach its converged cell, equi-join on cell — at
-    # scale this is partition pruning over the cell-bucketed code table
-    recon = F.concat(
+
+def _recon_col():
+    """PQ reconstruction from code_0..code_{M-1} against the broadcast
+    codebook column ``cb`` — one 64-long array per corpus row."""
+    return F.concat(
         *[
             F.slice(
                 F.element_at("cb", (F.col(f"code_{m}") + 1).cast("int"))["xe"],
@@ -181,14 +176,40 @@ def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
             for m in range(M)
         ]
     )
-    db = _encoded(xe).select(
-        F.col("vec_id").alias("neighbor_id"), recon.alias("recon")
+
+
+def _coded_in_memory(xe: DataFrame, asg: DataFrame) -> DataFrame:
+    """(neighbor_id, cell, recon) built inline from the corpus: encode,
+    reconstruct once (staged), attach the converged cell."""
+    return _encoded(xe).select(
+        F.col("vec_id").alias("neighbor_id"), _recon_col().alias("recon")
     ).join(
         asg.select(F.col("vec_id").alias("neighbor_id"), "cell"),
         "neighbor_id",
     )
+
+
+def _route(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, qxe, cell): each query's NPROBE nearest cells — queries
+    x broadcast centroids, top-NPROBE by integer L2."""
+    w_route = Window.partitionBy("query_id").orderBy("rdist", "cell")
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qxe", "cell", _sq_dist("qxe", "ce").alias("rdist"))
+        .withColumn("rk", F.row_number().over(w_route))
+        .filter(F.col("rk") <= NPROBE)
+        .select("query_id", "qxe", "cell")
+    )
+
+
+def _rerank_rr(
+    route: DataFrame, coded: DataFrame, vecs: DataFrame, q: DataFrame
+) -> DataFrame:
+    """ADC-scan the routed cells' codes, shortlist top-SHORTLIST by
+    asymmetric distance, exact-re-rank against the PRIMARY vectors —
+    the (query_id, neighbor_id) top-K_EXACT search result."""
     scored = (
-        db.join(F.broadcast(route), "cell")
+        coded.join(F.broadcast(route), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -196,20 +217,9 @@ def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
             _sq_dist("qxe", "recon").alias("adist"),
         )
     )
-
-    def topn(frame, dcol, n):
-        w = Window.partitionBy("query_id").orderBy(dcol, "neighbor_id")
-        return (
-            frame.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= n)
-            .select("query_id", "neighbor_id")
-        )
-
-    aR = topn(scored, F.col("adist"), SHORTLIST)
-
-    # exact re-rank of the shortlist (shortlist-sized: QUERY_K x SHORTLIST)
+    aR = _topn(scored, F.col("adist"), SHORTLIST)
     nbr = vecs.select(F.col("vec_id").alias("neighbor_id"), "xe")
-    rr = topn(
+    return _topn(
         aR.join(nbr, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
@@ -219,8 +229,14 @@ def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
         K_EXACT,
     )
 
-    # exact global top-5 baseline (K x N, linear in corpus size)
-    e5 = topn(
+
+def _recall_vs_exact(
+    rr: DataFrame, vecs: DataFrame, q: DataFrame
+) -> DataFrame:
+    """Score a top-K_EXACT search result against the exact global
+    top-K_EXACT (K x N, linear in corpus size)."""
+    nbr = vecs.select(F.col("vec_id").alias("neighbor_id"), "xe")
+    e5 = _topn(
         nbr.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id", _sq_dist("qxe", "xe").alias("edist")
@@ -228,7 +244,6 @@ def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
         F.col("edist"),
         K_EXACT,
     )
-
     hits = rr.withColumn("hit", F.lit(1))
     return (
         e5.join(hits, ["query_id", "neighbor_id"], "left")
@@ -244,3 +259,73 @@ def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
             F.expr("CAST((n_found * 1000) DIV k_exact AS BIGINT)"),
         )
     )
+
+
+def _ivfpq_search(xe: DataFrame, asg: DataFrame) -> DataFrame:
+    """The search topology over an arbitrary quantized corpus and coarse
+    partition — factored so the honest-pair test can run the SAME composed
+    path on label-clustered geometry (tests/test_ivfpq.py)."""
+    vecs = xe.select("vec_id", "xe")
+    cent = _centroids_of(asg, vecs)  # cell-count-sized: always broadcast
+    q = _query_frame(xe)
+    rr = _rerank_rr(_route(q, cent), _coded_in_memory(xe, asg), vecs, q)
+    return _recall_vs_exact(rr, vecs, q)
+
+
+# ---------------------------------------------------------------------------
+# Persisted index: the at-rest form of the same topology. save_pq_index
+# writes the PQ codes PARTITIONED BY converged cell (plus the codebook and
+# routing centroids as side tables); search_pq_index routes a query set,
+# then reads ONLY the probed cells' partitions — real partition pruning
+# (PartitionFilters in the scan, plan-pinned in tests/test_ivfpq.py), the
+# claim the in-memory equi-join can only simulate. At 100 TB the codes
+# table is the index that ships: 4 bytes/vector in k directories, a daily
+# search reads NPROBE/k of it, and the exact re-rank joins back to the
+# primary vector store by id (shortlist-sized).
+# ---------------------------------------------------------------------------
+
+
+def save_pq_index(e, path: str) -> None:
+    """Persist the trained IVF-PQ index for the corpus: codes bucketed by
+    cell, one-row codebook, centroid table."""
+    xe = _quantized_vecs(e)
+    asg = ivf_converged_assignment(e)
+    codes = (
+        _encoded(xe)
+        .drop("cb")  # the codebook is a side table, not a per-row column
+        .join(asg, "vec_id")
+    )
+    (
+        codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    _codebook_row(xe).write.mode("overwrite").parquet(f"{path}/codebook")
+    _centroids_of(asg, xe.select("vec_id", "xe")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def search_pq_index(spark, path: str, q: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Top-K_EXACT neighbors for a query frame (query_id, qxe) against a
+    saved index, re-ranked against the primary vectors (vec_id, xe).
+    Routing runs on the stored centroids; the probed cells are collected
+    (bounded by the cell count k — the partitioner is small by
+    construction) and pushed as a LITERAL partition filter, so the codes
+    scan reads only NPROBE-ish directories of the k on disk."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    route = _route(q, cent)
+    cells = [r["cell"] for r in route.select("cell").distinct().collect()]
+    cb = spark.read.parquet(f"{path}/codebook")
+    coded = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cells))  # static partition pruning
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            _recon_col().alias("recon"),
+        )
+    )
+    return _rerank_rr(route, coded, vecs, q)

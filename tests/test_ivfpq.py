@@ -81,3 +81,63 @@ def test_ivfpq_shares_one_training_loop_with_s_ivf_train(spark, sf_dir):
     QUERIES["s_ivf_train"](spark, sf_dir).count()
     tags = {k[2] for k in _CACHED}
     assert {"ivf_train_traj", "ivf_converged_asg"} <= tags
+
+
+def test_saved_index_search_matches_in_memory_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The persisted index is the SAME topology at rest: searching the
+    saved cell-partitioned codes must return exactly the in-memory
+    search's re-ranked top-5, and the codes scan must read ONLY the
+    probed cells' partitions — a literal PartitionFilters prune over the
+    cell directories, not a filter over everything."""
+    from hadoop_hdfs_spark.pipeline.ann import _quantized_vecs
+    from hadoop_hdfs_spark.pipeline.ivftrain import (
+        _centroids_of,
+        ivf_converged_assignment,
+    )
+
+    e = load_entities(spark, sf_dir)
+    idx = str(tmp_path / "pq_index")
+    ivfpq.save_pq_index(e, idx)
+
+    xe = _quantized_vecs(e)
+    vecs = xe.select("vec_id", "xe")
+    q = ivfpq._query_frame(xe)
+    rr_idx = ivfpq.search_pq_index(spark, idx, q, vecs)
+
+    asg = ivf_converged_assignment(e)
+    rr_mem = ivfpq._rerank_rr(
+        ivfpq._route(q, _centroids_of(asg, vecs)),
+        ivfpq._coded_in_memory(xe, asg),
+        vecs,
+        q,
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in rr_idx.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in rr_mem.collect()}
+    assert a == b and a, (len(a), len(b), len(a ^ b))
+
+    # partition pruning: the codes scan carries a PartitionFilters IN
+    # over cell, and the pruned partition count is below the total cells
+    import os
+    import re
+
+    from hadoop_hdfs_spark.plans import formatted_plan
+
+    plan = formatted_plan(rr_idx)
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan)
+    assert m, plan[:2000]
+    # a batch of QUERY_K queries can collectively probe every cell (their
+    # union covers the small fixture partitioner); the pruning claim is
+    # PER QUERY — a single query's search reads exactly NPROBE of the k
+    # cell directories
+    n_cells = len(
+        [d for d in os.listdir(os.path.join(idx, "codes")) if d.startswith("cell=")]
+    )
+    q1 = q.orderBy("query_id").limit(1)
+    rr_one = ivfpq.search_pq_index(spark, idx, q1, vecs)
+    plan_one = formatted_plan(rr_one)
+    m1 = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan_one)
+    assert m1, plan_one[:2000]
+    probed_one = {v.strip() for v in m1.group(1).split(",")}
+    assert len(probed_one) == ivfpq.NPROBE < n_cells, (probed_one, n_cells)

@@ -113,3 +113,19 @@ SELECT source, COUNT(DISTINCT s) FROM (
         else:
             assert est == n == k_used, (s, est, n)  # sub-k: exact by design
     assert engaged > 0, "fixture must exercise the estimator branch"
+
+
+def test_a15_plan_is_sort_free_and_broadcasts_sketch_row(spark, sf_dir):
+    """The rank-certification join must broadcast the replication-bounded
+    sketch row against the second linear scan — no Sort touches the
+    corpus (the whole point of the sketch formulation vs a14's per-group
+    sort), no shuffle beyond the two groupBys' partial aggregates."""
+    from hadoop_hdfs_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["a15_size_sketch"](spark, sf_dir)).split(
+        "\n\n"
+    )[0]
+    assert "BroadcastHashJoin" in plan
+    # the only Sort allowed is inside a SortAggregate fallback, which the
+    # sketch aggregates do not take; assert none at all
+    assert "Sort " not in plan and "CartesianProduct" not in plan, plan[:1500]
