@@ -415,3 +415,173 @@ def d_semdedup(e) -> DataFrame:
             (F.coalesce(F.max(beats_me), F.lit(0)) == 1).alias("is_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation gate: the fourth rung of the embedding-compression
+# ladder (truncate -> int8 -> IVF -> PQ). MRL-trained embeddings (Kusupati
+# et al. 2022) front-load information so a PREFIX of the vector ranks
+# almost as well as the whole — the cheapest compression there is (drop
+# the tail bytes, no codebook, no index). This gate measures what the
+# fixture's embeddings actually support: exact top-5 recall when ranking
+# by the first 16 and first 32 of the 64 dims.
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIXES = (16, 32)
+
+
+def _duck_prefix_sqdist(a: str, b: str, p: int) -> str:
+    return (
+        f"CAST(list_reduce(list_transform(range(1, {p + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
+        " (acc, x) -> acc + x) AS BIGINT)"
+    )
+
+
+def _mrl_oracle() -> str:
+    pair_cols = ",\n         ".join(
+        f"{_duck_prefix_sqdist('q.xe', 'a.xe', p)} AS d{p}"
+        for p in (64, *_MRL_PREFIXES)
+    )
+    tops = ",\n".join(
+        f"""t{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d{p}, neighbor_id) AS rk
+    FROM pairs) z WHERE rk <= 5
+)"""
+        for p in (64, *_MRL_PREFIXES)
+    )
+    found = ",\n       ".join(
+        f"""CAST(SUM(CASE WHEN p{p}.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_found_p{p},
+       CAST((SUM(CASE WHEN p{p}.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS recall_p{p}_permille"""
+        for p in _MRL_PREFIXES
+    )
+    joins = "\n".join(
+        f"LEFT JOIN t{p} p{p} ON p{p}.query_id = x.query_id"
+        f" AND p{p}.neighbor_id = x.neighbor_id"
+        for p in _MRL_PREFIXES
+    )
+    return f"""
+WITH e AS ({DUCK_XE}),
+q AS (
+  SELECT vec_id, xe FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_QK}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {pair_cols}
+  FROM q JOIN e a ON a.vec_id <> q.vec_id
+),
+{tops}
+SELECT x.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k_exact,
+       {found}
+FROM t64 x
+{joins}
+GROUP BY x.query_id
+"""
+
+
+@register(
+    "s_mrl_truncation",
+    oracle=_mrl_oracle(),
+    doc="Matryoshka-truncation recall gate — the fourth rung of the "
+    "compression ladder (prefix-truncate / int8 / IVF / PQ): per "
+    "fixed-sample query, how much of the exact 64-dim top-5 survives "
+    "when ranking by only the first 16 and first 32 dims. Truncation is "
+    "the cheapest embedding compression (drop the tail bytes — no "
+    "codebook, no index, 4x/2x smaller), and whether it is SAFE is a "
+    "property of the embedding model, not the engine — this gate is the "
+    "measurement a storage owner runs before switching the corpus to "
+    "prefix storage (Kusupati et al. 2022, MRL). One K x N scan computes "
+    "all three integer distances (full + both prefixes); three "
+    "WindowGroupLimit top-5s and two indicator joins later the verdict "
+    "is per-query permille, bit-stable across engines (integer "
+    "distances, id tiebreaks). Linear in corpus size at fixed K. Honest "
+    "pair in tests/test_ann_recall.py: LOW on the structureless fixture "
+    "(truncation is genuinely unsafe for an untrained model — the gate "
+    "must say so), >= 800 at p32 on front-loaded (1/(1+i)-decay, the "
+    "profile MRL training produces) geometry.",
+)
+def s_mrl_truncation(e) -> DataFrame:
+    return _mrl_recall(_quantized_vecs(e), e)
+
+
+def _mrl_recall(xe: DataFrame, e=None) -> DataFrame:
+    """The truncation measurement over an arbitrary quantized corpus —
+    factored so the honest-pair test can run it on label-clustered
+    geometry (tests/test_ann_recall.py)."""
+    vecs = xe.select("vec_id", "xe")
+    q = _query_sample(xe).select(
+        F.col("vec_id").alias("query_id"), F.col("xe").alias("qxe")
+    )
+
+    def prefix_dist(p: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qxe", 1, p),
+                F.slice("xe", 1, p),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        vecs.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist("qxe", "xe").alias("d64"),
+            *[prefix_dist(p).alias(f"d{p}") for p in _MRL_PREFIXES],
+        )
+    )
+    if e is not None:  # test path passes a bare clustered frame, uncached
+        pairs = eager_cache(e, "mrl_pairs", pairs)  # three windows read it
+
+    def top5(dcol: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(dcol, "neighbor_id")
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    out = top5("d64").withColumnRenamed("neighbor_id", "nid")
+    aggs = [F.count("*").cast("long").alias("k_exact")]
+    for p in _MRL_PREFIXES:
+        hits = top5(f"d{p}").select(
+            F.col("query_id").alias("qh"),
+            F.col("neighbor_id").alias("nh"),
+            F.lit(1).alias(f"hit{p}"),
+        )
+        out = out.join(
+            hits,
+            (F.col("query_id") == F.col("qh")) & (F.col("nid") == F.col("nh")),
+            "left",
+        ).drop("qh", "nh")
+        aggs.append(
+            F.sum(F.coalesce(F.col(f"hit{p}"), F.lit(0)))
+            .cast("long")
+            .alias(f"n_found_p{p}")
+        )
+    res = out.groupBy("query_id").agg(*aggs)
+    for p in _MRL_PREFIXES:
+        res = res.withColumn(
+            f"recall_p{p}_permille",
+            F.expr(f"CAST((n_found_p{p} * 1000) DIV k_exact AS BIGINT)"),
+        )
+    return res.select(
+        "query_id",
+        "k_exact",
+        *[
+            c
+            for p in _MRL_PREFIXES
+            for c in (f"n_found_p{p}", f"recall_p{p}_permille")
+        ],
+    )

@@ -60,3 +60,40 @@ def test_clustered_fixture_recall_passes_ship_gate(spark, sf_dir):
     ).collect()[0]
     assert agg.n >= 1
     assert agg.mn >= 800, rec.orderBy("query_id").collect()
+
+
+def test_mrl_truncation_honest_pair(spark, sf_dir):
+    """s_mrl_truncation's numbers must be geometry, not artifact: prefix
+    recall is LOW on the structureless fixture (a random vector's first
+    16 dims carry 1/4 of the information — truncation is NOT safe for an
+    untrained-embedding model, and the gate must say so) and MONOTONE in
+    prefix width; on FRONT-LOADED geometry (dimension i scaled by
+    1/(1+i) — the importance decay MRL training produces) the 32-dim
+    prefix crosses the ship bar — the pair that makes the gate a real
+    measurement of the model, not of the harness."""
+    from hadoop_hdfs_spark.entities import load_entities
+    from hadoop_hdfs_spark.pipeline.ann import _mrl_recall
+    from hadoop_hdfs_spark import registry
+
+    res = registry.queries()["s_mrl_truncation"](spark, sf_dir)
+    a = res.agg(
+        F.avg("recall_p16_permille").alias("p16"),
+        F.avg("recall_p32_permille").alias("p32"),
+    ).collect()[0]
+    assert a.p16 < 500 and a.p32 < 700, (a.p16, a.p32)
+    assert a.p32 >= a.p16
+
+    e = load_entities(spark, sf_dir)
+    front_xe = e["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(floor(cast(x as double) * 1000000 / (1 + i)) as bigint))"
+        ).alias("xe"),
+    )
+    c = _mrl_recall(front_xe).agg(
+        F.avg("recall_p16_permille").alias("p16"),
+        F.avg("recall_p32_permille").alias("p32"),
+    ).collect()[0]
+    assert c.p32 >= 800, (c.p16, c.p32)
+    assert c.p32 >= a.p32 and c.p16 >= a.p16
