@@ -141,3 +141,64 @@ def test_saved_index_search_matches_in_memory_and_prunes_partitions(
     assert m1, plan_one[:2000]
     probed_one = {v.strip() for v in m1.group(1).split(",")}
     assert len(probed_one) == ivfpq.NPROBE < n_cells, (probed_one, n_cells)
+
+
+def test_ivfpq_rr_neighbors_come_only_from_probed_cells(spark, sf_dir):
+    """Topology invariant: every re-ranked neighbor's converged cell must
+    be one of its query's NPROBE routed cells — the search never reads
+    outside the probed partitions (the correctness face of the
+    partition-pruning claim)."""
+    from hadoop_hdfs_spark.pipeline.ann import _quantized_vecs
+    from hadoop_hdfs_spark.pipeline.ivftrain import (
+        _centroids_of,
+        ivf_converged_assignment,
+    )
+
+    e = load_entities(spark, sf_dir)
+    xe = _quantized_vecs(e)
+    vecs = xe.select("vec_id", "xe")
+    asg = ivf_converged_assignment(e)
+    q = ivfpq._query_frame(xe)
+    route = ivfpq._route(q, _centroids_of(asg, vecs))
+    rr = ivfpq._rerank_rr(route, ivfpq._coded_in_memory(xe, asg), vecs, q)
+
+    probed = {
+        (r["query_id"], r["cell"])
+        for r in route.select("query_id", "cell").collect()
+    }
+    cells = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    rows = rr.collect()
+    assert rows
+    for r in rows:
+        assert (r["query_id"], cells[r["neighbor_id"]]) in probed, r
+
+
+def test_ivfpq_at_full_probe_equals_pure_adc_gate(spark, sf_dir, monkeypatch):
+    """Degenerate-case equivalence: at NPROBE = n_cells the routing prunes
+    nothing, so the composed search IS the pure PQ-ADC pathway — its
+    per-query recall must equal s_pq_adc_recall's n_in_shortlist exactly
+    (an exact-top-5 member inside the shortlist always survives the exact
+    re-rank: at most 4 other global-top-5 members can outrank it). This
+    pins that the IVF stage adds ONLY cell pruning on top of the
+    already-gated PQ machinery — no distance or ranking drift. (Recall is
+    NOT monotone in NPROBE at fixed SHORTLIST: extra probed cells add ADC
+    imposters that can crowd true neighbors out of the top-50 — measured
+    428 at NPROBE=3 vs 414 permille at full probe on the structureless
+    fixture — so the degenerate-case identity is the sound invariant.)"""
+    from hadoop_hdfs_spark.pipeline.ann import _quantized_vecs
+    from hadoop_hdfs_spark.pipeline.ivftrain import ivf_converged_assignment
+
+    e = load_entities(spark, sf_dir)
+    xe = _quantized_vecs(e)
+    asg = ivf_converged_assignment(e)
+    n_cells = asg.select("cell").distinct().count()
+    monkeypatch.setattr(ivfpq, "NPROBE", n_cells)
+    got = {
+        r["query_id"]: (r["n_found"], r["recall_permille"])
+        for r in ivfpq._ivfpq_search(xe, asg).collect()
+    }
+    want = {
+        r["query_id"]: (r["n_in_shortlist"], r["recall_permille"])
+        for r in QUERIES["s_pq_adc_recall"](spark, sf_dir).collect()
+    }
+    assert got == want and got
