@@ -202,3 +202,17 @@ def test_ivfpq_at_full_probe_equals_pure_adc_gate(spark, sf_dir, monkeypatch):
         for r in QUERIES["s_pq_adc_recall"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_saved_index_search_with_empty_query_frame(spark, sf_dir, tmp_path):
+    """Edge: an empty query frame routes to zero cells — the search must
+    return an empty result (isin over an empty cell list), not crash."""
+    from hadoop_hdfs_spark.pipeline.ann import _quantized_vecs
+
+    e = load_entities(spark, sf_dir)
+    idx = str(tmp_path / "pq_index_empty")
+    ivfpq.save_pq_index(e, idx)
+    xe = _quantized_vecs(e)
+    vecs = xe.select("vec_id", "xe")
+    q0 = ivfpq._query_frame(xe).limit(0)
+    assert ivfpq.search_pq_index(spark, idx, q0, vecs).count() == 0
