@@ -315,8 +315,20 @@ def search_pq_index(spark, path: str, q: DataFrame, vecs: DataFrame) -> DataFram
     construction) and pushed as a LITERAL partition filter, so the codes
     scan reads only NPROBE-ish directories of the k on disk."""
     cent = spark.read.parquet(f"{path}/centroids")
-    route = _route(q, cent)
-    cells = [r["cell"] for r in route.select("cell").distinct().collect()]
+    pairs = _route(q, cent).select("query_id", "cell")
+    # ONE materialization of the routing plan (ADVICE r10 #4): the collected
+    # (query_id, cell) pairs — bounded by QUERY_K x NPROBE — drive BOTH the
+    # literal partition filter and, joined back to the query frame for qxe,
+    # the ADC join input. Routing is fully deterministic (integer distances,
+    # id tiebreaks), but recomputing the queries-x-centroids window per
+    # consumer doubled per-search routing cost.
+    rows = pairs.collect()
+    cells = sorted({r["cell"] for r in rows})
+    route = (
+        F.broadcast(spark.createDataFrame(rows, pairs.schema))
+        .join(q, "query_id")
+        .select("query_id", "qxe", "cell")
+    )
     cb = spark.read.parquet(f"{path}/codebook")
     coded = (
         spark.read.parquet(f"{path}/codes")

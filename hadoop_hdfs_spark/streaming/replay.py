@@ -42,6 +42,12 @@ just documented: each committed version's marker records the high-water
 txid, and a new micro-batch whose txids fall at/below it is rejected
 loudly if it carries any attribute/rename op (``_ORDER_SENSITIVE_OPS``) —
 existence-only late segments remain accepted under exist_txid authority.
+Create ops slip through that guard by design (they are the existence ops
+it tolerates), but OP_ADD carries replication and all three creates stamp
+mtime — so create-BORNE attribute payloads are additionally gated on the
+same persisted authority: a create older than the path's ``exist_txid``
+applies neither its existence nor its attributes (r11, closing the
+stale-OP_ADD attribute-regression hole).
 The MERGE is idempotent
 (re-applying a batch converges — Structured Streaming's at-least-once
 ``foreachBatch`` contract) and is property-tested against a model encoding
@@ -332,11 +338,24 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
     )
     batch_paths = last_exist
     for attr in ("replication", "perm", "owner", "lease_holder", "mtime_ms"):
+        # The winning payload carries its txid and whether a CREATE op
+        # sourced it: create-borne attributes (OP_ADD's replication, the
+        # creates' mtime) have no op of their own in _ORDER_SENSITIVE_OPS —
+        # a stale create in an out-of-order segment passes the stream guard
+        # as "existence-only", so its attribute payload must be gated on
+        # the SAME persisted authority that blocks its existence write
+        # (ADVICE r10 #1). Non-create payloads keep the documented
+        # in-order-segment contract (the guard rejects them when stale).
         last_attr = (
             norm.filter(F.col(f"p_{attr}").isNotNull())
             .withColumn("_rn", F.row_number().over(w_last))
             .filter(F.col("_rn") == 1)
-            .select("path", F.col(f"p_{attr}").alias(f"{attr}_new"))
+            .select(
+                "path",
+                F.col(f"p_{attr}").alias(f"{attr}_new"),
+                F.col("txid").alias(f"_{attr}_txid"),
+                op.isin(*_CREATE_OPS).alias(f"_{attr}_create"),
+            )
         )
         batch_paths = batch_paths.join(last_attr, ["path"], "full")
 
@@ -355,7 +374,20 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
             .otherwise(F.coalesce("exists", F.lit(False)))
             .alias("exists"),
             *[
-                F.coalesce(f"{attr}_new", attr).alias(attr)
+                # apply the batch payload unless it is create-borne AND
+                # older than the path's persisted existence authority — the
+                # stale-OP_ADD attribute-regression hole the order guard
+                # cannot see (it admits existence-only late segments)
+                F.when(
+                    F.col(f"{attr}_new").isNotNull()
+                    & (
+                        ~F.coalesce(f"_{attr}_create", F.lit(False))
+                        | (F.col(f"_{attr}_txid") >= s_auth)
+                    ),
+                    F.col(f"{attr}_new"),
+                )
+                .otherwise(F.col(attr))
+                .alias(attr)
                 for attr in (
                     "replication", "perm", "owner", "lease_holder", "mtime_ms"
                 )

@@ -87,6 +87,44 @@ def test_apply_edits_cross_batch_authority(spark):
     assert out3["/f"] is False
 
 
+def test_stale_create_cannot_regress_attributes(spark):
+    """ADVICE r10 #1: a late out-of-order segment whose OP_ADD targets a
+    still-existing path passes the stream's order guard as existence-only
+    (exist_txid blocks the existence write) — its create-borne attribute
+    payloads (replication, mtime) must be blocked by the SAME authority,
+    not silently folded via coalesce back to stale values."""
+    empty = spark.createDataFrame([], "path STRING, exists BOOLEAN, replication INT")
+    sch = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT"
+    )
+    # fresh history: create rep=2 @10, then bump rep to 7 @20, mtime @30
+    fresh = spark.createDataFrame(
+        [
+            (10, "OP_ADD", 10_000, "/g", None, 2),
+            (20, "OP_SET_REPLICATION", 20_000, "/g", None, 7),
+            (30, "OP_TIMES", 30_000, "/g", None, None),
+        ],
+        sch,
+    )
+    state = apply_edits_batch(empty, fresh)
+    # stale duplicate create (txid 5 < authority 30) arrives late
+    stale = spark.createDataFrame(
+        [(5, "OP_ADD", 5_000, "/g", None, 1)], sch
+    )
+    row = {r["path"]: r for r in apply_edits_batch(state, stale).collect()}["/g"]
+    assert row["exists"] is True
+    assert row["replication"] == 7, "stale OP_ADD regressed replication"
+    assert row["mtime_ms"] == 30_000, "stale OP_ADD regressed mtime"
+    assert row["exist_txid"] == 10  # authority = last create/delete op
+    # control: a create NEWER than the authority applies its payloads
+    newer = spark.createDataFrame(
+        [(40, "OP_ADD", 40_000, "/g", None, 4)], sch
+    )
+    row2 = {r["path"]: r for r in apply_edits_batch(state, newer).collect()}["/g"]
+    assert row2["replication"] == 4 and row2["mtime_ms"] == 40_000
+
+
 def test_replay_stream_end_to_end(spark, sf_dir, tmp_path):
     """Stream the derived edits changelog through foreachBatch MERGE and
     check the final snapshot agrees with a batch replay."""
