@@ -67,6 +67,11 @@ BASE_TABLES = (
 # One node per supplier. Utilization percent = (s_suppkey*37)%100 spreads the
 # fleet across all four balancer classes (Balancer.java:800-861). s_suppkey%7==0
 # nodes are dead (stale heartbeat), s_suppkey%9 in {0,1} are decommissioning/ed.
+# upgrade_status is the node's distributed-upgrade completion percent
+# (UpgradeObjectDatanode.getUpgradeStatus, reported back to the NN's
+# UpgradeManagerNamenode via UpgradeCommand): dead nodes are stalled at an
+# arbitrary mid-upgrade percent (they cannot ack), every 5th-ish live node
+# lags 25-99, the rest have completed (100).
 _DATANODES_SQL = """
 SELECT
   'dn' || CAST(s_suppkey AS STRING)                            AS datanode_id,
@@ -86,7 +91,10 @@ SELECT
   CAST((s_suppkey * 3) % 40 AS INT)                            AS xceiver_count,
   CASE WHEN s_suppkey % 9 = 0 THEN 'DECOMMISSION_INPROGRESS'
        WHEN s_suppkey % 9 = 1 THEN 'DECOMMISSIONED'
-       ELSE 'NORMAL' END                                       AS admin_state
+       ELSE 'NORMAL' END                                       AS admin_state,
+  CASE WHEN s_suppkey % 7 = 0 THEN CAST((s_suppkey * 13) % 100 AS INT)
+       WHEN s_suppkey % 5 = 4 THEN CAST(25 + (s_suppkey * 11) % 75 AS INT)
+       ELSE CAST(100 AS INT) END                               AS upgrade_status
 FROM supplier
 """
 
@@ -435,6 +443,59 @@ CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1
             UNION ALL SELECT 2 UNION ALL SELECT 3) k
 """
 
+# Delegation-token op payloads (DelegationTokenSecretManager's persisted
+# state: security/token/delegation/DelegationTokenSecretManager.java,
+# logGetDelegationToken/logRenewDelegationToken/logCancelDelegationToken in
+# FSEditLog; loader switch FSEditLogLoader.java:404-430). The edits entity
+# carries the three token opcodes but — like the reference's opaque
+# Writable token identifier — no relational payload; this side entity
+# derives one deterministically, the _EDIT_BLOCKS_SQL pattern:
+#
+# - every OP_GET_DELEGATION_TOKEN issues a fresh token, token_seq = txid
+#   (the identifier's unique sequenceNumber);
+# - RENEW/CANCEL ops reference the MOST RECENT token issued in their hash
+#   shard (txid % 101) — a per-shard running MAX window, so renewals and
+#   cancels land on real lifecycles and a renew/cancel that precedes any
+#   issue in its shard gets token_seq NULL (the secret manager's
+#   "token not found" InvalidToken branch); GET txids are congruent
+#   2 mod 5 by the edits opcode arithmetic, so identifier moduli are
+#   chosen coprime to 5 (owner % 7, renewer % 3, key % 11) to spread;
+# - the identifier fields (owner, renewer, masterKeyId) derive from
+#   token_seq so every op on a token agrees on them; issue/expiry/maxDate
+#   are span-scaled (renew interval = token-op time range / 8) so active,
+#   expired and cancelled tokens all occur at every SF — the reference's
+#   expiryTime = now + renewInterval, maxDate = issueDate + k intervals.
+_TOKEN_OPS_SQL = """
+SELECT
+  txid, op, ts_ms, token_seq,
+  CASE WHEN token_seq IS NOT NULL
+       THEN 'user' || CAST(token_seq % 7 AS STRING) END         AS owner,
+  CASE WHEN token_seq IS NOT NULL
+       THEN 'renewer' || CAST(token_seq % 3 AS STRING) END      AS renewer,
+  CASE WHEN op = 'OP_GET_DELEGATION_TOKEN' THEN ts_ms END       AS issue_ms,
+  CASE WHEN op = 'OP_GET_DELEGATION_TOKEN'
+       THEN ts_ms + (1 + token_seq % 4) * renew_interval_ms END AS max_ms,
+  CASE WHEN op IN ('OP_GET_DELEGATION_TOKEN', 'OP_RENEW_DELEGATION_TOKEN')
+       THEN ts_ms + renew_interval_ms END                       AS expiry_ms,
+  CASE WHEN op = 'OP_GET_DELEGATION_TOKEN'
+       THEN CAST(txid % 11 AS INT) END                          AS master_key_id
+FROM (
+  SELECT txid, op, ts_ms,
+         MAX(CASE WHEN op = 'OP_GET_DELEGATION_TOKEN' THEN txid END)
+           OVER (PARTITION BY txid % 31 ORDER BY txid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                                                AS token_seq,
+         (SELECT CAST(FLOOR((MAX(ts_ms) - MIN(ts_ms)) / 8.0) AS BIGINT) + 1
+          FROM edits
+          WHERE op IN ('OP_GET_DELEGATION_TOKEN',
+                       'OP_RENEW_DELEGATION_TOKEN',
+                       'OP_CANCEL_DELEGATION_TOKEN'))           AS renew_interval_ms
+  FROM edits
+  WHERE op IN ('OP_GET_DELEGATION_TOKEN', 'OP_RENEW_DELEGATION_TOKEN',
+               'OP_CANCEL_DELEGATION_TOKEN')
+) t
+"""
+
 # Definition order matters: replicas reads blocks, leases reads inodes.
 ENTITY_SQL: dict[str, str] = {
     "datanodes": _DATANODES_SQL,
@@ -443,6 +504,7 @@ ENTITY_SQL: dict[str, str] = {
     "inodes": _INODES_SQL,
     "edits": _EDITS_SQL,
     "edit_blocks": _EDIT_BLOCKS_SQL,
+    "token_ops": _TOKEN_OPS_SQL,
     "leases": _LEASES_SQL,
     "pending_replication": _PENDING_REPLICATION_SQL,
     "audit": _AUDIT_SQL,

@@ -488,6 +488,37 @@ _A15_ACCURACY = 10000  # GK accuracy: rank error <= n / accuracy
 _A15_PS = [(1, 0.5, "p50"), (2, 0.9, "p90"), (3, 0.99, "p99")]
 
 
+def _a15_hll_ok(est: str, exact: str):
+    """HLL++ within-guarantee verdict. approx_count_distinct's default
+    rsd = 5% is a STANDARD DEVIATION, not a hard bound — the 4x-rsd (0.20)
+    gate is a ~4-sigma envelope, so a Spark upgrade that reworks HLL++
+    internals could in principle land one group past it and turn this
+    verdict into a hard oracle hash mismatch rather than a tolerance miss
+    (ADVICE r10 #3). Accepted deliberately: the driver gate exists to make
+    engine drift LOUD, and the tighter 3-sigma magnitude checks stay soft
+    asserts in tests/test_sketch.py. The small absolute floor (4) covers
+    near-exact tiny groups."""
+    return (
+        F.abs(F.col(est) - F.col(exact))
+        <= F.greatest(F.lit(4), F.ceil(F.col(exact) * 0.20))
+    ).alias(f"{'sizes' if 'sizes' in exact else 'owners'}_sketch_ok")
+
+
+def _a15_rank_ok(p: float, tag: str):
+    """GK within-guarantee verdict: the returned value's exact rank lies
+    within p*n +- n/accuracy. With ties, its rank span is (lt_tag, le_tag];
+    the spans need only INTERSECT the bound (+-1 absorbs floor/ceil edges
+    at tiny n). Expects columns n_files, lt_{tag}, le_{tag}. Fail-side
+    pinned in tests/test_sketch.py: a value whose rank span misses the
+    bound must verdict FALSE — the gate can fail, not just pass."""
+    tol = F.col("n_files") / _A15_ACCURACY + F.lit(1.0)
+    target = F.col("n_files") * p
+    return (
+        (F.col(f"lt_{tag}") <= target + tol)
+        & (F.col(f"le_{tag}") >= target - tol)
+    ).alias(f"{tag}_rank_ok")
+
+
 @register(
     "a15_size_sketch",
     oracle="""
@@ -521,9 +552,15 @@ GROUP BY replication
     "booleans for every sketch (rank-counted for GK, rsd-bounded for "
     "HLL), so the accuracy contract is hash-gated against DuckDB's exact "
     "answers; the raw estimates remain certified magnitudinally in "
-    "tests/test_sketch.py. The verdict legs cost one extra corpus scan "
-    "against the broadcast (replication-bounded) sketch row — still "
-    "sort-free and linear at any scale.",
+    "tests/test_sketch.py. Honest scale note (ADVICE r10 #2): the "
+    "countDistinct legs and the rank-certification scan are FIXTURE-SCALE "
+    "ORACLE ANCHORS — exact per-group distincts shuffle distinct values "
+    "and the certification is a second full pass, so a production "
+    "deployment would ship only the sketch estimates and drop the "
+    "verdict legs (or sample them); the constant-state claim is about "
+    "the SKETCH aggregation, which is the part that ships. The GK rank "
+    "scan itself stays one linear pass against the broadcast "
+    "(replication-bounded) sketch row — sort-free at any scale.",
 )
 def a15_size_sketch(e) -> DataFrame:
     files = e["inodes"].filter(~F.col("is_dir")).select(
@@ -564,36 +601,16 @@ def a15_size_sketch(e) -> DataFrame:
         )
     )
 
-    def hll_ok(est, exact):
-        # approx_count_distinct default rsd = 5%; gate at 4x rsd with a
-        # small absolute floor for near-exact tiny groups
-        return (
-            F.abs(F.col(est) - F.col(exact))
-            <= F.greatest(F.lit(4), F.ceil(F.col(exact) * 0.20))
-        ).alias(f"{'sizes' if 'sizes' in exact else 'owners'}_sketch_ok")
-
-    def rank_ok(p, tag):
-        # GK guarantee: the returned value's exact rank lies within
-        # p*n +- n/accuracy. With ties, its rank span is
-        # (lt_tag, le_tag]; the spans need only INTERSECT the bound
-        # (+-1 absorbs floor/ceil edges at tiny n).
-        tol = F.col("n_files") / _A15_ACCURACY + F.lit(1.0)
-        target = F.col("n_files") * p
-        return (
-            (F.col(f"lt_{tag}") <= target + tol)
-            & (F.col(f"le_{tag}") >= target - tol)
-        ).alias(f"{tag}_rank_ok")
-
     return sk.join(ranked, "replication").select(
         "replication",
         "n_files",
         "exact_distinct_sizes",
         "exact_distinct_owners",
-        hll_ok("ad_sizes", "exact_distinct_sizes"),
-        hll_ok("ad_owners", "exact_distinct_owners"),
-        rank_ok(0.5, "p50"),
-        rank_ok(0.9, "p90"),
-        rank_ok(0.99, "p99"),
+        _a15_hll_ok("ad_sizes", "exact_distinct_sizes"),
+        _a15_hll_ok("ad_owners", "exact_distinct_owners"),
+        _a15_rank_ok(0.5, "p50"),
+        _a15_rank_ok(0.9, "p90"),
+        _a15_rank_ok(0.99, "p99"),
     )
 
 
@@ -803,4 +820,70 @@ def a18_misreplicated_scan(e) -> DataFrame:
         F.sum(F.when(valid & (F.col("live") > F.col("replication")), 1).otherwise(0)).alias(
             "over_replicated"
         ),
+    )
+
+
+# Distributed-upgrade layout version being rolled out: the negative HDFS
+# layout-version convention (FSConstants.LAYOUT_VERSION is
+# LayoutVersion.getCurrentLayoutVersion(); upgrades target the next more-
+# negative number). A fixture constant — the rollup's semantics are in the
+# per-state fold, not the version literal.
+_UPGRADE_VERSION = -24
+
+
+@register(
+    "a19_upgrade_progress",
+    oracle=f"""
+SELECT admin_state,
+       CAST({_UPGRADE_VERSION} AS INT)                       AS version,
+       CAST(COUNT(*) AS BIGINT)                              AS n_nodes,
+       CAST(SUM(CASE WHEN upgrade_status >= 100 THEN 1 ELSE 0 END)
+            AS BIGINT)                                       AS n_completed,
+       CAST(FLOOR(SUM(CASE WHEN upgrade_status >= 100 THEN 100 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT)                     AS pct_nodes_complete,
+       CAST(MIN(upgrade_status) AS INT)                      AS min_node_status,
+       MIN(upgrade_status) < 100                             AS upgrade_in_progress
+FROM datanodes
+GROUP BY admin_state
+""",
+    doc="§2.10 distributedUpgradeProgress (ClientProtocol.java:694 -> "
+    "UpgradeManagerNamenode.distributedUpgradeProgress:120-142): the "
+    "dfsadmin -upgradeProgress status rollup. The reference returns an "
+    "UpgradeStatusReport(version, upgradeStatus%, finalized) where the "
+    "NN-side object's status tracks datanode completion acks "
+    "(UpgradeObjectDatanode reports per-node percent via UpgradeCommand; "
+    "UpgradeManager.getUpgradeStatus:93-97 is 100 only when every current "
+    "upgrade object is done). Restated per admin_state so the operational "
+    "question — is the upgrade blocked on live, decommissioning or dead "
+    "nodes? — is one frame: node counts, completion counts, integer "
+    "percent complete, the minimum straggler status (the upgradeStatus "
+    "analog) and the in-progress flag (upgradeState). Scale: one "
+    "node-dimension groupBy, integer arithmetic only.",
+)
+def a19_upgrade_progress(e) -> DataFrame:
+    done = F.col("upgrade_status") >= 100
+    return (
+        e["datanodes"]
+        .groupBy("admin_state")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.when(done, 1).otherwise(0)).cast("long").alias("n_completed"),
+            # FLOOR on both sides: DuckDB's CAST(x AS BIGINT) rounds where
+            # Spark's cast truncates — the explicit floor makes the two
+            # engines agree on the integer percent
+            F.floor(F.sum(F.when(done, 100).otherwise(0)) / F.count("*"))
+            .cast("long")
+            .alias("pct_nodes_complete"),
+            F.min("upgrade_status").cast("int").alias("min_node_status"),
+            (F.min("upgrade_status") < 100).alias("upgrade_in_progress"),
+        )
+        .select(
+            "admin_state",
+            F.lit(_UPGRADE_VERSION).cast("int").alias("version"),
+            "n_nodes",
+            "n_completed",
+            "pct_nodes_complete",
+            "min_node_status",
+            "upgrade_in_progress",
+        )
     )

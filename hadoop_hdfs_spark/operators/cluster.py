@@ -597,6 +597,164 @@ def t24_lease_recovery(e) -> DataFrame:
 
 
 @register(
+    "t25_token_expiry",
+    oracle="""
+WITH g AS (
+  SELECT token_seq, owner, max_ms, expiry_ms AS expiry0, master_key_id
+  FROM token_ops WHERE op = 'OP_GET_DELEGATION_TOKEN'
+),
+rn AS (
+  SELECT token_seq, MAX(expiry_ms) AS renew_expiry,
+         CAST(COUNT(*) AS BIGINT) AS n_renewals
+  FROM token_ops
+  WHERE op = 'OP_RENEW_DELEGATION_TOKEN' AND token_seq IS NOT NULL
+  GROUP BY token_seq
+),
+cn AS (
+  SELECT DISTINCT token_seq FROM token_ops
+  WHERE op = 'OP_CANCEL_DELEGATION_TOKEN' AND token_seq IS NOT NULL
+),
+tk AS (
+  SELECT g.owner, g.master_key_id,
+         COALESCE(rn.n_renewals, CAST(0 AS BIGINT)) AS n_renewals,
+         CASE WHEN cn.token_seq IS NOT NULL THEN 'cancelled'
+              WHEN LEAST(g.max_ms, COALESCE(rn.renew_expiry, g.expiry0))
+                   < (SELECT MAX(ts_ms) + 1 FROM token_ops) THEN 'expired'
+              ELSE 'active' END AS status
+  FROM g
+  LEFT JOIN rn ON rn.token_seq = g.token_seq
+  LEFT JOIN cn ON cn.token_seq = g.token_seq
+)
+SELECT owner,
+       CAST(COUNT(*) AS BIGINT)                             AS n_tokens,
+       CAST(SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
+            AS BIGINT)                                      AS n_active,
+       CAST(SUM(CASE WHEN status = 'expired' THEN 1 ELSE 0 END)
+            AS BIGINT)                                      AS n_expired,
+       CAST(SUM(CASE WHEN status = 'cancelled' THEN 1 ELSE 0 END)
+            AS BIGINT)                                      AS n_cancelled,
+       CAST(SUM(n_renewals) AS BIGINT)                      AS n_renewals,
+       CAST(COUNT(DISTINCT CASE WHEN status = 'active'
+                                THEN master_key_id END)
+            AS BIGINT)                                      AS n_keys_pinned,
+       CAST(0 AS BIGINT)                                    AS n_orphan_refs
+FROM tk GROUP BY owner
+UNION ALL
+SELECT CAST(NULL AS STRING),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM token_ops
+WHERE token_seq IS NULL
+  AND op IN ('OP_RENEW_DELEGATION_TOKEN', 'OP_CANCEL_DELEGATION_TOKEN')
+""",
+    doc="T25 delegation-token lifecycle accounting — the batch restatement "
+    "of DelegationTokenSecretManager's token map at 'now' (security/token/"
+    "delegation/DelegationTokenSecretManager.java: addPersistedDelegation"
+    "Token/updatePersistedTokenRenewal/cancelToken; expiry scan = "
+    "AbstractDelegationTokenSecretManager's ExpiredTokenRemover). Per "
+    "owner: token counts by status where a cancel wins outright, the "
+    "effective expiry is min(maxDate, last logged renewal) — renewToken's "
+    "cap — and 'now' is the log horizon (max token-op ts + 1). "
+    "n_keys_pinned counts the distinct master keys the owner's still-"
+    "active tokens reference: the removeExpiredKeys retention rule (a "
+    "DelegationKey cannot be dropped while a live token was signed by "
+    "it). Renew/cancel ops that reference no issued token (the "
+    "InvalidToken branch) aggregate into the NULL-owner orphan row. "
+    "Scale shape: token_ops is edits-derived; the fold is two key-grouped "
+    "aggregations plus a per-owner rollup — no window over the corpus, no "
+    "driver collect; the distinct-key leg is bounded by the master-key "
+    "vocabulary (11). Replay no-op pointer: streaming/replay.py documents "
+    "the token opcodes as namespace no-ops and routes their analytics "
+    "here.",
+)
+def t25_token_expiry(e) -> DataFrame:
+    t = e["token_ops"]
+    now = t.agg((F.max("ts_ms") + F.lit(1)).alias("now_ms"))
+    gets = t.filter(F.col("op") == "OP_GET_DELEGATION_TOKEN").select(
+        "token_seq",
+        "owner",
+        "max_ms",
+        F.col("expiry_ms").alias("expiry0"),
+        "master_key_id",
+    )
+    ren = (
+        t.filter(
+            (F.col("op") == "OP_RENEW_DELEGATION_TOKEN")
+            & F.col("token_seq").isNotNull()
+        )
+        .groupBy("token_seq")
+        .agg(
+            F.max("expiry_ms").alias("renew_expiry"),
+            F.count("*").cast("long").alias("n_renewals"),
+        )
+    )
+    can = (
+        t.filter(
+            (F.col("op") == "OP_CANCEL_DELEGATION_TOKEN")
+            & F.col("token_seq").isNotNull()
+        )
+        .select("token_seq")
+        .distinct()
+        .withColumn("_cancelled", F.lit(True))
+    )
+    eff = F.least("max_ms", F.coalesce("renew_expiry", "expiry0"))
+    tok = (
+        gets.join(ren, "token_seq", "left")
+        .join(can, "token_seq", "left")
+        .crossJoin(F.broadcast(now))  # 1-row scalar: the log horizon
+        .select(
+            "owner",
+            "master_key_id",
+            F.coalesce("n_renewals", F.lit(0)).cast("long").alias("n_renewals"),
+            F.when(F.col("_cancelled"), F.lit("cancelled"))
+            .when(eff < F.col("now_ms"), F.lit("expired"))
+            .otherwise(F.lit("active"))
+            .alias("status"),
+        )
+    )
+    by_owner = tok.groupBy("owner").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("status") == "active", 1).otherwise(0))
+        .cast("long")
+        .alias("n_active"),
+        F.sum(F.when(F.col("status") == "expired", 1).otherwise(0))
+        .cast("long")
+        .alias("n_expired"),
+        F.sum(F.when(F.col("status") == "cancelled", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cancelled"),
+        F.sum("n_renewals").cast("long").alias("n_renewals"),
+        F.countDistinct(
+            F.when(F.col("status") == "active", F.col("master_key_id"))
+        )
+        .cast("long")
+        .alias("n_keys_pinned"),
+    ).withColumn("n_orphan_refs", F.lit(0).cast("long"))
+    orphans = (
+        t.filter(
+            F.col("token_seq").isNull()
+            & F.col("op").isin(
+                "OP_RENEW_DELEGATION_TOKEN", "OP_CANCEL_DELEGATION_TOKEN"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("n_orphan_refs"))
+        .select(
+            F.lit(None).cast("string").alias("owner"),
+            *[
+                F.lit(0).cast("long").alias(c)
+                for c in (
+                    "n_tokens", "n_active", "n_expired", "n_cancelled",
+                    "n_renewals", "n_keys_pinned",
+                )
+            ],
+            "n_orphan_refs",
+        )
+    )
+    return by_owner.unionByName(orphans)
+
+
+@register(
     "w4_datanode_ranking",
     oracle="""
 SELECT datanode_id, capacity, dfs_used, remaining,

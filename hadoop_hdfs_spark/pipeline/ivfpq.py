@@ -52,9 +52,11 @@ _DUCK_SQDIST64 = (
 _FINAL = f"iva_{_IVF_MAX_ITERS}"  # the converged assignment CTE
 
 
-@register(
-    "s_knn_ivfpq",
-    oracle=f"""
+# One oracle for BOTH gates: the in-memory composed search and the at-rest
+# (persisted-index) search are the same topology by construction — routing,
+# ADC shortlist, re-rank and recall scoring must be bit-identical whether
+# the codes come from the inline encode or the cell-partitioned parquet.
+_IVFPQ_ORACLE = f"""
 WITH {_ivf_chain_ctes()},
 e AS ({_DUCK_XE}),
 {_DUCK_CB},
@@ -125,7 +127,12 @@ SELECT x.query_id,
 FROM e5 x
 LEFT JOIN rr r ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
 GROUP BY x.query_id
-""",
+"""
+
+
+@register(
+    "s_knn_ivfpq",
+    oracle=_IVFPQ_ORACLE,
     doc="IVF-PQ search, end to end — the composed 100 TB topology: route "
     "each fixed-sample query to its NPROBE nearest converged-IVF cells "
     "(centroids recomputed from the trained partitioner with the loop's "
@@ -341,3 +348,47 @@ def search_pq_index(spark, path: str, q: DataFrame, vecs: DataFrame) -> DataFram
         )
     )
     return _rerank_rr(route, coded, vecs, q)
+
+
+# Bump when the persisted layout or encode/centroid semantics change: the
+# stage key must rotate or a cached index built by OLD code would be served
+# to NEW search code (the staging module keys on fixture content + entity
+# SQL, which cannot see index-code edits).
+_INDEX_STAGE_VERSION = 1
+
+
+@register(
+    "s_knn_ivfpq_at_rest",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ search against the PERSISTED index — the same composed "
+    "topology as s_knn_ivfpq, but the codes are read back from the "
+    "cell-partitioned parquet save_pq_index wrote (staged once per fixture "
+    "version) and the probed cells arrive as a LITERAL partition filter, "
+    "so the scan prunes to NPROBE-ish of the k cell directories "
+    "(PartitionFilters, plan-pinned in tests/test_ivfpq.py). Driver-gating "
+    "this path certifies the at-rest round trip the in-memory equi-join "
+    "can only simulate: identical oracle, identical recall frame — any "
+    "drift between what save_pq_index persists and what search_pq_index "
+    "reconstructs is a hash mismatch. At 100 TB this IS the production "
+    "search: the index is written once, partition-pruned per query batch.",
+)
+def s_knn_ivfpq_at_rest(e) -> DataFrame:
+    return eager_cache_thunk(
+        e, "ivfpq_recall_at_rest", lambda: _ivfpq_recall_at_rest(e)
+    )
+
+
+def _ivfpq_recall_at_rest(e) -> DataFrame:
+    from ..streaming.staging import entities_sql_version, staged_dir
+
+    xe = _quantized_vecs(e)
+    spark = xe.sparkSession
+    stage = staged_dir(
+        str(e["__sf_dir__"]),
+        f"ivfpq_idx_v{_INDEX_STAGE_VERSION}_{entities_sql_version()}",
+        lambda p: save_pq_index(e, p),
+    )
+    vecs = xe.select("vec_id", "xe")
+    q = _query_frame(xe)
+    rr = search_pq_index(spark, stage, q, vecs)
+    return _recall_vs_exact(rr, vecs, q)

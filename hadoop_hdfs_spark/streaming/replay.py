@@ -216,7 +216,11 @@ def apply_edits_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
       per-path — fold it with :func:`latest_genstamp`; OP_SET_QUOTA and
       the delegation-token ops (OP_GET/RENEW/CANCEL_DELEGATION_TOKEN,
       OP_UPDATE_MASTER_KEY — token secret-manager state,
-      FSEditLogLoader.java:404-430) are no-ops on this projection.
+      FSEditLogLoader.java:404-430) are no-ops on this projection. The
+      token ops' own state machine (issue/renew/cancel/expiry, the
+      DelegationTokenSecretManager fold) is a first-class query:
+      ``t25_token_expiry`` over the ``token_ops`` entity
+      (operators/cluster.py).
 
     See module docstring for the batch-ordering contract.
     """

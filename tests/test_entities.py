@@ -252,3 +252,57 @@ def test_events_ts_surfaces_as_nanos(spark, sf_dir, entities):
     nanosecond math)."""
     ev = spark.table("events")
     assert dict(ev.dtypes)["ts"] == "bigint"
+
+
+def test_token_ops_entity_invariants(spark, sf_dir, entities):
+    """token_ops (r11): every non-NULL token_seq on a RENEW/CANCEL must
+    reference an actually-issued token (a GET row with that txid) at an
+    EARLIER txid; identifier fields derive from token_seq so all ops on a
+    token agree on owner; payload columns appear exactly on the ops the
+    reference logs them for; and the fixture exercises every lifecycle
+    branch (issues, hit renewals, hit cancels, orphan refs)."""
+    from pyspark.sql import functions as F
+
+    t = entities["token_ops"]
+    GET = "OP_GET_DELEGATION_TOKEN"
+    gets = t.filter(F.col("op") == GET)
+    # issued tokens are unique and self-referential (token_seq == txid)
+    assert gets.filter(F.col("token_seq") != F.col("txid")).count() == 0
+    assert gets.count() == gets.select("token_seq").distinct().count()
+    refs = t.filter((F.col("op") != GET) & F.col("token_seq").isNotNull())
+    # every reference resolves to an issue at an earlier txid
+    unresolved = refs.join(
+        gets.select("token_seq", F.col("txid").alias("issue_txid")),
+        "token_seq",
+        "left",
+    ).filter(
+        F.col("issue_txid").isNull() | (F.col("issue_txid") >= F.col("txid"))
+    )
+    assert unresolved.count() == 0
+    # all ops on a token agree on the identifier fields
+    assert (
+        t.filter(F.col("token_seq").isNotNull())
+        .groupBy("token_seq")
+        .agg(F.countDistinct("owner").alias("o"))
+        .filter(F.col("o") != 1)
+        .count()
+        == 0
+    )
+    # payload placement: issue/max/key only on GET; expiry on GET+RENEW
+    bad_payload = t.filter(
+        (
+            (F.col("op") != GET)
+            & (
+                F.col("issue_ms").isNotNull()
+                | F.col("max_ms").isNotNull()
+                | F.col("master_key_id").isNotNull()
+            )
+        )
+        | ((F.col("op") == "OP_CANCEL_DELEGATION_TOKEN") & F.col("expiry_ms").isNotNull())
+    )
+    assert bad_payload.count() == 0
+    # every branch the t25 fold discriminates on occurs in the fixture
+    assert gets.count() > 0
+    assert refs.filter(F.col("op") == "OP_RENEW_DELEGATION_TOKEN").count() > 0
+    assert refs.filter(F.col("op") == "OP_CANCEL_DELEGATION_TOKEN").count() > 0
+    assert t.filter(F.col("token_seq").isNull()).count() > 0

@@ -204,6 +204,25 @@ def test_ivfpq_at_full_probe_equals_pure_adc_gate(spark, sf_dir, monkeypatch):
     assert got == want and got
 
 
+def test_at_rest_gate_matches_in_memory_gate_and_prunes(spark, sf_dir):
+    """The REGISTERED at-rest query (s_knn_ivfpq_at_rest, the driver-gated
+    form) must produce exactly the in-memory gate's recall frame — one
+    topology, two storage forms — and its codes scan must carry the
+    literal PartitionFilters prune (the plan property the driver's hash
+    cannot see)."""
+    import re
+
+    from hadoop_hdfs_spark.plans import formatted_plan
+
+    at_rest = QUERIES["s_knn_ivfpq_at_rest"](spark, sf_dir)
+    mem = QUERIES["s_knn_ivfpq"](spark, sf_dir)
+    a = {tuple(r) for r in at_rest.collect()}
+    b = {tuple(r) for r in mem.collect()}
+    assert a == b and a, (len(a), len(b), len(a ^ b))
+    plan = formatted_plan(at_rest)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
+
+
 def test_saved_index_search_with_empty_query_frame(spark, sf_dir, tmp_path):
     """Edge: an empty query frame routes to zero cells — the search must
     return an empty result (isin over an empty cell list), not crash."""

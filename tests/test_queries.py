@@ -199,6 +199,51 @@ def test_t24_recovery_ladder_all_branches(spark):
     assert rows["/f/earlier_rwr"]["last_block_id"] == 51
 
 
+def test_t25_token_ladder_all_branches(spark):
+    """DelegationTokenSecretManager fold on synthetic token ops — pins the
+    branches the fixture cannot isolate: the maxDate CAP (a renewal logged
+    past maxDate must not resurrect the token — renewToken's
+    min(maxDate, now + interval)), cancel-wins (a cancel beats any
+    renewal), and the orphan-ref row (renew/cancel with no issued
+    target, the InvalidToken branch)."""
+    from hadoop_hdfs_spark.operators.cluster import t25_token_expiry
+
+    GET, REN, CAN = (
+        "OP_GET_DELEGATION_TOKEN",
+        "OP_RENEW_DELEGATION_TOKEN",
+        "OP_CANCEL_DELEGATION_TOKEN",
+    )
+    # now = max ts + 1 = 5001
+    rows = [
+        (GET, 1000, 1, "u1", 99999, 6000, 1),   # active (expiry0 past now)
+        (GET, 1000, 2, "u1", 99999, 4000, 1),   # expired, never renewed
+        (GET, 1000, 3, "u1", 4500, 3000, 4),    # renewed past maxDate ...
+        (REN, 5000, 3, "u1", None, 9000, None), # ... cap -> still expired
+        (GET, 1000, 4, "u2", 99999, 4000, 2),   # renewal saves it -> active
+        (REN, 4800, 4, "u2", None, 8000, None),
+        (GET, 1000, 5, "u2", 99999, 9000, 3),   # cancelled despite expiry
+        (CAN, 2000, 5, "u2", None, None, None),
+        (REN, 3000, None, None, None, 7000, None),  # orphan renew
+        (CAN, 3500, None, None, None, None, None),  # orphan cancel
+    ]
+    e = {
+        "token_ops": spark.createDataFrame(
+            rows,
+            "op STRING, ts_ms LONG, token_seq LONG, owner STRING, "
+            "max_ms LONG, expiry_ms LONG, master_key_id INT",
+        )
+    }
+    got = {r["owner"]: r for r in t25_token_expiry(e).collect()}
+    u1, u2, orphan = got["u1"], got["u2"], got[None]
+    assert (u1["n_tokens"], u1["n_active"], u1["n_expired"],
+            u1["n_cancelled"]) == (3, 1, 2, 0)
+    assert u1["n_renewals"] == 1 and u1["n_keys_pinned"] == 1
+    assert (u2["n_tokens"], u2["n_active"], u2["n_expired"],
+            u2["n_cancelled"]) == (2, 1, 0, 1)
+    assert u2["n_renewals"] == 1 and u2["n_keys_pinned"] == 1
+    assert orphan["n_orphan_refs"] == 2 and orphan["n_tokens"] == 0
+
+
 def test_quality_cascade_funnel_algebra(spark, sf_dir):
     """Funnel invariants that hold for ANY corpus (engine-independent, so
     they also guard the shared-SQL blind spot): per source, the funnel

