@@ -146,7 +146,7 @@ def _import_operator_modules() -> None:
     from . import hftp  # noqa: F401  (s5: driver-gated data source scan)
     from .operators import admin, audit, blocks, cluster, events, namespace, relational  # noqa: F401
     from .pipeline import ann, bpetrain, corpus, curation, dedup, ivfpq, ivftrain, multimodal, pq, privacy, quality, similarity, text  # noqa: F401
-    from .streaming import checkpoint, dedup as sdedup, enrich, joins, leases, liveness, pending, quota, rates, sessions  # noqa: F401  (t14/t17-t23 + t1b/t1c/t2c: driver-gated streaming execution)
+    from .streaming import checkpoint, dedup as sdedup, enrich, joins, leases, liveness, pending, quota, rates, sessions, tokens  # noqa: F401  (t14/t17-t26 + t1b/t1c/t2c: driver-gated streaming execution)
 
 
 # Driver-verification ordering. The driver checks queries in dict order and

@@ -408,3 +408,138 @@ def pending_replication_event_stream(events, timeout_ms: int):
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- T25's monitor form: delegation-token expiry (the ExpiredTokenRemover
+# thread of AbstractDelegationTokenSecretManager, run by the NN's
+# DelegationTokenSecretManager; FSEditLog persists exactly the op stream
+# this monitor folds, FSEditLogLoader.java:404-430) ---
+
+TOKEN_OUTPUT = StructType(
+    [
+        StructField("token_seq", LongType(), False),
+        StructField("owner", StringType(), True),
+        StructField("status", StringType(), False),
+        StructField("death_ms", LongType(), True),
+        StructField("n_valid_renewals", LongType(), False),
+    ]
+)
+
+TOKEN_STATE = StructType(
+    [
+        StructField("owner", StringType(), True),
+        StructField("max_ms", LongType(), True),
+        StructField("cur_expiry_ms", LongType(), True),
+        StructField("n_renewals", LongType(), True),
+        StructField("dead", BooleanType(), True),
+    ]
+)
+
+_TOKEN_GET = "OP_GET_DELEGATION_TOKEN"
+_TOKEN_RENEW = "OP_RENEW_DELEGATION_TOKEN"
+_TOKEN_CANCEL = "OP_CANCEL_DELEGATION_TOKEN"
+
+
+def make_token_expiry_monitor():
+    """Delegation-token expiry with SEQUENTIAL authority, keyed per token
+    (the t26 gate's certifiable form). Unlike the t25 batch fold — which
+    reads the whole log and takes min(maxDate, last renewal) — this is
+    the secret manager's actual timeline: a renewal or cancel is only
+    valid while the token is LIVE (``renewToken``/``cancelToken`` on a
+    removed token throw InvalidToken), and the ExpiredTokenRemover
+    removes the token the moment its current expiry passes.
+
+    - the issue op creates the state cell (owner, maxDate) and pins the
+      EVENT-time timeout at min(maxDate, expiryTime);
+    - a renewal that arrives at ts <= current expiry re-pins at
+      min(maxDate, its new expiryTime) — renewToken's cap;
+    - a valid cancel emits status='cancelled' at its ts and tombstones;
+    - the WATERMARK passing the pin (or any op arriving already past it)
+      emits status='expired' at the pinned expiry and tombstones; later
+      ops against a tombstone are the InvalidToken no-ops.
+
+    Emission is exactly-once per dead token and a pure function of the
+    data under the time-ordered windowed replay: an event at ts <= the
+    current pin cannot be outrun by the watermark, because the watermark
+    entering its batch is bounded by earlier windows' times (< ts).
+    Still-live tokens at stream end emit nothing — the output is the
+    remover's removal log."""
+
+    def monitor(key, rows, state):
+        (token_seq,) = key
+        if token_seq is None or token_seq < 0:
+            for _ in rows:  # watermark sentinel: consume, keep no state
+                pass
+            yield from ()
+            return
+        if state.hasTimedOut:
+            owner, max_ms, cur_e, n_ren, dead = state.get
+            if not dead:
+                state.update((owner, max_ms, cur_e, n_ren, True))
+                yield pd.DataFrame(
+                    {
+                        "token_seq": [token_seq],
+                        "owner": [owner],
+                        "status": ["expired"],
+                        "death_ms": [cur_e],
+                        "n_valid_renewals": [n_ren],
+                    }
+                )
+            return
+        owner, max_ms, cur_e, n_ren, dead = (
+            state.get if state.exists else (None, None, None, 0, False)
+        )
+        evs = pd.concat(list(rows)).sort_values("ts_ms")  # order-sensitive fold
+        emitted: list[tuple[str, int]] = []
+        for op, ts, exp, mx, ow in zip(
+            evs["op"], evs["ts_ms"], evs["expiry_ms"], evs["max_ms"], evs["owner"]
+        ):
+            if dead:
+                break  # ops against a removed token: InvalidToken no-ops
+            ts = int(ts)
+            if cur_e is None:
+                if op == _TOKEN_GET:
+                    owner, max_ms = ow, int(mx)
+                    cur_e = min(max_ms, int(exp))
+                continue
+            if ts > cur_e:
+                # the token expired before this op was logged — the remover
+                # beat it; emit the expiry, the op itself is invalid
+                emitted.append(("expired", cur_e))
+                dead = True
+                break
+            if op == _TOKEN_RENEW:
+                cur_e = min(max_ms, int(exp))
+                n_ren += 1
+            elif op == _TOKEN_CANCEL:
+                emitted.append(("cancelled", ts))
+                dead = True
+                break
+        state.update((owner, max_ms, cur_e, n_ren, dead))
+        if not dead and cur_e is not None:
+            state.setTimeoutTimestamp(cur_e)
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "token_seq": [token_seq] * len(emitted),
+                    "owner": [owner] * len(emitted),
+                    "status": [s for s, _ in emitted],
+                    "death_ms": [d for _, d in emitted],
+                    "n_valid_renewals": [n_ren] * len(emitted),
+                }
+            )
+
+    return monitor
+
+
+def token_expiry_event_stream(events):
+    """Wire the token monitor over a watermarked streaming
+    (token_seq, op, ts_ms, expiry_ms, max_ms, owner, ts) frame; emits one
+    row per token death (expired or cancelled)."""
+    return events.groupBy("token_seq").applyInPandasWithState(
+        make_token_expiry_monitor(),
+        outputStructType=TOKEN_OUTPUT,
+        stateStructType=TOKEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -286,3 +286,113 @@ def test_t23_lease_ladder_mid_stream_rungs(spark, tmp_path):
         ("A", "hard_released", B0 + 0),
         ("B", "soft_preemptable", B0 + 500),  # renewed: ladder reset, hard not crossed
     }
+
+
+def test_t26_token_monitor_sequential_authority(spark, tmp_path):
+    """The token monitor's branch ladder on a tiny synthetic stream,
+    pinning the SEQUENTIAL-authority semantics that distinguish t26 from
+    the t25 batch fold:
+
+    - token 1: issued, renewed in-authority (re-pin extends life past the
+      horizon) -> ALIVE, emits nothing;
+    - token 2: issued, never renewed -> 'expired' at min(maxDate, expiry)
+      when the watermark passes the pin;
+    - token 3: issued, renewal arrives AFTER its expiry -> 'expired' at
+      the original pin, the late renewal is the InvalidToken no-op (t25
+      would resurrect it: the deliberate semantic difference);
+    - token 4: issued, cancelled in-authority -> 'cancelled' at the
+      cancel ts, even though its expiry was still ahead;
+    - token 5: renewal capped by maxDate (renewToken's min) -> 'expired'
+      at maxDate, with the renewal counted."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from hadoop_hdfs_spark.streaming.drain import drain_partitions
+    from hadoop_hdfs_spark.streaming.timeouts import token_expiry_event_stream
+
+    GET, REN, CAN = (
+        "OP_GET_DELEGATION_TOKEN",
+        "OP_RENEW_DELEGATION_TOKEN",
+        "OP_CANCEL_DELEGATION_TOKEN",
+    )
+    B0 = 1_000_000
+    HORIZON = B0 + 2000
+    cols = ("token_seq", "op", "ts_ms", "expiry_ms", "max_ms", "owner")
+    files = [
+        [
+            (1, GET, B0 + 0, B0 + 500, B0 + 9000, "u1"),
+            (2, GET, B0 + 0, B0 + 400, B0 + 9000, "u2"),
+            (3, GET, B0 + 0, B0 + 300, B0 + 9000, "u3"),
+            (4, GET, B0 + 0, B0 + 9000, B0 + 9000, "u4"),
+            (5, GET, B0 + 0, B0 + 600, B0 + 800, "u5"),
+        ],
+        [
+            (1, REN, B0 + 450, B0 + 99000, None, None),  # in-authority
+            (4, CAN, B0 + 200, None, None, None),        # valid cancel
+            (5, REN, B0 + 550, B0 + 99000, None, None),  # capped at maxDate
+        ],
+        [
+            (3, REN, B0 + 900, B0 + 99000, None, None),  # after expiry: no-op
+        ],
+        [
+            (-1, "__sentinel__", HORIZON, None, None, None),
+        ],
+    ]
+    stage = tmp_path / "t26_ladder"
+    _os.makedirs(stage)
+    schema = pa.schema(
+        [
+            ("token_seq", pa.int64()),
+            ("op", pa.string()),
+            ("ts_ms", pa.int64()),
+            ("expiry_ms", pa.int64()),
+            ("max_ms", pa.int64()),
+            ("owner", pa.string()),
+        ]
+    )
+    for i, rows_i in enumerate(files):
+        p = str(stage / f"f{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(cols, r)) for r in rows_i], schema=schema
+            ),
+            p,
+        )
+        _os.utime(p, (1_700_000_000 + 10 * i,) * 2)
+    src = (
+        spark.readStream.schema(
+            "token_seq long, op string, ts_ms long, expiry_ms long, "
+            "max_ms long, owner string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    events = src.withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts", "0 seconds")
+    out = token_expiry_event_stream(events)
+    with drain_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t26_ladder_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = {
+        r.token_seq: (r.status, r.death_ms, r.n_valid_renewals)
+        for r in spark.sql("SELECT * FROM t26_ladder_sink").collect()
+        if r.token_seq >= 0
+    }
+    spark.catalog.dropTempView("t26_ladder_sink")
+    assert 1 not in emitted  # renewed past the horizon: alive, no emission
+    assert emitted[2] == ("expired", B0 + 400, 0)
+    assert emitted[3] == ("expired", B0 + 300, 0)  # late renewal ignored
+    assert emitted[4] == ("cancelled", B0 + 200, 0)
+    assert emitted[5] == ("expired", B0 + 800, 1)  # maxDate cap, renewal counted
+    assert len(emitted) == 4
