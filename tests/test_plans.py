@@ -484,3 +484,12 @@ def test_no_query_duplicates_noncheap_expressions(spark, sf_dir):
         if n > 4:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_token_expiry_broadcasts_horizon_and_hash_joins(spark, sf_dir):
+    # t25: the one-row log-horizon scalar rides a broadcast nested-loop
+    # join; the renewal/cancel folds join the issue table by token_seq as
+    # hash joins — the token table never shuffles more than its key
+    plan = _plan(spark, sf_dir, "t25_token_expiry")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
