@@ -220,3 +220,57 @@ def test_driver_fold_cap_fires_loudly(spark, monkeypatch):
     # at the default cap the same batch folds fine
     monkeypatch.setattr(replay, "MAX_DRIVER_FOLD_OPS", 100_000)
     assert replay.apply_edits_batch(state, batch).count() > 0
+
+
+exist_ops = st.lists(
+    st.tuples(
+        st.sampled_from(("OP_ADD", "OP_MKDIR", "OP_SYMLINK", "OP_DELETE")),
+        st.sampled_from(PATHS),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seg1=exist_ops, seg2=exist_ops)
+def test_stale_existence_segment_redelivery_is_noop(spark, seg1, seg2):
+    """The r11 authority contract, as a property: re-applying an EARLIER
+    existence-only segment (creates/deletes — exactly the late-segment
+    class the stream's order guard admits) after a later segment must
+    change NOTHING — not existence (exist_txid already guaranteed that),
+    and since r11 not create-borne attributes either (a stale OP_ADD's
+    replication/mtime are gated on the same authority; ADVICE r10 #1).
+    OP_CONCAT_DELETE is excluded on purpose: its target-mtime touch makes
+    it order-sensitive, and the stream guard rejects it in late segments.
+    Compares FULL rows including exist_txid, against the engine itself."""
+    schema = (
+        "txid LONG, op STRING, ts_ms LONG, path STRING, dst STRING, "
+        "replication INT"
+    )
+
+    def to_batch(seg, base_txid):
+        rows = [
+            (
+                base_txid + i,
+                op,
+                (base_txid + i) * 1000,
+                path,
+                None,
+                repl if op == "OP_ADD" else None,
+            )
+            for i, (op, path, repl) in enumerate(seg, start=1)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    empty = spark.createDataFrame(
+        [], "path STRING, exists BOOLEAN, replication INT"
+    )
+    b1 = to_batch(seg1, 0)
+    b2 = to_batch(seg2, len(seg1))
+    s2 = apply_edits_batch(apply_edits_batch(empty, b1), b2)
+    rows2 = sorted(map(tuple, s2.collect()))
+    s3 = apply_edits_batch(s2, b1)  # stale redelivery of segment 1
+    rows3 = sorted(map(tuple, s3.collect()))
+    assert rows2 == rows3
