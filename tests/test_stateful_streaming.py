@@ -396,3 +396,32 @@ def test_t26_token_monitor_sequential_authority(spark, tmp_path):
     assert emitted[4] == ("cancelled", B0 + 200, 0)
     assert emitted[5] == ("expired", B0 + 800, 1)  # maxDate cap, renewal counted
     assert len(emitted) == 4
+
+
+def test_t26_output_invariant_to_stream_slicing(spark, sf_dir, monkeypatch):
+    """The t26 docstring's purity claim, pinned: the drained removal log
+    is a pure function of the data however the micro-batches slice the
+    stream. Re-stage the same token ops into 3 windows instead of 8
+    (different watermark advance points, different data/timeout
+    interleavings per token) and the emitted relation must be
+    IDENTICAL."""
+    from hadoop_hdfs_spark import registry
+    from hadoop_hdfs_spark.streaming import tokens as tok
+
+    baseline = {
+        tuple(r)
+        for r in registry.queries()["t26_token_expiry_stream"](
+            spark, sf_dir
+        ).collect()
+    }
+    monkeypatch.setattr(tok, "_T26_WINDOWS", 3)  # code_ver keys a new stage
+    # evict the memoized 8-window frame so the query rebuilds and re-drains
+    from hadoop_hdfs_spark.registry import _CACHED
+
+    e = registry._entities(spark, sf_dir)
+    monkeypatch.setattr(tok, "_T26_SEQ", iter(range(1000, 2000)))
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _CACHED if k[0] == app and k[2] == "t26_tokens"]:
+        _CACHED.pop(k)
+    resliced = {tuple(r) for r in tok.t26_token_expiry_stream(e).collect()}
+    assert resliced == baseline and baseline
