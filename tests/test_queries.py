@@ -320,3 +320,37 @@ def test_au_ip_profile_branches(spark):
     assert got["disp"].dispersed and got["disp"].n_ips == 3
     assert got["disp"].top_ip == "10.0.0.4"                 # 3-3 tie, lowest
     assert got["tie"].top_ip == "10.0.0.8"                  # tie -> lowest ip
+
+
+def test_t25_t26_cross_gate_containments(spark, sf_dir):
+    """The documented semantic difference between the token gates has
+    provable DIRECTIONS, pinned here on the fixture:
+
+    - sequential authority only kills MORE: every token the whole-log
+      fold (t25) classifies expired or cancelled is dead in the monitor
+      (t26) too — per owner, t26's dead count >= t25's
+      n_expired + n_cancelled (equivalently: t26-alive subset of
+      t25-active);
+    - a sequentially-valid cancel is also a log-fold cancel: per owner,
+      t26's cancelled count <= t25's n_cancelled."""
+    from hadoop_hdfs_spark import registry
+
+    qs = registry.queries()
+    t25 = {
+        r["owner"]: r
+        for r in qs["t25_token_expiry"](spark, sf_dir).collect()
+        if r["owner"] is not None
+    }
+    t26 = qs["t26_token_expiry_stream"](spark, sf_dir).collect()
+    dead = {}
+    cancelled = {}
+    for r in t26:
+        dead[r["owner"]] = dead.get(r["owner"], 0) + 1
+        if r["status"] == "cancelled":
+            cancelled[r["owner"]] = cancelled.get(r["owner"], 0) + 1
+    assert t25, "fixture must issue tokens"
+    for owner, row in t25.items():
+        assert dead.get(owner, 0) >= row["n_expired"] + row["n_cancelled"], owner
+        assert cancelled.get(owner, 0) <= row["n_cancelled"], owner
+        # and the monitor can never kill more than the owner ever issued
+        assert dead.get(owner, 0) <= row["n_tokens"], owner
