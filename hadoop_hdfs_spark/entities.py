@@ -454,7 +454,7 @@ CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1
 # - every OP_GET_DELEGATION_TOKEN issues a fresh token, token_seq = txid
 #   (the identifier's unique sequenceNumber);
 # - RENEW/CANCEL ops reference the MOST RECENT token issued in their hash
-#   shard (txid % 101) — a per-shard running MAX window, so renewals and
+#   shard (txid % 31) — a per-shard running MAX window, so renewals and
 #   cancels land on real lifecycles and a renew/cancel that precedes any
 #   issue in its shard gets token_seq NULL (the secret manager's
 #   "token not found" InvalidToken branch); GET txids are congruent
