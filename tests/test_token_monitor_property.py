@@ -41,85 +41,22 @@ _COLS = ("token_seq", "op", "ts_ms", "expiry_ms", "max_ms", "owner")
 
 
 # --------------------------------------------------------------------------
-# applyInPandasWithState harness
+# applyInPandasWithState harness (shared: tests/state_harness.py)
 # --------------------------------------------------------------------------
 
 
-class _FakeGroupState:
-    """The slice of the GroupState API the monitor touches, with the
-    per-invocation timeout-reset contract: any previously-set timeout is
-    cleared when the function is invoked and survives only if the
-    function sets it again."""
-
-    def __init__(self):
-        self._value = None
-        self._timeout = None
-        self._timed_out = False
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    @property
-    def hasTimedOut(self):
-        return self._timed_out
-
-    def update(self, value):
-        self._value = tuple(value)
-
-    def setTimeoutTimestamp(self, ts_ms):
-        self._timeout = int(ts_ms)
-
-
-def _invoke(monitor, states, out, key, pdfs, timed_out):
-    st_ = states.setdefault(key, _FakeGroupState())
-    st_._timed_out = timed_out
-    st_._timeout = None  # per-invocation reset; monitor must re-pin
-    for pdf in monitor((key,), iter(pdfs), st_):
-        out.append(pdf)
-
-
 def _drive_monitor(windows, horizon):
-    """Replay the windowed batches exactly as the drain does: windows in
-    time order, the watermark entering a batch bounded by earlier
-    windows' event times, timeouts delivered (with an empty row iterator)
-    to groups the watermark has passed that receive no data this batch,
-    and a final timeout pass once the sentinel advances the watermark to
-    the horizon."""
-    monitor = make_token_expiry_monitor()
-    states: dict[int, _FakeGroupState] = {}
-    out: list[pd.DataFrame] = []
-    wm = None
+    from state_harness import drive_monitor
 
-    def fire_timeouts(batch_keys):
-        for tok, st_ in list(states.items()):
-            if (
-                st_._timeout is not None
-                and tok not in batch_keys
-                and wm is not None
-                and wm > st_._timeout
-            ):
-                _invoke(monitor, states, out, tok, [], True)
-
-    for win in windows:
-        by_tok = {
-            tok: grp.reset_index(drop=True)
-            for tok, grp in win.groupby("token_seq")
-        }
-        fire_timeouts(set(by_tok))
-        for tok, pdf in by_tok.items():
-            _invoke(monitor, states, out, tok, [pdf], False)
-        hi = int(win["ts_ms"].max())
-        wm = hi if wm is None else max(wm, hi)
-    wm = horizon if wm is None else max(wm, horizon)
-    fire_timeouts(set())
-    if not out:
+    got = drive_monitor(
+        make_token_expiry_monitor(),
+        windows,
+        horizon,
+        key_cols=("token_seq",),
+        ts_col="ts_ms",
+    )
+    if got is None:
         return set()
-    got = pd.concat(out, ignore_index=True)
     return {
         (int(r.token_seq), r.owner, r.status, int(r.death_ms), int(r.n_valid_renewals))
         for r in got.itertuples()
