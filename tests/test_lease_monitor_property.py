@@ -1,4 +1,6 @@
-"""Randomized differential for the t23 lease-ladder monitor.
+"""Randomized differentials for the t23 lease-ladder monitor and the t22
+heartbeat monitor (the two single-key event-time expiry shapes whose
+emission is a pure function of the data under the gap contract).
 
 `make_lease_event_monitor` (streaming/timeouts.py) is driven through the
 shared no-Spark applyInPandasWithState harness (tests/state_harness.py)
@@ -128,5 +130,60 @@ def test_lease_monitor_matches_closed_form(stream):
     )
     assert got_rows == _expected(renewals, now)
     # exactly-once: no duplicated (lease, phase) emission
+    if got is not None:
+        assert len(got) == len(got_rows)
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_renewal_streams())
+def test_heartbeat_monitor_matches_closed_form(stream):
+    """Same differential for the single-rung t22 heartbeat monitor
+    (make_heartbeat_event_monitor): a node is declared dead — once, with
+    its FINAL ping — iff NOW is strictly past final ping + expiry; live
+    nodes emit nothing. Reuses the renewal-stream generator with
+    (holder, path) read as a composite node id and renewed_ms as the
+    ping series, the same gap contract (heartbeats every expiry/3 in the
+    reference, HEARTBEAT_EXPIRY = 10 min vs 3 s intervals)."""
+    from hadoop_hdfs_spark.streaming.timeouts import make_heartbeat_event_monitor
+
+    from state_harness import drive_monitor
+
+    renewals, windows, now = stream
+    pings = renewals.assign(
+        datanode_id=renewals["holder"] + renewals["path"],
+        ping_ms=renewals["renewed_ms"],
+    )[["datanode_id", "ping_ms"]]
+    win_pings = [
+        w.assign(
+            datanode_id=w["holder"] + w["path"], ping_ms=w["renewed_ms"]
+        )[["datanode_id", "ping_ms"]]
+        for w in windows
+    ]
+    got = drive_monitor(
+        make_heartbeat_event_monitor(SOFT),
+        win_pings,
+        now,
+        key_cols=("datanode_id",),
+        ts_col="ping_ms",
+    )
+    got_rows = (
+        set()
+        if got is None
+        else {
+            (r.datanode_id, int(r.last_heartbeat_ms), r.is_dead)
+            for r in got.itertuples()
+        }
+    )
+    last = pings.groupby("datanode_id")["ping_ms"].max()
+    expected = {
+        (node, int(lp), True)
+        for node, lp in last.items()
+        if now > int(lp) + SOFT
+    }
+    assert got_rows == expected
     if got is not None:
         assert len(got) == len(got_rows)
