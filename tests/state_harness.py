@@ -56,7 +56,21 @@ class FakeGroupState:
         self._removed = True
 
     def setTimeoutTimestamp(self, ts_ms):
-        self._timeout = int(ts_ms)
+        # Fidelity with pyspark.sql.streaming.state.GroupState: a
+        # non-positive timestamp raises VALUE_NOT_POSITIVE, and a
+        # timestamp strictly below the current watermark raises
+        # INVALID_TIMEOUT_TIMESTAMP. Enforcing both here means a passing
+        # differential ALSO proves the monitor can never crash the real
+        # stream with a stale or degenerate pin, however the batches
+        # slice.
+        ts_ms = int(ts_ms)
+        if ts_ms <= 0:
+            raise ValueError(f"timeout timestamp must be positive: {ts_ms}")
+        if self._wm is not None and ts_ms < self._wm:
+            raise ValueError(
+                f"timeout timestamp {ts_ms} below watermark {self._wm}"
+            )
+        self._timeout = ts_ms
 
     def getCurrentWatermarkMs(self):
         return self._wm if self._wm is not None else 0

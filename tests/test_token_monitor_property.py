@@ -126,10 +126,12 @@ def _token_streams(draw):
             kinds.append((tok, GET))
         else:
             kinds.append((tok, draw(st.sampled_from([REN, CAN]))))
+    # event times start at 1: epoch-ms in production, and the harness
+    # (like real GroupState) rejects a non-positive timeout pin
     ts_list = sorted(
         draw(
             st.lists(
-                st.integers(0, 40),
+                st.integers(1, 60),
                 min_size=len(kinds),
                 max_size=len(kinds),
                 unique=True,
