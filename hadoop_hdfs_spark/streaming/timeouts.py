@@ -328,7 +328,20 @@ def pending_replication_monitor(
     WATERMARK passes it — deterministic given the data, which is what lets
     the t21 gate (streaming/pending.py) hash-match the monitor's full
     emission relation against a closed-form SQL oracle. The caller must
-    wire ``GroupStateTimeout.EventTimeTimeout`` and a watermark."""
+    wire ``GroupStateTimeout.EventTimeTimeout`` and a watermark.
+
+    Late-arrival branch (event-time only): when a block's events land in
+    a batch ENTERED with the watermark already past its pin — a late
+    blockReceived or re-dispatch, data delivery winning over the
+    same-batch timeout — the deadline passed before those events were
+    logged, so the timed-out row is emitted FIRST and the batch folds
+    against a fresh map (the reference's remover moved the entry to
+    timedOutItems; late confirms decrement nothing —
+    PendingReplicationBlocks.remove:87-99 on an absent entry). Without
+    this branch the fold would re-pin ``dispatched + timeout`` BELOW the
+    watermark, which GroupState.setTimeoutTimestamp rejects — a late
+    confirm would crash the production stream (found by the randomized
+    differential, tests/test_pending_monitor_property.py)."""
     (block_id,) = key
     if state.hasTimedOut:
         ts, n = state.get if state.exists else (None, 0)
@@ -343,6 +356,21 @@ def pending_replication_monitor(
         )
         return
     ts, n = state.get if state.exists else (None, 0)
+    if (
+        event_time
+        and state.exists
+        and state.getCurrentWatermarkMs() > ts + timeout_ms
+    ):
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "block_id": [block_id],
+                "dispatched_ms": [ts],
+                "replicas_in_flight": [n],
+                "timed_out": [True],
+            }
+        )
+        ts, n = None, 0
     for pdf in rows:
         for ev, ev_ms, inc in zip(
             pdf["event"], pdf["event_ms"], pdf["n_replicas"]
