@@ -150,16 +150,32 @@ WITH t AS (
          CAST(FLOOR(value * 100) AS BIGINT) AS cents
   FROM events
 ),
+-- collapse to one row per DISTINCT (user, ts) BEFORE the lag walk: the
+-- classic lag/running-sum sessionization is peer-order-DEPENDENT on
+-- duplicate timestamps (a duplicate of a session-opening event lands
+-- before or after the opener within its tie group arbitrarily, moving
+-- it between adjacent sessions — observed as a run-to-run row-count
+-- flap on the 10x fact-scaled set, whose key-offset copies overlay
+-- identical (user, ts) multisets). Spark's session_window assigns
+-- duplicates deterministically; grouping first makes the SQL
+-- restatement well-defined under ties and is identity on the unique-ts
+-- fixtures.
+g AS (
+  SELECT user_id, ts_ms,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS c
+  FROM t GROUP BY user_id, ts_ms
+),
 marked AS (
-  SELECT user_id, ts_ms, cents,
+  SELECT user_id, ts_ms, n, c,
          CASE WHEN LAG(ts_ms) OVER w IS NULL
               OR ts_ms - LAG(ts_ms) OVER w > {SESSION_GAP_EVENTS_MS}
               THEN 1 ELSE 0 END AS new_s
-  FROM t
+  FROM g
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
 ),
 sess AS (
-  SELECT user_id, ts_ms, cents,
+  SELECT user_id, ts_ms, n, c,
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
@@ -167,8 +183,8 @@ sess AS (
 SELECT user_id,
        CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
        CAST(MAX(ts_ms) AS BIGINT) AS session_end_ms,
-       CAST(COUNT(*) AS BIGINT)   AS n_events,
-       CAST(SUM(cents) AS BIGINT) AS value_cents
+       CAST(SUM(n) AS BIGINT)     AS n_events,
+       CAST(SUM(c) AS BIGINT)     AS value_cents
 FROM sess
 GROUP BY user_id, sid
 """,

@@ -24,6 +24,26 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE OR REPLACE VIEW {name} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
+    # Present the ORACLE-CONTRACT view surface whatever the fixture's
+    # physical form, mirroring entities.normalize_event_ts on the Spark
+    # side: the four epoch_ns(ts) oracles assume events.ts is a
+    # timestamp (what the driver's raw views see on the shipped
+    # fixtures), but bench._materialize_sf1 writes the 10x fact-scaled
+    # events with ts already as BIGINT UTC nanoseconds — coerce that
+    # form back to a timestamp so the same oracle text binds at any SF
+    # dir. make_timestamp takes MICROseconds; the truncation is exact
+    # here because the materializer derives its nanos from
+    # microsecond-precision source timestamps (sub-us is always zero).
+    (ts_type,) = (
+        r[1]
+        for r in con.execute("DESCRIBE SELECT ts FROM events").fetchall()
+    )
+    if "INT" in ts_type.upper():
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS "
+            "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+            f"FROM read_parquet('{sf_dir}/events.parquet')"
+        )
     return con
 
 
