@@ -553,6 +553,13 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     spark.conf.set("spark.sql.shuffle.partitions", str(min(cores, 64)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Join-strategy defaults (guide §3.1), runtime-settable so a
+    # driver-provided default-config session gets them too; the static
+    # codegen-cache sizing (session.py) cannot be applied here.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+    )
     out = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

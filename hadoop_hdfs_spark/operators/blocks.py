@@ -354,7 +354,13 @@ def j5_fsck_blocks(e) -> DataFrame:
         replicas.join(F.broadcast(datanodes.select("datanode_id", "rack")), "datanode_id")
         .groupBy("block_id")
         .agg(
-            F.count_distinct(F.when(~F.col("is_corrupt"), F.col("rack"))).alias("racks")
+            # one partial-aggregable pass instead of the 4-level distinct
+            # aggregate; sets bounded by the rack count (see j12)
+            F.size(
+                F.collect_set(F.when(~F.col("is_corrupt"), F.col("rack")))
+            )
+            .cast("long")
+            .alias("racks")
         )
     )
     j = (
@@ -990,9 +996,20 @@ def w6b_lost_found_move(e) -> DataFrame:
     flagged = counts.withColumn(
         "run_id", F.sum(F.when(F.col("live") == 0, 1).otherwise(0)).over(w_run)
     )
-    corrupt = flagged.filter(F.col("live") == 0).select("file_id").distinct()
-    salv = flagged.join(corrupt, "file_id", "left_semi").filter(
-        F.col("live") > 0
+    # "file is corrupt" (>= 1 block with zero live replicas) as a second
+    # window over the SAME file_id partitioning instead of the old
+    # distinct + left-semi self-join: Catalyst does not share the
+    # blocks|><|replicas rollup between a frame and its own semi-join
+    # restriction, so the join shape paid the rollup + run window TWICE
+    # plus two extra exchanges (distinct + join). One partitioning, zero
+    # self-joins — identical rows (guide §2.4: remove shuffles outright).
+    has_missing = F.max((F.col("live") == 0).cast("int")).over(
+        Window.partitionBy("file_id")
+    )
+    salv = (
+        flagged.withColumn("has_missing", has_missing)
+        .filter((F.col("has_missing") == 1) & (F.col("live") > 0))
+        .drop("has_missing")
     )
     ranked = (
         salv.join(
@@ -1201,9 +1218,15 @@ def j12_placement_verify(e) -> DataFrame:
         )
         .groupBy("block_id", "file_id")
         .agg(
-            F.countDistinct(
-                F.when(~F.col("is_corrupt"), F.col("rack"))
-            ).alias("n_racks")
+            # size(collect_set) = COUNT(DISTINCT ...) with NULLs dropped,
+            # but as ONE partial-aggregable pass (sets bounded by the rack
+            # count) instead of the planner's 4-level distinct aggregate —
+            # guide §2.3: aggregate before you shuffle
+            F.size(
+                F.collect_set(F.when(~F.col("is_corrupt"), F.col("rack")))
+            )
+            .cast("long")
+            .alias("n_racks")
         )
     )
     min_racks = F.least(F.lit(2), F.col("replication"), F.col("num_racks")).cast("long")

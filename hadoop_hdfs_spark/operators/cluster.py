@@ -953,29 +953,39 @@ def t8b_decommission_progress(e) -> DataFrame:
         "datanode_id"
     )
     hosted_ids = r.join(F.broadcast(decom), "datanode_id").select("block_id").distinct()
-    per_block = (
+    # One pass over the restricted replicas: the per-block countNodes
+    # rollup is a pair of windows over block_id on the SAME semi-joined
+    # frame the hosting rows come from — the old groupBy-then-join-back
+    # shape scanned the replica table twice (rollup leg + hosting leg)
+    # and paid an extra block_id exchange to reattach the counts
+    # (guide §2.4: two operations keyed the same way share one exchange).
+    wb = Window.partitionBy("block_id")
+    rr = (
         r.join(hosted_ids, "block_id", "left_semi")
         .join(F.broadcast(d.select("datanode_id", "admin_state")), "datanode_id")
-        .groupBy("block_id")
-        .agg(
+        .withColumn(
+            "live_normal",
             F.sum(
                 F.when(
                     ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"), 1
                 ).otherwise(0)
             )
-            .cast("long")
-            .alias("live_normal"),
+            .over(wb)
+            .cast("long"),
+        )
+        .withColumn(
+            "decom_replicas",
             F.sum(
                 F.when(
                     ~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1
                 ).otherwise(0)
             )
-            .cast("long")
-            .alias("decom_replicas"),
+            .over(wb)
+            .cast("long"),
         )
     )
     hosted = (
-        r.join(F.broadcast(decom), "datanode_id")
+        rr.filter(F.col("admin_state") == "DECOMMISSION_INPROGRESS")
         .join(b.select("block_id", "file_id"), "block_id")
         .join(
             i.select(
@@ -983,7 +993,6 @@ def t8b_decommission_progress(e) -> DataFrame:
             ),
             "file_id",
         )
-        .join(per_block, "block_id")
     )
     under = F.when(F.col("live_normal") < F.col("replication"), 1).otherwise(0)
     return hosted.groupBy("datanode_id").agg(

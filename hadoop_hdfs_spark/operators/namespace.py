@@ -255,8 +255,15 @@ def a1_content_summary(e) -> DataFrame:
     return content_summary_all(e["inodes"])
 
 
-def content_summary_all(inodes: DataFrame) -> DataFrame:
-    """(dir_path, file_count, dir_count, total_length, diskspace) per dir."""
+def content_summary_all(
+    inodes: DataFrame, restrict_to: DataFrame | None = None
+) -> DataFrame:
+    """(dir_path, file_count, dir_count, total_length, diskspace) per dir.
+
+    ``restrict_to``: optional 1-column (dir_path) frame; when given, the
+    exploded ancestor stream is semi-joined against it BEFORE the rollup,
+    so only the named directories' contributions shuffle.
+    """
     anc = F.expr(_ANCESTORS)
     contrib = inodes.select(
         F.explode(
@@ -266,6 +273,8 @@ def content_summary_all(inodes: DataFrame) -> DataFrame:
         "length",
         "replication",
     )
+    if restrict_to is not None:
+        contrib = contrib.join(restrict_to, "dir_path", "left_semi")
     return contrib.groupBy("dir_path").agg(
         F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("file_count"),
         F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("dir_count"),
@@ -300,10 +309,19 @@ WHERE (ns_quota >= 0 AND ns_count > ns_quota)
 )
 def a2_quota_check(e) -> DataFrame:
     inodes = e["inodes"]
-    summary = content_summary_all(inodes)
     quota_dirs = inodes.filter(
         F.col("is_dir") & ((F.col("ns_quota") >= 0) | (F.col("ds_quota") >= 0))
     ).select(F.col("path").alias("dir_path"), "ns_quota", "ds_quota")
+    # Only quota-carrying directories can violate, so drop every other
+    # ancestor row BEFORE the rollup shuffles (guide §2.3 "project/filter
+    # before the exchange"): the broadcast semi-join against the (rare —
+    # FSDirectory attaches quotas to a handful of subtrees) quota-dir set
+    # shrinks the exploded ancestor stream to the quota subtrees only.
+    # The old shape aggregated the FULL per-directory summary and joined
+    # after — the A1 answer computed just to throw 99% of it away.
+    summary = content_summary_all(
+        inodes, restrict_to=F.broadcast(quota_dirs.select("dir_path"))
+    )
     joined = quota_dirs.join(summary, "dir_path").select(
         "dir_path",
         "ns_quota",

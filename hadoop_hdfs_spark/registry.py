@@ -92,8 +92,41 @@ def _cache_pins() -> int:
 
 _CACHED_MAX = _cache_pins()
 
+# How operator pins materialize: "checkpoint" (default) eagerly computes
+# AND truncates lineage (small downstream plans — see eager_cache);
+# "cache" keeps the classic recompute-capable InMemoryRelation pin for
+# deployments where executor loss must not fail a running query; "off"
+# (plan-inspection only — see pin_override) passes the derivation through
+# untouched so its full physical shape stays visible to .explain().
+_PIN_MODE = os.environ.get("SPARK_GRAFT_PIN_MODE", "checkpoint")
+
+
+def pin_override(mode: str):
+    """Context manager: temporarily force the pin materialization mode.
+
+    The plan-pin tests certify scale properties INSIDE pinned derivations
+    (range-sharded kernels, broadcast sides); lineage truncation hides
+    those from the composed query's .explain(), so the pins inspect the
+    derivation with pinning off — the pin is an orthogonal
+    materialization choice, not part of the operator's shape."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        global _PIN_MODE
+        old = _PIN_MODE
+        _PIN_MODE = mode
+        try:
+            yield
+        finally:
+            _PIN_MODE = old
+
+    return _cm()
+
 
 def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
+    if _PIN_MODE == "off":  # plan inspection: expose the raw derivation
+        return df
     key = (
         df.sparkSession.sparkContext.applicationId,
         str(e.get("__sf_dir__", "?")),
@@ -108,8 +141,20 @@ def eager_cache(e: dict, tag: str, df: DataFrame) -> DataFrame:
             cold.unpersist()
         except Exception:
             pass  # session may already be stopped; eviction still happened
-    c = df.cache()
-    c.count()
+    if _PIN_MODE == "checkpoint":
+        # localCheckpoint = the same eager one-materialization pin, PLUS
+        # lineage truncation: the pinned frame's logical plan collapses to
+        # a LogicalRDD scan, so every composed query re-analyzes a
+        # ~10-node tree instead of the full derivation (the W2 queue's
+        # consumers carried 700+-node trees through analysis per
+        # invocation — r11 measured j10's construction alone at 1.2 s).
+        # Storage semantics match cache() (MEMORY_AND_DISK); the tradeoff
+        # is recompute-on-executor-loss becomes fail-and-rerun, which a
+        # cluster deployment can opt out of via SPARK_GRAFT_PIN_MODE=cache.
+        c = df.localCheckpoint(eager=True)
+    else:
+        c = df.cache()
+        c.count()
     _CACHED[key] = c
     return c
 
@@ -125,6 +170,8 @@ def eager_cache_thunk(e: dict, tag: str, thunk) -> DataFrame:
     The cache key's applicationId comes from the active session (every
     caller runs inside one) — NOT from probing ``thunk()``, which would
     execute the expensive build just to derive the key (ADVICE r3)."""
+    if _PIN_MODE == "off":  # plan inspection: bypass the memo too
+        return thunk()
     session = SparkSession.getActiveSession()
     if session is None:  # fall back to any entity frame's session
         session = next(

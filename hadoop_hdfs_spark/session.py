@@ -45,6 +45,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r11 measured (OPTIMIZATION_r11.md §global): the catalog cycles
+        # ~1300 distinct codegen units per pass; the default 100-entry
+        # generated-class cache recompiled every stage every pass
+        # (-16% on the 30 hottest queries when sized to hold the catalog).
+        # Static conf: driver-provided sessions can't get it at runtime.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1): same shuffle, no sort on either side.
+        # Safe under skew — AQE skew-split handles SHJ too — and bounded:
+        # plan-time SHJ needs the build side under threshold*partitions,
+        # and the AQE rewrite is capped per-partition at 64 MB.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # fixture events.parquet stores TIMESTAMP(NANOS); Spark 4 needs this
@@ -53,6 +68,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Escape hatch for tuning experiments / deployment-specific overrides:
+    # "k=v;k2=v2" applied last, so it can override any default above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 

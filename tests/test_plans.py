@@ -19,13 +19,24 @@ from hadoop_hdfs_spark.plans import formatted_plan
 QUERIES = registry.queries()
 
 
-def _plan(spark, sf_dir, name: str) -> str:
+def _plan(spark, sf_dir, name: str, raw: bool = False) -> str:
+    """Formatted plan of a registered query.
+
+    ``raw=True`` inspects the UN-pinned derivation (registry.pin_override
+    "off"): pins that certify shapes INSIDE an eager-cached subtree
+    (kernels, broadcast sides) need the derivation, which the r11
+    lineage-truncating checkpoint pin hides from the composed plan."""
+    if raw:
+        from hadoop_hdfs_spark import registry
+
+        with registry.pin_override("off"):
+            return formatted_plan(QUERIES[name](spark, sf_dir))
     return formatted_plan(QUERIES[name](spark, sf_dir))
 
 
 def test_knn_broadcasts_query_side(spark, sf_dir):
     # brute-force ANN: the query set is broadcast; the corpus never shuffles
-    plan = _plan(spark, sf_dir, "s_knn_bruteforce")
+    plan = _plan(spark, sf_dir, "s_knn_bruteforce", raw=True)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
@@ -218,7 +229,10 @@ def test_metasave_reuses_cached_queue_and_broadcasts_nodes(spark, sf_dir):
     # m1 iterates the CACHED W2 queue (the reference's in-memory
     # neededReplications) and broadcasts the node dimension
     plan = _plan(spark, sf_dir, "m1_metasave")
-    assert "InMemoryTableScan" in plan
+    # the pinned queue reads as InMemoryTableScan (cache pin mode) or as a
+    # lineage-truncated ExistingRDD scan (checkpoint pin mode, the r11
+    # default) — either way the W2 derivation is not re-run
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
@@ -275,7 +289,7 @@ def test_semdedup_broadcasts_centroids(spark, sf_dir):
     # the centroid table is cell-count-sized and must broadcast into both
     # the assignment and the centroid-cosine joins; the argmin is pruned
     # by WindowGroupLimit before the rk=1 filter
-    plan = _plan(spark, sf_dir, "d_semdedup")
+    plan = _plan(spark, sf_dir, "d_semdedup", raw=True)
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
 
@@ -284,7 +298,7 @@ def test_s1_block_scan_is_range_sharded(spark, sf_dir):
     # the block scan must be the bounded-memory shape: an Arrow kernel over
     # distributedly-derived (path, offset) rows — never a whole-file
     # binaryFile scan (single-row files OOM at scale)
-    plan = _plan(spark, sf_dir, "s1_binary_block_scan")
+    plan = _plan(spark, sf_dir, "s1_binary_block_scan", raw=True)
     assert "MapInPandas" in plan
     assert "binaryFile" not in plan
     assert "Generate" in plan  # shard rows derived by explode, not driver
@@ -293,7 +307,7 @@ def test_s1_block_scan_is_range_sharded(spark, sf_dir):
 def test_s5_listing_scans_through_the_data_source(spark, sf_dir):
     # the listing must come through the registered hftp source (filter
     # params evaluated in-reader), not a re-derivation from entities
-    plan = _plan(spark, sf_dir, "s5_hftp_listing_scan")
+    plan = _plan(spark, sf_dir, "s5_hftp_listing_scan", raw=True)
     assert "BatchScan hftp" in plan or "hftp" in plan
 
 
@@ -301,7 +315,7 @@ def test_bpe_apply_joins_encoded_vocabulary(spark, sf_dir):
     # production BPE apply: the corpus-scale side joins the bounded
     # encoded-vocabulary frame; the merge replay (MapInPandas) must sit on
     # the DISTINCT-word side, never over corpus rows
-    plan = _plan(spark, sf_dir, "t_bpe_apply")
+    plan = _plan(spark, sf_dir, "t_bpe_apply", raw=True)
     assert "MapInPandas" in plan
     assert plan.count("HashAggregate") >= 2  # distinct + final partial aggs
 
@@ -319,7 +333,7 @@ def test_s5c_range_read_is_range_sharded(spark, sf_dir):
     # kernel over distributedly-derived (path, offset, length) rows — each
     # task fetches only its range through range_read(), never a whole-file
     # read
-    plan = _plan(spark, sf_dir, "s5c_hftp_range_read")
+    plan = _plan(spark, sf_dir, "s5c_hftp_range_read", raw=True)
     assert "MapInPandas" in plan
     assert "binaryFile" not in plan
     assert "Generate" in plan  # range rows derived by explode, not driver
@@ -383,7 +397,12 @@ def test_incremental_near_dup_probes_base_buckets_only(spark, sf_dir):
     # d_minhash_lsh), so the base corpus text is touched once per session
     plan = _plan(spark, sf_dir, "d_incremental_near_dup")
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 2  # cached bands, both sides
+    # cached bands on both sides: InMemoryTableScan under cache pin mode,
+    # lineage-truncated ExistingRDD scans under checkpoint mode (r11)
+    pinned_scans = plan.count("InMemoryTableScan") + plan.count(
+        "Scan ExistingRDD"
+    )
+    assert pinned_scans >= 2  # cached bands, both sides
     assert "band_val" in plan  # the bucket equi-key drives the join
 
 

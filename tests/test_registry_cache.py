@@ -54,6 +54,13 @@ class _FakeFrame:
         self.counted = True
         return 0
 
+    def localCheckpoint(self, eager: bool = True) -> "_FakeFrame":
+        # checkpoint pin mode: one eager materialization, same as
+        # cache()+count() for the LRU mechanics under test here
+        self.cached = True
+        self.counted = eager
+        return self
+
     def unpersist(self) -> "_FakeFrame":
         self.unpersisted = True
         return self

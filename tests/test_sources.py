@@ -132,7 +132,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         df = sources.bucketed_block_join(spark)
         plan = formatted_plan(df)
         assert "Exchange" not in plan, plan
-        assert "SortMergeJoin" in plan
+        # the shuffle-free property is the pin; the co-partitioned join may
+        # plan as sort-merge or (since preferSortMergeJoin=false) as a
+        # bucket-local shuffled-hash join — both read the buckets in place
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         # and it computes the same thing as the straight join
         straight = e["blocks"].join(
             e["replicas"].select("block_id", "datanode_id", "state", "is_corrupt"),
