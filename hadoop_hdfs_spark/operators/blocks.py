@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..entities import HEARTBEAT_EXPIRY_MS, NOW_MS
-from ..registry import eager_cache, register
+from ..registry import eager_cache, eager_cache_thunk, register
 from ..session import fan_out
 
 # Shared DuckDB fragment: per-block replica rollup.
@@ -495,6 +495,13 @@ WHERE c.live < i.replication
     "on the hottest join for a predicate that only needs 'fewer than 2'.",
 )
 def w2_replication_priority(e) -> DataFrame:
+    # thunk form (r11): on a memo hit the queue must not pay the full
+    # three-way-join construction (hundreds of py4j calls) just to throw
+    # the frame away — see registry.eager_cache_thunk
+    return eager_cache_thunk(e, "w2_queue", lambda: _build_w2_queue(e))
+
+
+def _build_w2_queue(e) -> DataFrame:
     blocks, replicas, datanodes, inodes = (
         e["blocks"],
         e["replicas"],
@@ -561,7 +568,7 @@ def w2_replication_priority(e) -> DataFrame:
     # caching the (block-count-bounded, metadata-scale) queue is the
     # faithful analog and lets T6's scheduler drain it without re-running
     # the three-way join.
-    return eager_cache(e, "w2_queue", out)
+    return out
 
 
 # U3's excess picks as standalone SQL — reused by m2_invalidate_sets'
@@ -592,6 +599,10 @@ WHERE t.live > t.replication AND t.rk <= t.live - t.replication
     "live-expected.",
 )
 def u3_excess_replicas(e) -> DataFrame:
+    return eager_cache_thunk(e, "u3_excess", lambda: _build_u3_excess(e))
+
+
+def _build_u3_excess(e) -> DataFrame:
     replicas, datanodes, inodes = e["replicas"], e["datanodes"], e["inodes"]
     counts = _block_replica_counts(e)
     live_reps = (
@@ -614,12 +625,10 @@ def u3_excess_replicas(e) -> DataFrame:
     # as an in-memory structure (BlockManager.java:1572 fills it; metaSave
     # dumps it) — and m2_invalidate_sets drains this exact frame, so the
     # window never runs twice in a session.
-    return eager_cache(
-        e,
-        "u3_excess",
+    return (
         live_reps.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("live") - F.col("replication"))
-        .select("block_id", "datanode_id"),
+        .select("block_id", "datanode_id")
     )
 
 
@@ -749,7 +758,12 @@ def a9b_content_checksum(e) -> DataFrame:
     # corpus size; the shuffle moves only block rows. On a cluster the
     # open/seek/read becomes the store's ranged GET; local[*] shares the
     # filesystem, same as binaryFile's listing did.
-    shard = 16 * 1024 * 1024
+    # 4 MiB shards (a multiple of the 64 KiB span): the sf0.1 corpus is
+    # ten 16 MiB files, so 16 MiB shards gave exactly 10 tasks on a
+    # 32-core box — shrinking the shard quadruples scan parallelism at
+    # identical results (block spans still never straddle a shard). At
+    # cluster scale the shard size only sets per-task read granularity.
+    shard = 4 * 1024 * 1024
     span = 128 * 512  # one 'block': 128 chunks x 512 B
     files = [
         (_os.path.basename(p), p, _os.path.getsize(p))
@@ -802,12 +816,14 @@ def a9b_content_checksum(e) -> DataFrame:
                     data = fh.read(int(ln))
                 base = int(off) // span
                 for b in range(0, len(data), span):
-                    piece = data[b : b + span]
+                    # hex the whole span ONCE and slice per chunk (1024 hex
+                    # chars = 512 bytes) — byte-identical to per-chunk
+                    # hex() and half the kernel CPU (r11 measured 0.15 ->
+                    # 0.08 s per 9 MB single-core)
+                    hx = data[b : b + span].hex().upper()
                     cat = "".join(
-                        hashlib.md5(
-                            piece[i : i + 512].hex().upper().encode()
-                        ).hexdigest()
-                        for i in range(0, len(piece), 512)
+                        hashlib.md5(hx[i : i + 1024].encode()).hexdigest()
+                        for i in range(0, len(hx), 1024)
                     )
                     out["file_name"].append(fn)
                     out["n"].append(int(n))

@@ -1100,12 +1100,18 @@ def j10_replication_targets(e) -> DataFrame:
     from .admin import t6_replication_work
     from .blocks import w2_replication_priority
 
-    from ..registry import eager_cache
+    from ..registry import eager_cache_thunk
 
     # the per-round work queue is small (2/source cap) and already the
-    # product of the full w2 window chain — pin it once per session/SF
-    work = eager_cache(
-        e, "t6_work_blocks", t6_replication_work(e).select("block_id").distinct()
+    # product of the full w2 window chain — pin it once per session/SF.
+    # THUNK form throughout (r11): eager_cache(e, tag, expr) evaluates
+    # expr — the whole scheduler tree, hundreds of py4j calls — before
+    # the memo is even consulted, so warm invocations paid full
+    # construction for frames they never rebuild.
+    work = eager_cache_thunk(
+        e,
+        "t6_work_blocks",
+        lambda: t6_replication_work(e).select("block_id").distinct(),
     )
     r, d = e["replicas"], e["datanodes"]
     # deficit from the CACHED W2 queue (same live/expected definitions the
@@ -1114,10 +1120,10 @@ def j10_replication_targets(e) -> DataFrame:
     # builds it once per round; target choice consumes it), so it is
     # pinned per session/SF too — re-deriving the w2 rollup + join per
     # invocation paid ~0.7 s/run at sf0.1 for a queue-sized frame.
-    need = eager_cache(
+    need = eager_cache_thunk(
         e,
         "j10_need",
-        work.join(
+        lambda: work.join(
             w2_replication_priority(e).select("block_id", "live", "expected"),
             "block_id",
         )
@@ -1137,10 +1143,10 @@ def j10_replication_targets(e) -> DataFrame:
     # time), so they pin per session/SF like the queue — otherwise every
     # invocation re-scans the full replica table twice (anti-join leg +
     # rack leg) to rebuild a few-thousand-row set.
-    holder_nodes = eager_cache(
+    holder_nodes = eager_cache_thunk(
         e,
         "j10_holder_nodes",
-        r.filter(~F.col("is_corrupt"))
+        lambda: r.filter(~F.col("is_corrupt"))
         .join(F.broadcast(need.select("block_id")), "block_id", "left_semi")
         .select("block_id", "datanode_id"),
     )

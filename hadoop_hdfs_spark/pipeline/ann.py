@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import eager_cache, register
+from ..registry import eager_cache, register, eager_cache_thunk
 from ..session import fan_out
 
 N_PLANES = 8
@@ -95,7 +95,7 @@ def _quantized_vecs(e) -> DataFrame:
             "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
         ).alias("xe"),
     )
-    return eager_cache(e, "ivf_xe", xe)
+    return eager_cache_thunk(e, "ivf_xe", lambda: xe)
 
 
 def _label_centroids(xe: DataFrame) -> DataFrame:
@@ -215,9 +215,10 @@ def s_knn_hyperplane_lsh(e) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    sig = eager_cache(
-        e, "hyperplane_sig", vecs.withColumn("bucket", _spark_sig(F.col("v")))
-    )  # eager: both join sides read it
+    sig = eager_cache_thunk(  # eager: both join sides read it; thunk —
+        # the 8 hyperplane-dot expressions are construction-heavy (r11)
+        e, "hyperplane_sig", lambda: vecs.withColumn("bucket", _spark_sig(F.col("v")))
+    )
     q = _query_sample(sig).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("qbucket"),
@@ -359,7 +360,10 @@ def d_semdedup(e) -> DataFrame:
         "xe",
         _icos_e6(F.col("xe"), F.col("ce")).alias("cent_cos_e6"),
     )
-    base = eager_cache(e, "semdedup_base", base)  # self-join reads both sides
+    raw_base = base
+    base = eager_cache_thunk(  # self-join reads both sides
+        e, "semdedup_base", lambda: raw_base
+    )
     a = fan_out(
         base.select(
             F.col("vec_id").alias("a_id"),
@@ -542,7 +546,10 @@ def _mrl_recall(xe: DataFrame, e=None) -> DataFrame:
         )
     )
     if e is not None:  # test path passes a bare clustered frame, uncached
-        pairs = eager_cache(e, "mrl_pairs", pairs)  # three windows read it
+        raw_pairs = pairs
+        pairs = eager_cache_thunk(  # three windows read it
+            e, "mrl_pairs", lambda: raw_pairs
+        )
 
     def top5(dcol: str) -> DataFrame:
         w = Window.partitionBy("query_id").orderBy(dcol, "neighbor_id")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import eager_cache, register
+from ..registry import eager_cache, eager_cache_thunk, register
 from ..session import fan_out
 
 N_HASH = 16
@@ -57,6 +57,12 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
     docs = fan_out(docs)
     return docs.select("doc_id", "lang", ngrams(F.col("text"), 3).alias("sh"))
+
+
+def _shingles_cached(e) -> DataFrame:
+    """The pinned shingle table (thunk form, r11): on a memo hit the
+    caller must not pay the split/transform expression construction."""
+    return eager_cache_thunk(e, "shingles", lambda: _shingles(e["documents"]))
 
 
 @register(
@@ -151,7 +157,7 @@ def _minhash_bands(e) -> DataFrame:
     each recompute the shingle transform; the band fan-out (4 union
     branches) and the candidate join would otherwise recompute the whole
     signature aggregation once per branch per side (8x)."""
-    sh = eager_cache(e, "shingles", _shingles(e["documents"]))
+    sh = _shingles_cached(e)
     tok = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
     )
@@ -172,7 +178,9 @@ def _minhash_bands(e) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    return eager_cache(e, "minhash_bands", sig.select("doc_id", *band_cols))
+    return eager_cache_thunk(
+        e, "minhash_bands", lambda: sig.select("doc_id", *band_cols)
+    )
 
 
 def _band_long(
@@ -200,7 +208,7 @@ SELECT a_id, b_id, jaccard_e6 FROM lsh_pairs
     "paired — the LSH equi-join is the 100 TB path.",
 )
 def d_minhash_lsh(e) -> DataFrame:
-    sh = eager_cache(e, "shingles", _shingles(e["documents"]))
+    sh = _shingles_cached(e)
     bl = _band_long(_minhash_bands(e))
     a = bl.alias("a")
     b = bl.alias("b")
@@ -300,7 +308,7 @@ def _incremental_near_dup(e, incoming_pred: str) -> DataFrame:
     real growth law (a bounded daily batch against a growing corpus),
     which the symmetric 10x fixture misstates (judge r9 #4)."""
     docs = e["documents"]
-    sh = eager_cache(e, "shingles", _shingles(docs))
+    sh = _shingles_cached(e)
     bl = _band_long(_minhash_bands(e))
     incoming = F.expr(incoming_pred)
     in_bl = bl.filter(incoming).select(
@@ -394,7 +402,7 @@ def d_ngram_jaccard(e, max_doc_freq: int | None = None) -> DataFrame:
     # eager cache = materialization barrier: the shingle transform feeds the
     # postings explode AND both size lookups; without it each branch
     # re-evaluates the O(tokens) split chain.
-    sh = eager_cache(e, "shingles", _shingles(e["documents"]))
+    sh = _shingles_cached(e)
     tok = sh.select("doc_id", "lang", F.explode("sh").alias("s"))
     if max_doc_freq is not None:
         # Stop-shingle guard for skewed corpora: a shingle appearing in more
@@ -542,7 +550,10 @@ def d_embedding_cosine(e) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    vecs = eager_cache(e, "cosine_vecs", vecs)  # eager: self-join reads both branches
+    raw_vecs = vecs
+    vecs = eager_cache_thunk(  # eager: self-join reads both branches
+        e, "cosine_vecs", lambda: raw_vecs
+    )
     # left side repartitioned — one parquet file must not mean one task for
     # the O(pairs-in-bucket) cosine work
     a = fan_out(vecs).select(
@@ -852,10 +863,13 @@ def d_embedding_cosine_lsh(e) -> DataFrame:
             sig = sig + F.when(dot > 0, 1 << j).otherwise(0)
         return sig.cast("int")
 
-    sig = eager_cache(
+    # thunk (r11): the 16 hyperplane-dot expressions are ~1000 py4j calls
+    # to construct — measured 1.26 s per invocation spent BUILDING the
+    # signature frame that the memo then discarded
+    sig = eager_cache_thunk(
         e,
         "emb_lsh_sig",
-        vecs.select(
+        lambda: vecs.select(
             "vec_id", "v", *[band_col(bands[b]).alias(f"band{b}") for b in range(_EMB_BANDS)]
         ),
     )
@@ -931,10 +945,10 @@ def _span_occ(e) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
-    return eager_cache(
+    return eager_cache_thunk(
         e,
         "dedup_span_occ",
-        d.select("doc_id", F.explode(occ_arr).alias("sp")).select(
+        lambda: d.select("doc_id", F.explode(occ_arr).alias("sp")).select(
             "doc_id", F.col("sp.s").alias("s"), F.col("sp.h").alias("h")
         ),
     )

@@ -111,9 +111,14 @@ def s_knn_bruteforce(e) -> DataFrame:
     # IEEE double, so scores are bit-identical to the per-pair form the
     # oracle uses. The K x 10 result frame is memoized: s_knn_recall
     # consumes this exact ranking, so the corpus scan runs once per
-    # (session, sf).
-    from ..registry import eager_cache
+    # (session, sf). Thunk form (r11): the dot-product folds are
+    # construction-heavy, so a memo hit must skip building them.
+    from ..registry import eager_cache_thunk
 
+    return eager_cache_thunk(e, "knn_brute_top10", lambda: _build_knn_brute(e))
+
+
+def _build_knn_brute(e) -> DataFrame:
     vecs = _vecs(e).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = _query_sample(vecs).select(
         F.col("vec_id").alias("query_id"),
@@ -140,12 +145,10 @@ def s_knn_bruteforce(e) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
-    return eager_cache(
-        e,
-        "knn_brute_top10",
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "cos_e6", "rank"),
+        .select("query_id", "neighbor_id", "cos_e6", "rank")
     )
 
 
@@ -174,9 +177,13 @@ WHERE rk <= 5
 )
 def s_knn_ivf(e) -> DataFrame:
     # Same norm precomputation + result memoization as s_knn_bruteforce
-    # (s_knn_recall reads this exact top-5).
-    from ..registry import eager_cache
+    # (s_knn_recall_clustered reads this exact top-5).
+    from ..registry import eager_cache_thunk
 
+    return eager_cache_thunk(e, "knn_ivf_top5", lambda: _build_knn_ivf(e))
+
+
+def _build_knn_ivf(e) -> DataFrame:
     vecs = _vecs(e).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = _query_sample(vecs).select(
         F.col("vec_id").alias("query_id"),
@@ -206,12 +213,10 @@ def s_knn_ivf(e) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
-    return eager_cache(
-        e,
-        "knn_ivf_top5",
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "label", "cos_e6", "rank"),
+        .select("query_id", "neighbor_id", "label", "cos_e6", "rank")
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import eager_cache, register
+from ..registry import eager_cache, register, eager_cache_thunk
 from ..session import fan_out
 
 
@@ -547,9 +547,9 @@ def t_lm_perplexity(e) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = eager_cache(
+    bg = eager_cache_thunk(
         e, "lm_bigrams",
-        d.select("doc_id", "lang", F.explode(bigrams).alias("bigram")),
+        lambda: d.select("doc_id", "lang", F.explode(bigrams).alias("bigram")),
     )
     c12 = bg.groupBy("bigram").agg(F.count("*").alias("n12"))
     c1 = (
