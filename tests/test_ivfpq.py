@@ -63,11 +63,16 @@ def test_ivfpq_plan_broadcasts_all_small_sides(spark, sf_dir):
     sample are all broadcast; the corpus is never the build side and no
     unplanned CartesianProduct appears. The only corpus-scale work is the
     encode map + the cell-equi-joined ADC scan."""
+    from hadoop_hdfs_spark import registry
     from hadoop_hdfs_spark.plans import formatted_plan
 
-    plan = formatted_plan(QUERIES["s_knn_ivfpq"](spark, sf_dir)).split(
-        "\n\n"
-    )[0]
+    # raw derivation: the r11 lineage-truncating checkpoint pin renders a
+    # memo-hit frame as a bare `Scan ExistingRDD`, hiding the join shapes
+    # this pin certifies (the test_plans.py raw=True pattern)
+    with registry.pin_override("off"):
+        plan = formatted_plan(QUERIES["s_knn_ivfpq"](spark, sf_dir)).split(
+            "\n\n"
+        )[0]
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # centroids + exact leg
 
@@ -212,6 +217,7 @@ def test_at_rest_gate_matches_in_memory_gate_and_prunes(spark, sf_dir):
     cannot see)."""
     import re
 
+    from hadoop_hdfs_spark import registry
     from hadoop_hdfs_spark.plans import formatted_plan
 
     at_rest = QUERIES["s_knn_ivfpq_at_rest"](spark, sf_dir)
@@ -219,7 +225,10 @@ def test_at_rest_gate_matches_in_memory_gate_and_prunes(spark, sf_dir):
     a = {tuple(r) for r in at_rest.collect()}
     b = {tuple(r) for r in mem.collect()}
     assert a == b and a, (len(a), len(b), len(a ^ b))
-    plan = formatted_plan(at_rest)
+    # the prune lives in the codes scan INSIDE the pinned derivation; a
+    # memo-hit checkpoint pin stringifies as `Scan ExistingRDD` (r11)
+    with registry.pin_override("off"):
+        plan = formatted_plan(QUERIES["s_knn_ivfpq_at_rest"](spark, sf_dir))
     assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
 
 

@@ -112,10 +112,14 @@ def test_pq_adc_recall_broadcasts_query_side(spark, sf_dir):
     join predicate is the self-exclusion inequality), never an unplanned
     CartesianProduct; the only sort-merge work runs on the K x 5 compare
     frames, far from record scale."""
+    from hadoop_hdfs_spark import registry
     from hadoop_hdfs_spark.plans import formatted_plan
 
-    plan = formatted_plan(QUERIES["s_pq_adc_recall"](spark, sf_dir)).split(
-        "\n\n"
-    )[0]
+    # raw derivation (r11 checkpoint pins hide memo-hit shapes; the
+    # test_plans.py raw=True pattern)
+    with registry.pin_override("off"):
+        plan = formatted_plan(QUERIES["s_pq_adc_recall"](spark, sf_dir)).split(
+            "\n\n"
+        )[0]
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastNestedLoopJoin") >= 2
