@@ -567,6 +567,11 @@ def _evict_result_memo(qname: str) -> None:
             frame.unpersist()
         except Exception:
             pass
+    # the prepared-plan memo (r11) would otherwise hand back a frame that
+    # still embeds the just-unpersisted drain pin — evict it so the warm
+    # run rebuilds and re-drains for real
+    for key in [k for k in registry._QUERY_PLANS if k[2] == qname]:
+        registry._QUERY_PLANS.pop(key, None)
 
 
 def streaming_probe() -> None:

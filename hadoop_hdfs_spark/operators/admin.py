@@ -802,10 +802,11 @@ LEFT JOIN inodes i ON i.id = c.file_id
     "write-locked iteration.",
 )
 def a18_misreplicated_scan(e) -> DataFrame:
-    from .blocks import _block_replica_counts
+    # un-pinned form: rotation-budget revert, see _block_replica_counts_unpinned
+    from .blocks import _block_replica_counts_unpinned
 
     inodes = e["inodes"]
-    c = _block_replica_counts(e).join(
+    c = _block_replica_counts_unpinned(e).join(
         inodes.select(F.col("id").alias("inode_id"), "replication"),
         F.col("inode_id") == F.col("file_id"),
         "left",

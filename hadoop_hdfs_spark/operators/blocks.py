@@ -34,16 +34,15 @@ _BLOCK_REPL = """
 """
 
 
-def _block_replica_counts(e) -> DataFrame:
-    """blocks + (total_replicas, live) — the rollup most queries start from.
+def _block_replica_counts_unpinned(e) -> DataFrame:
+    """The raw blocks + (total_replicas, live) rollup expression.
 
-    NOTE (deferred to r9): pinning this rollup per session (eager_cache,
-    the blocksMap-in-RAM analog) would cut the blocks|><|replicas shuffle
-    from all 8 registered callers' warm paths, but re-tiers every caller
-    into the driver's 50-slot verification budget at once — r8's budget
-    was exactly consumed by the 45-query r5-stale drain + t23 + the four
-    queries already touched, so the cache waits for a round with slack.
-    """
+    Two callers (a10_safemode, a18_misreplicated_scan) stay on this
+    un-pinned form purely for the r11 rotation-budget arithmetic: the
+    round's touched-fingerprint spend hit the driver's 50-slot budget
+    exactly, and these two had the smallest measured win from the pin
+    (0.12/0.14 s — agg-only consumers). Fold them onto
+    _block_replica_counts in the next round with slack."""
     blocks, replicas = e["blocks"], e["replicas"]
     return (
         blocks.join(replicas, "block_id", "left")
@@ -53,6 +52,55 @@ def _block_replica_counts(e) -> DataFrame:
             F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
         )
     )
+
+
+def _block_replica_counts(e) -> DataFrame:
+    """blocks + (total_replicas, live) — the rollup most queries start from.
+
+    Pinned per session since r11 (the blocksMap-in-RAM analog, deferred
+    from r8 for rotation-budget reasons — this optimization round has the
+    slack): one blocks|><|replicas shuffle + rollup per session instead
+    of one per caller per pass cuts the shared exchange out of the
+    registered callers' warm paths (f5, j5, a3, u3, w6, w6b — guide
+    §2.4: two operations keyed the same way share one exchange; here the
+    sharing is across queries). Frame size is block-population-scale
+    (5 narrow columns), the same class as the pinned entity caches.
+    """
+    return eager_cache_thunk(
+        e, "block_repl", lambda: _block_replica_counts_unpinned(e)
+    )
+
+
+def _block_live_racks(e) -> DataFrame:
+    """Per-block count of distinct racks holding a live (non-corrupt)
+    replica — the BlockPlacementPolicy.verifyBlockPlacement input j5 and
+    j12 both derive. Pinned per session (r11) like the sibling
+    _block_replica_counts: one replicas|><|datanodes pass + one
+    partial-aggregable collect_set rollup (sets bounded by rack count)
+    instead of one per caller per pass. Blocks with no replica rows are
+    absent — callers left-join and fill 0, matching the oracles'
+    COUNT(DISTINCT CASE ...) over an empty group."""
+
+    def _build() -> DataFrame:
+        replicas, datanodes = e["replicas"], e["datanodes"]
+        return (
+            replicas.join(
+                F.broadcast(datanodes.select("datanode_id", "rack")),
+                "datanode_id",
+            )
+            .groupBy("block_id")
+            .agg(
+                F.size(
+                    F.collect_set(
+                        F.when(~F.col("is_corrupt"), F.col("rack"))
+                    )
+                )
+                .cast("long")
+                .alias("n_live_racks")
+            )
+        )
+
+    return eager_cache_thunk(e, "block_racks", _build)
 
 
 @register(
@@ -349,20 +397,10 @@ GROUP BY c.block_id, i.path, i.replication, c.live, c.total_replicas
 )
 def j5_fsck_blocks(e) -> DataFrame:
     counts = _block_replica_counts(e)
-    inodes, replicas, datanodes = e["inodes"], e["replicas"], e["datanodes"]
-    racks = (
-        replicas.join(F.broadcast(datanodes.select("datanode_id", "rack")), "datanode_id")
-        .groupBy("block_id")
-        .agg(
-            # one partial-aggregable pass instead of the 4-level distinct
-            # aggregate; sets bounded by the rack count (see j12)
-            F.size(
-                F.collect_set(F.when(~F.col("is_corrupt"), F.col("rack")))
-            )
-            .cast("long")
-            .alias("racks")
-        )
-    )
+    inodes = e["inodes"]
+    # the shared pinned rack rollup (one pass per session, see
+    # _block_live_racks); j12 consumes the same pin
+    racks = _block_live_racks(e).withColumnRenamed("n_live_racks", "racks")
     j = (
         counts.join(inodes.select(F.col("id").alias("file_id"), "path", "replication"), "file_id")
         .join(racks, "block_id", "left")
@@ -765,36 +803,47 @@ def a9b_content_checksum(e) -> DataFrame:
     # cluster scale the shard size only sets per-task read granularity.
     shard = 4 * 1024 * 1024
     span = 128 * 512  # one 'block': 128 chunks x 512 B
-    files = [
-        (_os.path.basename(p), p, _os.path.getsize(p))
-        for p in sorted(_glob.glob(_os.path.join(_BLOB_DIR, _BLOB_GLOB)))
-    ]
+
     # Only the FILE list touches the driver (one row per file, as any
     # listing does); the per-shard rows are derived distributedly, so a
     # million-shard corpus never materializes its plan driver-side.
-    plan_df = fan_out(
-        spark.createDataFrame(files, "file_name string, path string, n long")
-        .filter(F.col("n") > 0)
-        .select(
-            "file_name",
-            "path",
-            "n",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.ceil(F.col("n") / F.lit(shard)).cast("long") - 1
-                )
-            ).alias("shard_idx"),
+    # The shard PLAN (file/offset/length metadata, NOT checksums — the
+    # kernel below re-reads and re-digests every byte on every
+    # invocation) is pinned per session: createDataFrame from a Python
+    # list executes as pickled-Python-RDD tasks, and the plan frame's
+    # 32-way fan-out paid ~0.7 s of Python-worker round-trips per warm
+    # invocation for 40 constant rows (r11 phase-split; guide §4 — keep
+    # the Python boundary out of the per-pass path).
+    def _build_shard_plan() -> DataFrame:
+        files = [
+            (_os.path.basename(p), p, _os.path.getsize(p))
+            for p in sorted(_glob.glob(_os.path.join(_BLOB_DIR, _BLOB_GLOB)))
+        ]
+        return fan_out(
+            spark.createDataFrame(files, "file_name string, path string, n long")
+            .filter(F.col("n") > 0)
+            .select(
+                "file_name",
+                "path",
+                "n",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.col("n") / F.lit(shard)).cast("long") - 1
+                    )
+                ).alias("shard_idx"),
+            )
+            .select(
+                "file_name",
+                "path",
+                (F.col("shard_idx") * shard).alias("offset"),
+                F.least(
+                    F.lit(shard), F.col("n") - F.col("shard_idx") * shard
+                ).alias("length"),
+                "n",
+            )
         )
-        .select(
-            "file_name",
-            "path",
-            (F.col("shard_idx") * shard).alias("offset"),
-            F.least(
-                F.lit(shard), F.col("n") - F.col("shard_idx") * shard
-            ).alias("length"),
-            "n",
-        )
-    )
+
+    plan_df = eager_cache_thunk(e, "a9b_shard_plan", _build_shard_plan)
 
     # Per shard: read ONLY the byte range, digest each 512-byte chunk as
     # md5 over its UPPERCASE hex (byte-identical to the oracle's
@@ -867,7 +916,8 @@ FROM ({_BLOCK_REPL}) c
     "with minReplication 1.",
 )
 def a10_safemode(e) -> DataFrame:
-    counts = _block_replica_counts(e)
+    # un-pinned form: rotation-budget revert, see _block_replica_counts_unpinned
+    counts = _block_replica_counts_unpinned(e)
     return counts.agg(
         F.count("*").alias("total_blocks"),
         F.sum(F.when(F.col("live") >= 1, 1).otherwise(0)).alias("safe_blocks"),
@@ -1225,25 +1275,20 @@ def j12_placement_verify(e) -> DataFrame:
         e["inodes"],
     )
     nr = datanodes.agg(F.countDistinct("rack").alias("num_racks"))
+    # (block_id, file_id) is unique per block, so the old
+    # blocks|><|replicas|><|datanodes fanout + groupBy collapses to a left
+    # join against the shared pinned rack rollup (_block_live_racks, one
+    # partial-aggregable collect_set pass per session — guide §2.3/§2.4);
+    # blocks with no replicas get n_racks 0, as the oracle's COUNT
+    # (DISTINCT ...) over an all-NULL group yields 0
     blk = (
-        blocks.join(replicas, "block_id", "left")
+        blocks.select("block_id", "file_id")
         .join(
-            F.broadcast(datanodes.select("datanode_id", "rack")),
-            "datanode_id",
+            _block_live_racks(e).withColumnRenamed("n_live_racks", "n_racks"),
+            "block_id",
             "left",
         )
-        .groupBy("block_id", "file_id")
-        .agg(
-            # size(collect_set) = COUNT(DISTINCT ...) with NULLs dropped,
-            # but as ONE partial-aggregable pass (sets bounded by the rack
-            # count) instead of the planner's 4-level distinct aggregate —
-            # guide §2.3: aggregate before you shuffle
-            F.size(
-                F.collect_set(F.when(~F.col("is_corrupt"), F.col("rack")))
-            )
-            .cast("long")
-            .alias("n_racks")
-        )
+        .fillna({"n_racks": 0})
     )
     min_racks = F.least(F.lit(2), F.col("replication"), F.col("num_racks")).cast("long")
     return (

@@ -505,18 +505,20 @@ GROUP BY d.doc_id, d.lang, d.source
     "as t_lm_perplexity, linear in corpus tokens.",
 )
 def c_dsir_weights(e) -> DataFrame:
-    d = fan_out(e["documents"])
-    toks_arr = F.split("text", " ")
-    toks = d.select(
-        "doc_id", "lang", "source", F.explode(toks_arr).alias("t")
-    )
-    cc = toks.groupBy("t").agg(F.count("*").alias("n_c"))
+    from .text import doc_token_counts
+
+    # the shared pinned (doc, token, cnt) rollup: this query referenced
+    # the raw token explode FOUR times per pass (cc/ct/tot/scored); every
+    # occurrence-sum is recovered exactly as an integer sum(cnt * ...)
+    # over the Heaps-bounded rows (r11; guide §2.3)
+    toks = doc_token_counts(e)
+    cc = toks.groupBy("t").agg(F.sum("cnt").alias("n_c"))
     ct = toks.filter(F.col("lang") == "en").groupBy("t").agg(
-        F.count("*").alias("n_t")
+        F.sum("cnt").alias("n_t")
     )
     tot = toks.agg(
-        F.count("*").alias("nc"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.sum("cnt").alias("nc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("nt"),
         F.countDistinct("t").alias("v"),
     )
     llr = F.floor(
@@ -531,12 +533,14 @@ def c_dsir_weights(e) -> DataFrame:
         toks.join(F.broadcast(cc), "t")
         .join(F.broadcast(ct), "t", "left")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", "lang", "source", llr.alias("llr_e3"))
+        .select("doc_id", "lang", "source", "cnt", llr.alias("llr_e3"))
     )
     return scored.groupBy("doc_id", "lang", "source").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum("llr_e3").alias("llr_sum_e3"),
-        F.floor(F.sum("llr_e3") * 1.0 / F.count("*")).cast("long").alias("avg_llr_e3"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("llr_e3")).alias("llr_sum_e3"),
+        F.floor(
+            F.sum(F.col("cnt") * F.col("llr_e3")) * 1.0 / F.sum("cnt")
+        ).cast("long").alias("avg_llr_e3"),
     )
 
 

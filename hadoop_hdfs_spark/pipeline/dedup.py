@@ -403,7 +403,15 @@ def d_ngram_jaccard(e, max_doc_freq: int | None = None) -> DataFrame:
     # postings explode AND both size lookups; without it each branch
     # re-evaluates the O(tokens) split chain.
     sh = _shingles_cached(e)
-    tok = sh.select("doc_id", "lang", F.explode("sh").alias("s"))
+    # The exploded postings feed BOTH legs of the self-join (and, capped,
+    # the hot-set rollup): Catalyst replicates the explode per lineage use,
+    # so un-pinned it ran twice per query per pass (r11; guide §2.4). The
+    # pin is postings-scale (3 narrow columns over the pinned shingles).
+    tok = eager_cache_thunk(
+        e,
+        "jaccard_postings",
+        lambda: sh.select("doc_id", "lang", F.explode("sh").alias("s")),
+    )
     if max_doc_freq is not None:
         # Stop-shingle guard for skewed corpora: a shingle appearing in more
         # than max_doc_freq documents contributes C(df,2) candidate pairs —
@@ -413,13 +421,22 @@ def d_ngram_jaccard(e, max_doc_freq: int | None = None) -> DataFrame:
         # broadcasts; union sizes stay full-set (standard stop-word
         # approximation: J is underestimated only for pairs whose overlap
         # was mostly boilerplate).
-        hot = (
-            tok.groupBy("lang", "s")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("lang", "s")
+        def _capped(tok=tok):
+            hot = (
+                tok.groupBy("lang", "s")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_doc_freq)
+                .select("lang", "s")
+            )
+            return tok.join(F.broadcast(hot), ["lang", "s"], "left_anti")
+
+        # pinned too: un-pinned, the hot-set rollup + anti-join replicate
+        # into both self-join legs (two more aggregations per pass). The
+        # tag carries the cap value — callers with a different
+        # max_doc_freq (the cap-equivalence tests) must never share a pin
+        tok = eager_cache_thunk(
+            e, f"jaccard_postings_capped_{max_doc_freq}", _capped
         )
-        tok = tok.join(F.broadcast(hot), ["lang", "s"], "left_anti")
     a = tok.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"), "s"
     )

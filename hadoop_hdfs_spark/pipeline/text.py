@@ -16,6 +16,32 @@ from ..registry import eager_cache, register, eager_cache_thunk
 from ..session import fan_out
 
 
+def doc_token_counts(e) -> DataFrame:
+    """(doc_id, lang, source, t, cnt) — the per-document token-count
+    rollup the unigram-LM family starts from, pinned per session (r11).
+
+    Heaps-bounded (distinct tokens per doc, not occurrences; multiplicity
+    survives in ``cnt``), so every consumer's shuffle volume drops from
+    corpus tokens to per-doc vocabulary — and the split+explode CPU pass
+    runs once per session instead of once per lineage use per pass
+    (t_lang_id referenced it twice, c_dsir_weights four times; guide
+    §2.3/§2.4). Integer counts make occurrence-sums recoverable exactly:
+    sum over occurrences of f(t) == sum(cnt * f(t)) over these rows."""
+
+    def _build() -> DataFrame:
+        d = fan_out(e["documents"])
+        return (
+            d.select(
+                "doc_id", "lang", "source",
+                F.explode(F.split("text", " ")).alias("t"),
+            )
+            .groupBy("doc_id", "lang", "source", "t")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    return eager_cache_thunk(e, "doc_tok_counts", _build)
+
+
 @register(
     "t_token_stats",
     oracle="""
@@ -254,8 +280,9 @@ WHERE s.rk = 1
 )
 def t_lang_id(e) -> DataFrame:
     d = e["documents"]
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
-    doc_tok = tok.groupBy("doc_id", "lang", "t").agg(F.count("*").alias("cnt"))
+    # the shared pinned rollup (doc_token_counts): this query referenced
+    # the explode+groupBy subtree twice per pass (profile + scoring legs)
+    doc_tok = doc_token_counts(e).select("doc_id", "lang", "t", "cnt")
     profile = doc_tok.groupBy("t", "lang").agg(F.sum("cnt").alias("freq"))
     lang_total = profile.groupBy("lang").agg(F.sum("freq").alias("total"))
     prof = profile.join(lang_total, "lang").select(
@@ -396,26 +423,11 @@ WHERE rk <= 5
     "corpus-drift job reads.",
 )
 def t_top_bigrams(e) -> DataFrame:
-    # single parquet file = single input partition; spread the CPU-heavy
-    # bigram explode across cores (a cluster reads many files and skips this)
-    d = fan_out(e["documents"])
-    # staged select (r9): the token split evaluates once per doc — inline,
-    # the guard + sequence + element_at bases re-split 4x per row
-    t1 = d.select("lang", F.split("text", " ").alias("toks"))
-    # <2-token guard mirrors DuckDB's empty range(); sequence() would descend
-    bigrams = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # the shared pinned bigram explode (lm_bigrams, built by
+    # t_lm_perplexity with the identical <2-token guard + transform):
+    # one split+explode pass per session instead of one per pass (r11)
     cnt = (
-        t1.select("lang", F.explode(bigrams).alias("bigram"))
+        _lm_bigrams(e)
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n_occurrences"))
     )
@@ -485,6 +497,27 @@ def t_ols_tokens_chars(e) -> DataFrame:
     )
 
 
+def _lm_bigrams(e) -> DataFrame:
+    """(doc_id, lang, bigram) exploded with the <2-token guard — the
+    pinned bigram table t_lm_perplexity and t_top_bigrams share."""
+
+    def _build() -> DataFrame:
+        d = fan_out(e["documents"])
+        toks = F.split("text", " ")
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return d.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+
+    return eager_cache_thunk(e, "lm_bigrams", _build)
+
+
 @register(
     "t_lm_perplexity",
     oracle="""
@@ -536,31 +569,16 @@ GROUP BY doc_id
     "vocab scalar broadcast.",
 )
 def t_lm_perplexity(e) -> DataFrame:
-    d = fan_out(e["documents"])
-    toks = F.split("text", " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = eager_cache_thunk(
-        e, "lm_bigrams",
-        lambda: d.select("doc_id", "lang", F.explode(bigrams).alias("bigram")),
-    )
+    bg = _lm_bigrams(e)
     c12 = bg.groupBy("bigram").agg(F.count("*").alias("n12"))
     c1 = (
         bg.select(F.split("bigram", " ")[0].alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("n1"))
     )
-    v = (
-        d.select(F.explode(toks).alias("t"))
-        .agg(F.countDistinct("t").alias("vocab"))
-    )
+    # vocabulary from the shared pinned rollup — the raw re-explode of
+    # documents cost a full split+explode+distinct pass per invocation
+    v = doc_token_counts(e).agg(F.countDistinct("t").alias("vocab"))
     scored = (
         bg.join(c12, "bigram")
         .withColumn("w1", F.split("bigram", " ")[0])
@@ -709,9 +727,12 @@ FROM q
     "count, i.e. any realistic doc_id space.",
 )
 def t_heaps_fit(e) -> DataFrame:
-    d = fan_out(e["documents"])
+    d = e["documents"]
     ids = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # the shared pinned rollup: token totals come back exactly as
+    # sum(cnt); the first-occurrence min runs over the (smaller)
+    # per-doc-distinct rows (two explode passes per pass removed)
+    toks = doc_token_counts(e).select("doc_id", "t", "cnt")
 
     def bucket(idcol):
         return F.least(
@@ -722,7 +743,7 @@ def t_heaps_fit(e) -> DataFrame:
     nb = (
         toks.crossJoin(F.broadcast(ids))
         .groupBy(bucket(F.col("doc_id")).alias("b"))
-        .agg(F.count("*").alias("n_toks"))
+        .agg(F.sum("cnt").alias("n_toks"))
     )
     first = toks.groupBy("t").agg(F.min("doc_id").alias("fd"))
     tb = (

@@ -186,7 +186,8 @@ def test_capped_jaccard_broadcasts_hot_shingle_anti_join(spark, sf_dir):
     # the declared (capped) form must drop hot postings via a BROADCAST
     # anti-join before the postings self-join — the hot set is tiny by
     # df-threshold construction and must never force a shuffle of postings
-    plan = _plan(spark, sf_dir, "d_ngram_jaccard_capped")
+    # raw: the anti-join lives inside the r11 capped-postings pin
+    plan = _plan(spark, sf_dir, "d_ngram_jaccard_capped", raw=True)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
