@@ -117,17 +117,22 @@ WHERE rk <= 2
     "window.",
 )
 def t6_replication_work(e) -> DataFrame:
-    from .blocks import w2_replication_priority
+    from .blocks import _block_replica_counts, w2_replication_priority
 
     # priority < 4 = some non-corrupt replica exists to copy from (a
     # decom-only block is priority 0 and MUST be scheduled — the copy
     # source is the draining node itself); priority 4 has no source
     work = w2_replication_priority(e).filter(F.col("priority") < 4)
+    # copy source from the pinned blocksMap rollup (r11): min non-corrupt
+    # datanode per block is a column of _block_replica_counts, so the
+    # full-replica-table groupBy this leg used to run per pass collapses
+    # to a filter+project over the shared pin (guide §2.4). NULL
+    # min_live_source = no non-corrupt replica — exactly the rows the
+    # oracle's WHERE NOT is_corrupt grouping never emits.
     sources = (
-        e["replicas"]
-        .filter(~F.col("is_corrupt"))
-        .groupBy("block_id")
-        .agg(F.min("datanode_id").alias("source_datanode"))
+        _block_replica_counts(e)
+        .filter(F.col("min_live_source").isNotNull())
+        .select("block_id", F.col("min_live_source").alias("source_datanode"))
     )
     j = work.join(sources, "block_id")
     w = Window.partitionBy("source_datanode").orderBy("priority", "block_id")
@@ -720,8 +725,18 @@ def m1_metasave(e) -> DataFrame:
             F.array_join(ann, " ").alias("nodes"),
         )
     )
+    # file attribution for a queue-sized frame must not exchange the block
+    # population: semi-restrict blocks to the queue (broadcast, scan-only)
+    # before its block_id exchange (r11; the same restriction pattern as
+    # cls above — guide §2.3). Broadcasting det into the inodes join was
+    # tried and REGRESSED (+0.2 s): det carries the per-block annotation
+    # strings, so the serial broadcast build cost more than the exchange
+    # it removed — AQE keeps the join choice.
+    blk_files = blocks.join(
+        F.broadcast(q.select("block_id")), "block_id", "left_semi"
+    ).select("block_id", "file_id")
     return (
-        det.join(blocks.select("block_id", "file_id"), "block_id")
+        det.join(blk_files, "block_id")
         .join(inodes.select(F.col("id").alias("file_id"), "path"), "file_id")
         .select(
             "path",

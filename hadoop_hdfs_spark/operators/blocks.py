@@ -55,52 +55,83 @@ def _block_replica_counts_unpinned(e) -> DataFrame:
 
 
 def _block_replica_counts(e) -> DataFrame:
-    """blocks + (total_replicas, live) — the rollup most queries start from.
+    """blocks + per-block replica folds (counts, copy source, racks,
+    state-aware counts) — the rollup most queries start from.
 
     Pinned per session since r11 (the blocksMap-in-RAM analog, deferred
     from r8 for rotation-budget reasons — this optimization round has the
     slack): one blocks|><|replicas shuffle + rollup per session instead
     of one per caller per pass cuts the shared exchange out of the
-    registered callers' warm paths (f5, j5, a3, u3, w6, w6b — guide
+    registered callers' warm paths (f5, j5, a3, u3, w6, w6b, t6 — guide
     §2.4: two operations keyed the same way share one exchange; here the
     sharing is across queries). Frame size is block-population-scale
-    (5 narrow columns), the same class as the pinned entity caches.
+    (10 narrow columns), the same class as the pinned entity caches.
+
+    ``min_live_source`` (min non-corrupt replica's datanode, NULL when
+    none) rides along for t6_replication_work's copy-source choice, and
+    ``n_live_racks`` (distinct racks holding a non-corrupt replica, 0
+    when none) for j5/j12's placement verdicts — the same per-block folds
+    the blocksMap answers in RAM — instead of separate full replica
+    rollups per caller per pass. The rack leg left-joins the datanode dim
+    (broadcast): a replica on an unknown datanode still counts in
+    total_replicas/live but contributes no rack, exactly the oracles'
+    inner replicas|><|datanodes rack derivation. These columns are NOT
+    added to the unpinned copy: a10/a18 stay on that narrower form purely
+    for the r11 rotation-budget arithmetic (see
+    _block_replica_counts_unpinned), so the two builders are separate
+    expressions until those fold in.
+
+    ``live_normal``/``decom_replicas`` are the admin-state-aware countNodes
+    pair (BlockManager.countNodes reads each replica's node state off the
+    blocksMap exactly like this): non-corrupt on a NORMAL node vs
+    non-corrupt on a DECOMMISSION* node — t8b's readiness verdict reads
+    them off the pin instead of windowing a per-pass replica scan. A
+    replica whose datanode is unknown to the dim contributes to
+    total_replicas/live but to neither state-aware count nor any rack —
+    the oracles' inner replicas|><|datanodes derivations.
     """
+    blocks, replicas, datanodes = e["blocks"], e["replicas"], e["datanodes"]
     return eager_cache_thunk(
-        e, "block_repl", lambda: _block_replica_counts_unpinned(e)
+        e,
+        "block_repl",
+        lambda: blocks.join(replicas, "block_id", "left")
+        .join(
+            F.broadcast(datanodes.select("datanode_id", "rack", "admin_state")),
+            "datanode_id",
+            "left",
+        )
+        .groupBy("block_id", "file_id", "seq", "num_bytes")
+        .agg(
+            F.count("datanode_id").alias("total_replicas"),
+            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
+            F.min(
+                F.when(~F.col("is_corrupt"), F.col("datanode_id"))
+            ).alias("min_live_source"),
+            F.size(
+                F.collect_set(F.when(~F.col("is_corrupt"), F.col("rack")))
+            )
+            .cast("long")
+            .alias("n_live_racks"),
+            F.sum(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"),
+                    1,
+                ).otherwise(0)
+            ).alias("live_normal"),
+            F.sum(
+                F.when(
+                    ~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"),
+                    1,
+                ).otherwise(0)
+            ).alias("decom_replicas"),
+        ),
     )
 
 
-def _block_live_racks(e) -> DataFrame:
-    """Per-block count of distinct racks holding a live (non-corrupt)
-    replica — the BlockPlacementPolicy.verifyBlockPlacement input j5 and
-    j12 both derive. Pinned per session (r11) like the sibling
-    _block_replica_counts: one replicas|><|datanodes pass + one
-    partial-aggregable collect_set rollup (sets bounded by rack count)
-    instead of one per caller per pass. Blocks with no replica rows are
-    absent — callers left-join and fill 0, matching the oracles'
-    COUNT(DISTINCT CASE ...) over an empty group."""
-
-    def _build() -> DataFrame:
-        replicas, datanodes = e["replicas"], e["datanodes"]
-        return (
-            replicas.join(
-                F.broadcast(datanodes.select("datanode_id", "rack")),
-                "datanode_id",
-            )
-            .groupBy("block_id")
-            .agg(
-                F.size(
-                    F.collect_set(
-                        F.when(~F.col("is_corrupt"), F.col("rack"))
-                    )
-                )
-                .cast("long")
-                .alias("n_live_racks")
-            )
-        )
-
-    return eager_cache_thunk(e, "block_racks", _build)
+# The former standalone _block_live_racks pin (per-block distinct live
+# racks) merged into _block_replica_counts in r11: j5 and j12, its only
+# consumers, read the blocksMap pin's n_live_racks column directly, so
+# their warm plans lose the block_id re-join against a second pin.
 
 
 @register(
@@ -398,13 +429,11 @@ GROUP BY c.block_id, i.path, i.replication, c.live, c.total_replicas
 def j5_fsck_blocks(e) -> DataFrame:
     counts = _block_replica_counts(e)
     inodes = e["inodes"]
-    # the shared pinned rack rollup (one pass per session, see
-    # _block_live_racks); j12 consumes the same pin
-    racks = _block_live_racks(e).withColumnRenamed("n_live_racks", "racks")
-    j = (
-        counts.join(inodes.select(F.col("id").alias("file_id"), "path", "replication"), "file_id")
-        .join(racks, "block_id", "left")
-        .fillna({"racks": 0})
+    # racks ride on the blocksMap pin (n_live_racks, 0-filled at build) —
+    # the second block_id join this query paid per pass is gone (r11)
+    j = counts.withColumnRenamed("n_live_racks", "racks").join(
+        inodes.select(F.col("id").alias("file_id"), "path", "replication"),
+        "file_id",
     )
     status = (
         F.when(F.col("total_replicas") == 0, "MISSING")
@@ -843,7 +872,12 @@ def a9b_content_checksum(e) -> DataFrame:
             )
         )
 
-    plan_df = eager_cache_thunk(e, "a9b_shard_plan", _build_shard_plan)
+    # The pin tag carries the LIVE corpus location: the shard plan is a
+    # function of the blob dir/glob (tests repoint _BLOB_DIR per case), so
+    # a dir-agnostic tag would serve one corpus's plan to another.
+    plan_df = eager_cache_thunk(
+        e, f"a9b_shard_plan:{_BLOB_DIR}/{_BLOB_GLOB}", _build_shard_plan
+    )
 
     # Per shard: read ONLY the byte range, digest each 512-byte chunk as
     # md5 over its UPPERCASE hex (byte-identical to the oracle's
@@ -1276,23 +1310,23 @@ def j12_placement_verify(e) -> DataFrame:
     )
     nr = datanodes.agg(F.countDistinct("rack").alias("num_racks"))
     # (block_id, file_id) is unique per block, so the old
-    # blocks|><|replicas|><|datanodes fanout + groupBy collapses to a left
-    # join against the shared pinned rack rollup (_block_live_racks, one
-    # partial-aggregable collect_set pass per session — guide §2.3/§2.4);
-    # blocks with no replicas get n_racks 0, as the oracle's COUNT
-    # (DISTINCT ...) over an all-NULL group yields 0
-    blk = (
-        blocks.select("block_id", "file_id")
-        .join(
-            _block_live_racks(e).withColumnRenamed("n_live_racks", "n_racks"),
-            "block_id",
-            "left",
-        )
-        .fillna({"n_racks": 0})
+    # blocks|><|replicas|><|datanodes fanout + groupBy collapses to a
+    # projection of the shared blocksMap pin (n_live_racks merged into
+    # _block_replica_counts in r11 — no per-pass block_id join at all);
+    # blocks with no replicas carry n_racks 0 from the pin's build, as
+    # the oracle's COUNT(DISTINCT ...) over an all-NULL group yields 0
+    blk = _block_replica_counts(e).select(
+        "block_id", "file_id", F.col("n_live_racks").alias("n_racks")
     )
     min_racks = F.least(F.lit(2), F.col("replication"), F.col("num_racks")).cast("long")
+    # min_racks = least(2, ...) <= 2, so a block already live on >= 2
+    # racks can never have rack_deficit > 0 — drop the ~all of the block
+    # population that satisfies placement BEFORE the file_id exchange
+    # (guide §2.3: filter before the shuffle); the final deficit filter
+    # below is unchanged, this is a pure superset restriction
     return (
-        blk.join(inodes.select(F.col("id").alias("file_id"), "path", "replication"), "file_id")
+        blk.filter(F.col("n_racks") < 2)
+        .join(inodes.select(F.col("id").alias("file_id"), "path", "replication"), "file_id")
         .crossJoin(F.broadcast(nr))
         .filter(F.col("num_racks") > 1)
         .select(

@@ -948,51 +948,36 @@ GROUP BY dn.datanode_id
     "broadcast filter and the full-replicas shuffle disappears.",
 )
 def t8b_decommission_progress(e) -> DataFrame:
-    r, d, b, i = e["replicas"], e["datanodes"], e["blocks"], e["inodes"]
+    from .blocks import _block_replica_counts
+
+    r, d, i = e["replicas"], e["datanodes"], e["inodes"]
     decom = d.filter(F.col("admin_state") == "DECOMMISSION_INPROGRESS").select(
         "datanode_id"
     )
-    hosted_ids = r.join(F.broadcast(decom), "datanode_id").select("block_id").distinct()
-    # One pass over the restricted replicas: the per-block countNodes
-    # rollup is a pair of windows over block_id on the SAME semi-joined
-    # frame the hosting rows come from — the old groupBy-then-join-back
-    # shape scanned the replica table twice (rollup leg + hosting leg)
-    # and paid an extra block_id exchange to reattach the counts
-    # (guide §2.4: two operations keyed the same way share one exchange).
-    wb = Window.partitionBy("block_id")
-    rr = (
-        r.join(hosted_ids, "block_id", "left_semi")
-        .join(F.broadcast(d.select("datanode_id", "admin_state")), "datanode_id")
-        .withColumn(
-            "live_normal",
-            F.sum(
-                F.when(
-                    ~F.col("is_corrupt") & (F.col("admin_state") == "NORMAL"), 1
-                ).otherwise(0)
-            )
-            .over(wb)
-            .cast("long"),
-        )
-        .withColumn(
-            "decom_replicas",
-            F.sum(
-                F.when(
-                    ~F.col("is_corrupt") & (F.col("admin_state") != "NORMAL"), 1
-                ).otherwise(0)
-            )
-            .over(wb)
-            .cast("long"),
-        )
+    # The countNodes pair (live_normal / decom_replicas) comes off the
+    # pinned blocksMap rollup — the reference's isReplicationInProgress
+    # reads exactly this per-block state off the in-memory blocksMap while
+    # iterating the draining node's own block list (r11; the prior shape
+    # re-derived it per pass with windows over a semi-restricted replica
+    # scan). The hosting rows (replicas on DECOMMISSION_INPROGRESS nodes
+    # — node-sized, not cluster-sized) broadcast into the pin, and the
+    # hosted result broadcasts again into the namespace probe, so NOTHING
+    # block- or namespace-population-sized is exchanged: one replica scan,
+    # one pin scan, one inode scan, then a node-count-sized rollup. The
+    # pin's inner-join-on-blocks semantics match the oracle's
+    # h |><| blocks step (a hosting row for an unknown block drops).
+    hosting = r.join(F.broadcast(decom), "datanode_id").select(
+        "datanode_id", "block_id"
     )
-    hosted = (
-        rr.filter(F.col("admin_state") == "DECOMMISSION_INPROGRESS")
-        .join(b.select("block_id", "file_id"), "block_id")
-        .join(
-            i.select(
-                F.col("id").alias("file_id"), "replication", "under_construction"
-            ),
-            "file_id",
-        )
+    counts = _block_replica_counts(e).select(
+        "block_id", "file_id", "live_normal", "decom_replicas"
+    )
+    hb = counts.join(F.broadcast(hosting), "block_id")
+    hosted = F.broadcast(hb).join(
+        i.select(
+            F.col("id").alias("file_id"), "replication", "under_construction"
+        ),
+        "file_id",
     )
     under = F.when(F.col("live_normal") < F.col("replication"), 1).otherwise(0)
     return hosted.groupBy("datanode_id").agg(
@@ -1150,12 +1135,16 @@ def j10_replication_targets(e) -> DataFrame:
         .join(F.broadcast(need.select("block_id")), "block_id", "left_semi")
         .select("block_id", "datanode_id"),
     )
-    holder_racks = (
-        holder_nodes.join(
+    # queue-sized like its source frame, and its distinct costs an
+    # exchange per pass — pinned with the rest of the round state (r11)
+    holder_racks = eager_cache_thunk(
+        e,
+        "j10_holder_racks",
+        lambda: holder_nodes.join(
             F.broadcast(d.select("datanode_id", "rack")), "datanode_id"
         )
         .select("block_id", "rack")
-        .distinct()
+        .distinct(),
     )
     alive = d.filter(
         (F.col("admin_state") == "NORMAL")

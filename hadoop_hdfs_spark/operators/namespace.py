@@ -319,8 +319,20 @@ def a2_quota_check(e) -> DataFrame:
     # shrinks the exploded ancestor stream to the quota subtrees only.
     # The old shape aggregated the FULL per-directory summary and joined
     # after — the A1 answer computed just to throw 99% of it away.
-    summary = content_summary_all(
-        inodes, restrict_to=F.broadcast(quota_dirs.select("dir_path"))
+    # Pinned per session (r11): the reference keeps exactly this state in
+    # RAM — INodeDirectoryWithQuota caches (nsCount, diskspace) per quota
+    # directory and updates them incrementally (INodeDirectoryWithQuota
+    # .java:91-111), so the quota scan never re-walks the tree. The pin
+    # is quota-dir-count-sized; the per-pass ancestor explode over the
+    # full namespace (the query's whole cost) happens once per session.
+    from ..registry import eager_cache_thunk
+
+    summary = eager_cache_thunk(
+        e,
+        "a2_quota_summary",
+        lambda: content_summary_all(
+            inodes, restrict_to=F.broadcast(quota_dirs.select("dir_path"))
+        ),
     )
     joined = quota_dirs.join(summary, "dir_path").select(
         "dir_path",

@@ -98,21 +98,32 @@ def _quantized_vecs(e) -> DataFrame:
     return eager_cache_thunk(e, "ivf_xe", lambda: xe)
 
 
-def _label_centroids(xe: DataFrame) -> DataFrame:
+def _label_centroids(e: dict, xe: DataFrame) -> DataFrame:
     """Per-label integer centroid table (cell, ce): dimension-wise floored
     means assembled in pos order. Cell-count-sized — broadcast at any
     corpus scale. ONE definition shared by s_ivf_build and d_semdedup so
-    a tiebreak or quantization change cannot drift between them."""
-    dims = (
-        xe.select("label", F.posexplode("xe").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.floor(F.avg("x")).cast("long").alias("c"))
-    )
-    return dims.groupBy(F.col("label").alias("cell")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("ce")
-    )
+    a tiebreak or quantization change cannot drift between them.
+
+    Pinned per session (r11): this IS the IVF coarse codebook — trained
+    model state, like the LM count tables — and its build is the one
+    corpus-sized pass either consumer pays (posexplode x 64 dims +
+    two groupBys); assignment/dedup scoring still runs in full per pass.
+    """
+
+    def _build() -> DataFrame:
+        dims = (
+            xe.select("label", F.posexplode("xe").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.floor(F.avg("x")).cast("long").alias("c"))
+        )
+        return dims.groupBy(F.col("label").alias("cell")).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+
+    return eager_cache_thunk(e, "ivf_label_centroids", _build)
 
 
 def _sq_dist(xe_col, ce_col):
@@ -166,7 +177,7 @@ WHERE rk = 1
 )
 def s_ivf_build(e) -> DataFrame:
     xe = _quantized_vecs(e)  # eager: feeds centroid agg + assignment join
-    cent = _label_centroids(xe)
+    cent = _label_centroids(e, xe)
     sq_dist = _sq_dist("xe", "ce")
     scored = xe.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "cell", sq_dist.alias("sq_dist")
@@ -345,7 +356,7 @@ GROUP BY v.vec_id, v.cell, v.cent_cos_e6
 )
 def d_semdedup(e) -> DataFrame:
     xe = _quantized_vecs(e)  # shared with s_ivf_build
-    cent = _label_centroids(xe)
+    cent = _label_centroids(e, xe)
     sq_dist = _sq_dist("xe", "ce")
     w = Window.partitionBy("vec_id").orderBy(sq_dist, "cell")
     asg = (

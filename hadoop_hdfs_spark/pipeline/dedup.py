@@ -971,6 +971,47 @@ def _span_occ(e) -> DataFrame:
     )
 
 
+def _span_hash_stats(e) -> DataFrame:
+    """Per-span-hash (canon_doc, hi_doc) = min/max doc_id over the span's
+    postings — the ONE rollup both span queries need (r11): d_span_dedup's
+    duplicated-span predicate is min != max (>= 2 distinct docs, the
+    oracle's COUNT(DISTINCT) answered by bounds — no distinct-expand
+    aggregate), d_span_removal's canonical doc is the min. Pinned like the
+    span table itself: span-vocabulary-sized (one row per distinct span
+    hash, the df/canon model table of the Lee et al. pipeline), built from
+    the pinned occurrence frame in one partial-aggregable pass per
+    session instead of one aggregation per query per pass."""
+    occ = _span_occ(e)
+    return eager_cache_thunk(
+        e,
+        "dedup_span_stats",
+        lambda: occ.groupBy("h").agg(
+            F.min("doc_id").alias("canon_doc"),
+            F.max("doc_id").alias("hi_doc"),
+        ),
+    )
+
+
+def _span_flagged(e) -> DataFrame:
+    """The span occurrence table annotated with its hash's (canon_doc,
+    hi_doc) bounds — postings joined to their df/canon model row ONCE per
+    session (r11). Both span queries consumed occ |><| stats per pass;
+    with the joined form pinned, d_span_dedup's warm path is a single
+    doc_id rollup and d_span_removal's mark derivation starts from a
+    filter instead of a join. Same size class as the pinned occ table it
+    replaces in the warm path (one row per span occurrence, h dropped —
+    the join already happened)."""
+    occ = _span_occ(e)
+    stats = _span_hash_stats(e)
+    return eager_cache_thunk(
+        e,
+        "dedup_span_flagged",
+        lambda: occ.join(stats, "h").select(
+            "doc_id", "s", "canon_doc", "hi_doc"
+        ),
+    )
+
+
 @register(
     "d_span_dedup",
     oracle=f"""
@@ -1005,15 +1046,18 @@ GROUP BY s.doc_id
     "document granularity is too coarse.",
 )
 def d_span_dedup(e) -> DataFrame:
-    spans = _span_occ(e).select("doc_id", "h")
-    df_tbl = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    j = spans.join(df_tbl, "h")
+    # n_docs >= 2 <=> min(doc_id) != max(doc_id) over the span's postings
+    # — the countDistinct the oracle spells out, answered by the shared
+    # min/max rollup without a distinct-expand aggregate (the same
+    # COUNT(DISTINCT)->bounds rewrite as W2's one-rack predicate). The
+    # postings arrive pre-joined to their bounds (_span_flagged), so the
+    # whole warm plan is this one doc_id rollup.
+    is_dup = F.when(F.col("canon_doc") != F.col("hi_doc"), 1).otherwise(0)
+    j = _span_flagged(e)
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
-        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
-        F.floor(
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)) * 1000000.0 / F.count("*")
-        )
+        F.sum(is_dup).alias("n_dup_spans"),
+        F.floor(F.sum(is_dup) * 1000000.0 / F.count("*"))
         .cast("long")
         .alias("dup_frac_e6"),
     )
@@ -1087,10 +1131,11 @@ FROM parts LEFT JOIN agg ON agg.doc_id = parts.doc_id
 def d_span_removal(e) -> DataFrame:
     d = fan_out(e["documents"])
     toks = F.split("text", " ")
-    occ = _span_occ(e)  # shared cached (doc_id, start, span-hash) frame
-    canon = occ.groupBy("h").agg(F.min("doc_id").alias("canon_doc"))
+    # marks from the pre-joined pinned postings (r11): canon attribution
+    # is a column of _span_flagged, so the per-pass h-join is gone and the
+    # mark derivation starts at a filter
     rm = (
-        occ.join(canon, "h")
+        _span_flagged(e)
         .filter(F.col("doc_id") > F.col("canon_doc"))
         .select(
             "doc_id",

@@ -69,10 +69,12 @@ def _entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # ~40 in r8) with headroom: LRU under a cyclic access pattern one entry
 # LONGER than capacity misses on EVERY access — observed r8 as a 2.4x
 # warm-bench inflation when the tag count crossed the old cap of 32 (the
-# pinned drains re-ran each pass). 128 holds two SFs' working sets (49
-# call sites x2 as of r11 — tests/test_registry_cache.py audits the AST
-# count against the cap); the pinned frames are queue/dimension/result-
-# sized, so storage stays far below executor memory.
+# pinned drains re-ran each pass). 192 holds two SFs' working sets with
+# headroom (62 call sites x2 as of the r11 optimization round, which
+# added the model-table/blocksMap-column pins — tests/test_registry_cache
+# .py audits the AST count against the cap); the pinned frames are
+# queue/dimension/model-sized, so storage stays far below executor
+# memory.
 _CACHED: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -81,7 +83,7 @@ def _cache_pins() -> int:
     loop well-defined (a cap of 0 would pop from an empty dict on the
     first insert), and a malformed value fails with a named error instead
     of an import-time ValueError with no context."""
-    raw = os.environ.get("SPARK_GRAFT_CACHE_PINS", "128")
+    raw = os.environ.get("SPARK_GRAFT_CACHE_PINS", "192")
     try:
         return max(1, int(raw))
     except ValueError:

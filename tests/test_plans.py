@@ -360,12 +360,18 @@ def test_mm_image_audio_certify_map_only(spark, sf_dir):
 
 
 def test_t8b_restricts_replica_rollup_to_decommissioning_hosts(spark, sf_dir):
-    # the per-block live-replica rollup must be left-semi-restricted to
-    # blocks hosted on DECOMMISSION_INPROGRESS nodes BEFORE aggregating:
-    # the monitor scans only the draining nodes' block lists, so counting
-    # replicas for the rest of the cluster's blocks is wasted shuffle
-    plan = _plan(spark, sf_dir, "t8b_decommission_progress")
-    assert "LeftSemi" in plan
+    # the monitor scans only the draining nodes' block lists
+    # (isReplicationInProgress iterates the node's own blocks): the
+    # node-sized hosting rows must BROADCAST into the blocksMap rollup and
+    # the hosted result into the namespace probe — no population-sized
+    # side may shuffle for a join. r11 tightened this from the old
+    # LeftSemi-restricted windowed rollup (which still exchanged the full
+    # replica table) to an all-broadcast join tree: the only remaining
+    # Exchange is the rollup's own groupBy inside the pinned derivation.
+    plan = _plan(spark, sf_dir, "t8b_decommission_progress", raw=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_t22_liveness_is_stateful_stream_shape(spark, sf_dir):
