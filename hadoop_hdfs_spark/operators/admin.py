@@ -606,7 +606,14 @@ def a15_size_sketch(e) -> DataFrame:
         )
     )
 
-    return sk.join(ranked, "replication").select(
+    # Broadcast the sketch row explicitly: both sides are replication-
+    # bounded (one row per distinct replication factor — a handful at any
+    # scale), but the PLAN-TIME estimate of an aggregate over a
+    # not-yet-materialized cache blows up and Catalyst falls back to a
+    # SortMergeJoin of two tiny frames (observed as a test-order-dependent
+    # plan flake, r12). The hint is safe by the same bound that justifies
+    # the sketch formulation itself.
+    return F.broadcast(sk).join(ranked, "replication").select(
         "replication",
         "n_files",
         "exact_distinct_sizes",
@@ -817,11 +824,12 @@ LEFT JOIN inodes i ON i.id = c.file_id
     "write-locked iteration.",
 )
 def a18_misreplicated_scan(e) -> DataFrame:
-    # un-pinned form: rotation-budget revert, see _block_replica_counts_unpinned
-    from .blocks import _block_replica_counts_unpinned
+    # folded onto the shared blocksMap pin (r12): the r11 rotation budget
+    # that kept this on a private un-pinned rollup has slack this round
+    from .blocks import _block_replica_counts
 
     inodes = e["inodes"]
-    c = _block_replica_counts_unpinned(e).join(
+    c = _block_replica_counts(e).join(
         inodes.select(F.col("id").alias("inode_id"), "replication"),
         F.col("inode_id") == F.col("file_id"),
         "left",

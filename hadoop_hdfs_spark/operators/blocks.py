@@ -34,26 +34,6 @@ _BLOCK_REPL = """
 """
 
 
-def _block_replica_counts_unpinned(e) -> DataFrame:
-    """The raw blocks + (total_replicas, live) rollup expression.
-
-    Two callers (a10_safemode, a18_misreplicated_scan) stay on this
-    un-pinned form purely for the r11 rotation-budget arithmetic: the
-    round's touched-fingerprint spend hit the driver's 50-slot budget
-    exactly, and these two had the smallest measured win from the pin
-    (0.12/0.14 s — agg-only consumers). Fold them onto
-    _block_replica_counts in the next round with slack."""
-    blocks, replicas = e["blocks"], e["replicas"]
-    return (
-        blocks.join(replicas, "block_id", "left")
-        .groupBy("block_id", "file_id", "seq", "num_bytes")
-        .agg(
-            F.count("datanode_id").alias("total_replicas"),
-            F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0)).alias("live"),
-        )
-    )
-
-
 def _block_replica_counts(e) -> DataFrame:
     """blocks + per-block replica folds (counts, copy source, racks,
     state-aware counts) — the rollup most queries start from.
@@ -75,11 +55,7 @@ def _block_replica_counts(e) -> DataFrame:
     rollups per caller per pass. The rack leg left-joins the datanode dim
     (broadcast): a replica on an unknown datanode still counts in
     total_replicas/live but contributes no rack, exactly the oracles'
-    inner replicas|><|datanodes rack derivation. These columns are NOT
-    added to the unpinned copy: a10/a18 stay on that narrower form purely
-    for the r11 rotation-budget arithmetic (see
-    _block_replica_counts_unpinned), so the two builders are separate
-    expressions until those fold in.
+    inner replicas|><|datanodes rack derivation.
 
     ``live_normal``/``decom_replicas`` are the admin-state-aware countNodes
     pair (BlockManager.countNodes reads each replica's node state off the
@@ -88,7 +64,9 @@ def _block_replica_counts(e) -> DataFrame:
     them off the pin instead of windowing a per-pass replica scan. A
     replica whose datanode is unknown to the dim contributes to
     total_replicas/live but to neither state-aware count nor any rack —
-    the oracles' inner replicas|><|datanodes derivations.
+    the oracles' inner replicas|><|datanodes derivations. Every consumer
+    reads this one pin since r12 (a10/a18's r11 rotation-budget copy of
+    the bare rollup is folded back in).
     """
     blocks, replicas, datanodes = e["blocks"], e["replicas"], e["datanodes"]
     return eager_cache_thunk(
@@ -318,23 +296,24 @@ FULL OUTER JOIN
     doc="J2/U2 block-report diff (BlockManager.processReport/reportDiff:"
     "1078-1228): full-outer join of the datanode-reported replica set vs "
     "namenode state, classified into toAdd / toRemove / toCorrupt — the "
-    "delimiter-trick set difference as a declarative join.",
+    "delimiter-trick set difference as a declarative join. Scale/shape "
+    "(r12): (block_id, datanode_id) is the replica table's KEY (one row "
+    "per replica on a node — the entity model derives exactly one row per "
+    "(block, assigned node), the blocksMap's own invariant), so the "
+    "oracle's full-outer self-join pairs every row with itself and the "
+    "whole diff is a MAP over the replica scan: on_disk-only -> TO_ADD, "
+    "in_memory-only -> TO_REMOVE, both + corrupt -> TO_CORRUPT. Zero "
+    "exchanges (the prior shape shuffled the replica population twice "
+    "into a SortMergeJoin FullOuter).",
 )
 def j2_report_diff(e) -> DataFrame:
     replicas = e["replicas"]
-    disk = replicas.filter("on_disk").select(
-        "block_id", "datanode_id", F.col("is_corrupt").alias("disk_corrupt")
-    )
-    mem = replicas.filter("in_memory").select(
-        "block_id", "datanode_id", F.lit(True).alias("in_mem")
-    )
-    j = disk.join(mem, ["block_id", "datanode_id"], "full_outer")
-    return j.select(
+    return replicas.filter(F.col("on_disk") | F.col("in_memory")).select(
         "block_id",
         "datanode_id",
-        F.when(F.col("in_mem").isNull(), "TO_ADD")
-        .when(F.col("disk_corrupt").isNull(), "TO_REMOVE")
-        .when(F.col("disk_corrupt"), "TO_CORRUPT")
+        F.when(~F.col("in_memory"), "TO_ADD")
+        .when(~F.col("on_disk"), "TO_REMOVE")
+        .when(F.col("is_corrupt"), "TO_CORRUPT")
         .otherwise("MATCH")
         .alias("action"),
     )
@@ -950,8 +929,9 @@ FROM ({_BLOCK_REPL}) c
     "with minReplication 1.",
 )
 def a10_safemode(e) -> DataFrame:
-    # un-pinned form: rotation-budget revert, see _block_replica_counts_unpinned
-    counts = _block_replica_counts_unpinned(e)
+    # folded onto the shared blocksMap pin (r12): the r11 rotation budget
+    # that kept this on a private un-pinned rollup has slack this round
+    counts = _block_replica_counts(e)
     return counts.agg(
         F.count("*").alias("total_blocks"),
         F.sum(F.when(F.col("live") >= 1, 1).otherwise(0)).alias("safe_blocks"),
@@ -1211,19 +1191,35 @@ GROUP BY block_id
     "non-DECOMMISSIONED) replicas sort same-host (0) < same-rack (2) < "
     "off-rack (4). Deterministic documented deviation: equal-distance ties "
     "break by datanode_id instead of the reference's random shuffle. "
-    "Scale: datanodes is node-count-sized so both location joins "
-    "broadcast; the replica leg is one equi-join partitioned on block_id; "
-    "the per-block ordering is a sort_array over a replication-factor-"
-    "sized struct array inside one groupBy - no window, no extra shuffle.",
+    "Scale: datanodes is node-count-sized so every location join "
+    "broadcasts; the reading client is a pure function of block_id, so "
+    "the candidate set derives from the replica table ALONE (every "
+    "replica row is built FROM a blocks row in the entity model — the "
+    "blocksMap invariant the reference maintains by construction: no "
+    "orphan replicas), map-side; the only exchange is the per-block "
+    "groupBy, whose ordering is a sort_array over a replication-factor-"
+    "sized struct array - no window, no join shuffle at all (r12; the "
+    "prior shape shuffled blocks AND replicas by block_id just to "
+    "re-attach a client column derivable from the key).",
 )
 def j11_read_locality(e) -> DataFrame:
-    blocks, replicas, dn = e["blocks"], e["replicas"], e["datanodes"]
+    replicas, dn = e["replicas"], e["datanodes"]
     n_nodes = dn.agg(F.count("*").alias("n_nodes"))
-    client = (
-        blocks.crossJoin(F.broadcast(n_nodes))
+    live_dn = dn.filter(
+        (F.lit(NOW_MS) - F.col("last_heartbeat_ms") <= HEARTBEAT_EXPIRY_MS)
+        & (F.col("admin_state") != "DECOMMISSIONED")
+    ).select("datanode_id", F.col("host").alias("r_host"), F.col("rack").alias("r_rack"))
+    cand = (
+        replicas.filter(~F.col("is_corrupt"))
+        .select("block_id", "datanode_id")
+        .crossJoin(F.broadcast(n_nodes))
         .select(
             "block_id",
-            F.concat(F.lit("dn"), (1 + F.col("block_id") % F.col("n_nodes")).cast("string")).alias("client_dn"),
+            "datanode_id",
+            F.concat(
+                F.lit("dn"),
+                (1 + F.col("block_id") % F.col("n_nodes")).cast("string"),
+            ).alias("client_dn"),
         )
         .join(
             F.broadcast(dn.select(F.col("datanode_id").alias("client_dn"),
@@ -1231,13 +1227,6 @@ def j11_read_locality(e) -> DataFrame:
                                   F.col("rack").alias("client_rack"))),
             "client_dn",
         )
-    )
-    live_dn = dn.filter(
-        (F.lit(NOW_MS) - F.col("last_heartbeat_ms") <= HEARTBEAT_EXPIRY_MS)
-        & (F.col("admin_state") != "DECOMMISSIONED")
-    ).select("datanode_id", F.col("host").alias("r_host"), F.col("rack").alias("r_rack"))
-    cand = (
-        client.join(replicas.filter(~F.col("is_corrupt")).select("block_id", "datanode_id"), "block_id")
         .join(F.broadcast(live_dn), "datanode_id")
         .select(
             "block_id",

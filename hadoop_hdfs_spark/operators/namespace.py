@@ -17,10 +17,14 @@ from ..registry import register
 
 # Ancestor list of a path: ['/','/a','/a/b'] for '/a/b/c' (proper prefixes);
 # for a directory the dir itself is appended (ContentSummary counts it).
-_ANCESTORS = (
-    "transform(sequence(1, greatest(size(split(path, '/')) - 1, 1)), "
-    "i -> IF(i = 1, '/', array_join(slice(split(path, '/'), 1, i), '/')))"
-)
+def _ancestors(col: str = "path") -> str:
+    return (
+        f"transform(sequence(1, greatest(size(split({col}, '/')) - 1, 1)), "
+        f"i -> IF(i = 1, '/', array_join(slice(split({col}, '/'), 1, i), '/')))"
+    )
+
+
+_ANCESTORS = _ancestors()
 
 # DuckDB-side subtree membership predicate (dir d contains inode i,
 # including d itself). LIKE treats _ and % as wildcards; the fixture's
@@ -260,28 +264,66 @@ def content_summary_all(
 ) -> DataFrame:
     """(dir_path, file_count, dir_count, total_length, diskspace) per dir.
 
+    Two-level rollup (r12, guide §2.3 "aggregate before you shuffle"):
+    a file's contribution targets exactly the ancestor chain of its
+    PARENT directory (proper prefixes of the file path = ancestors of the
+    parent plus the parent itself), so all files sharing a parent are
+    pre-aggregated into one partial row per parent BEFORE any ancestor
+    list is built — the explode then runs over directories only. The
+    namespace's file:dir ratio (orders-per-customer here, typically >>1
+    in any real tree) is exactly the factor of rows the ancestor-explode
+    exchange no longer carries; the pre-aggregation itself is a narrow
+    map-side-partial groupBy on the parent path. Directories contribute
+    their dir_count=1 rows as before (dir-population-sized).
+
     ``restrict_to``: optional 1-column (dir_path) frame; when given, the
     exploded ancestor stream is semi-joined against it BEFORE the rollup,
     so only the named directories' contributions shuffle.
     """
-    anc = F.expr(_ANCESTORS)
-    contrib = inodes.select(
+    zero = F.lit(0).cast("long")
+    dir_contrib = inodes.filter(F.col("is_dir")).select(
         F.explode(
-            F.when(F.col("is_dir"), F.array_union(anc, F.array(F.col("path")))).otherwise(anc)
+            F.array_union(F.expr(_ANCESTORS), F.array(F.col("path")))
         ).alias("dir_path"),
-        "is_dir",
-        "length",
-        "replication",
+        zero.alias("file_count"),
+        F.lit(1).cast("long").alias("dir_count"),
+        zero.alias("total_length"),
+        zero.alias("diskspace"),
     )
+    parent = F.regexp_extract("path", r"^(.*)/[^/]*$", 1)
+    file_partials = (
+        inodes.filter(~F.col("is_dir"))
+        .select(
+            F.when(parent == "", "/").otherwise(parent).alias("parent"),
+            "length",
+            "replication",
+        )
+        .groupBy("parent")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.sum("length").alias("total_length"),
+            F.sum(F.col("length") * F.col("replication")).alias("diskspace"),
+        )
+    )
+    file_contrib = file_partials.select(
+        F.explode(
+            F.array_union(
+                F.expr(_ancestors("parent")), F.array(F.col("parent"))
+            )
+        ).alias("dir_path"),
+        "file_count",
+        zero.alias("dir_count"),
+        "total_length",
+        "diskspace",
+    )
+    contrib = dir_contrib.unionByName(file_contrib)
     if restrict_to is not None:
         contrib = contrib.join(restrict_to, "dir_path", "left_semi")
     return contrib.groupBy("dir_path").agg(
-        F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("file_count"),
-        F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("dir_count"),
-        F.sum(F.when(~F.col("is_dir"), F.col("length")).otherwise(0)).alias("total_length"),
-        F.sum(
-            F.when(~F.col("is_dir"), F.col("length") * F.col("replication")).otherwise(0)
-        ).alias("diskspace"),
+        F.sum("file_count").alias("file_count"),
+        F.sum("dir_count").alias("dir_count"),
+        F.sum("total_length").alias("total_length"),
+        F.sum("diskspace").alias("diskspace"),
     )
 
 

@@ -535,31 +535,58 @@ def _mrl_recall(xe: DataFrame, e=None) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("xe").alias("qxe")
     )
 
-    def prefix_dist(p: int):
+    def seg_dist(lo: int, n: int):
+        """Integer squared-distance contribution of dimensions [lo, lo+n)."""
         return F.aggregate(
             F.zip_with(
-                F.slice("qxe", 1, p),
-                F.slice("xe", 1, p),
+                F.slice("qxe", lo, n),
+                F.slice("xe", lo, n),
                 lambda x, y: (x - y) * (x - y),
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
 
-    pairs = (
-        vecs.withColumnRenamed("vec_id", "neighbor_id")
+    # Per-pair distance work cut ~2x (r12, guide §1.2 per-task work): the
+    # prior shape evaluated three overlapping interpreted higher-order
+    # chains (64 + 32 + 16 element lambdas per pair). Disjoint SEGMENT
+    # sums are staged once each (aliased select — CollapseProject keeps a
+    # multiply-referenced non-cheap expression un-inlined) and the prefix
+    # distances are their exact integer partial sums: d16 = s16,
+    # d32 = s16 + s17_32, d64 = d32 + s33_64 — 64 element lambdas total,
+    # bit-identical results (long addition is associative). The corpus
+    # side is fanned out first: a one-split vector fixture would
+    # otherwise build the whole K x N grid in a single task (§2.5).
+    assert _MRL_PREFIXES == (16, 32), "segment sums assume prefixes (16, 32)"
+    segs = (
+        fan_out(vecs)
+        .withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _sq_dist("qxe", "xe").alias("d64"),
-            *[prefix_dist(p).alias(f"d{p}") for p in _MRL_PREFIXES],
+            seg_dist(1, 16).alias("s16"),
+            seg_dist(17, 16).alias("s17_32"),
+            seg_dist(33, 32).alias("s33_64"),
         )
     )
+    pairs = segs.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("s16") + F.col("s17_32") + F.col("s33_64")).alias("d64"),
+        F.col("s16").alias("d16"),
+        (F.col("s16") + F.col("s17_32")).alias("d32"),
+    )
     if e is not None:  # test path passes a bare clustered frame, uncached
+        from ..registry import corpus_pin
+
         raw_pairs = pairs
-        pairs = eager_cache_thunk(  # three windows read it
-            e, "mrl_pairs", lambda: raw_pairs
+        # three windows read it; the K x N pair grid is CORPUS-scale
+        # (grows with the vector population), so the pin is bounded by
+        # corpus_pin (r12) — past the source-size budget the windows
+        # recompute the grid from the parquet inputs
+        pairs = corpus_pin(
+            e, "mrl_pairs", lambda: raw_pairs, source="embeddings"
         )
 
     def top5(dcol: str) -> DataFrame:

@@ -689,9 +689,15 @@ def c_quality_filter_cascade(e) -> DataFrame:
     # Building the nested CASE inline instead duplicates the bigram tree
     # ~6x per row (measured 9.8 s vs 0.5 s warm at sf0.1).
     from ..functions import REPETITION_DUP_E6, REPETITION_MIN_BIGRAMS, bigrams
+    from ..session import fan_out
 
     toks = F.split(F.col("text"), " ")
-    t1 = d.select("source", "text", toks.alias("toks"))
+    # fanned out before the signal stage (r12, guide §2.5): the corpus
+    # arrives as one effective split (single parquet row group), so the
+    # whole per-doc signal chain — split, two array_distincts, the bigram
+    # transform, the punctuation regex — ran in ONE task at any scale
+    # (sf1 measured 3.5 s single-task vs 0.45 s at sf0.1)
+    t1 = fan_out(d).select("source", "text", toks.alias("toks"))
     bg = bigrams("toks")  # the exact rule t_repetition flags (functions/)
     t1b = t1.select(
         "source",

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..registry import eager_cache, eager_cache_thunk, register
+from ..registry import corpus_pin, eager_cache, eager_cache_thunk, register
 from ..session import fan_out
 
 N_HASH = 16
@@ -45,8 +45,10 @@ _DUCK_SHINGLES = """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, sh: distinct word-3-gram shingle array (raw strings —
-    minhash hashes them itself with per-lane rotation).
+    """doc_id, lang, source, sh: distinct word-3-gram shingle array (raw
+    strings — minhash hashes them itself with per-lane rotation; source
+    rides along since r12 so t_shingle_kmv's per-source sketch reuses the
+    same table instead of re-shingling the corpus).
 
     Repartitioned first: the corpus arrives as one parquet split, and the
     shingle transform is the CPU-heavy stage — fan it out before computing,
@@ -56,13 +58,20 @@ def _shingles(docs: DataFrame) -> DataFrame:
     from ..functions import ngrams
 
     docs = fan_out(docs)
-    return docs.select("doc_id", "lang", ngrams(F.col("text"), 3).alias("sh"))
+    return docs.select(
+        "doc_id", "lang", "source", ngrams(F.col("text"), 3).alias("sh")
+    )
 
 
 def _shingles_cached(e) -> DataFrame:
-    """The pinned shingle table (thunk form, r11): on a memo hit the
-    caller must not pay the split/transform expression construction."""
-    return eager_cache_thunk(e, "shingles", lambda: _shingles(e["documents"]))
+    """The shingle table, pinned per session WHILE THE CORPUS IS SMALL
+    (thunk form so a memo hit skips the split/transform construction).
+    This frame is CORPUS-scale — O(corpus tokens), not postings- or
+    model-table-scale — so the pin is bounded by registry.corpus_pin
+    (r12): past the source-size budget every consumer recomputes the
+    shingles from the parquet inputs instead of holding the exploded
+    corpus in executor storage."""
+    return corpus_pin(e, "shingles", lambda: _shingles(e["documents"]))
 
 
 @register(
@@ -406,8 +415,11 @@ def d_ngram_jaccard(e, max_doc_freq: int | None = None) -> DataFrame:
     # The exploded postings feed BOTH legs of the self-join (and, capped,
     # the hot-set rollup): Catalyst replicates the explode per lineage use,
     # so un-pinned it ran twice per query per pass (r11; guide §2.4). The
-    # pin is postings-scale (3 narrow columns over the pinned shingles).
-    tok = eager_cache_thunk(
+    # frame is CORPUS-scale (one row per shingle occurrence — O(corpus
+    # tokens), 3 narrow columns), so the pin is bounded by corpus_pin
+    # (r12): past the source-size budget both legs recompute the explode
+    # instead of holding the exploded corpus in executor storage.
+    tok = corpus_pin(
         e,
         "jaccard_postings",
         lambda: sh.select("doc_id", "lang", F.explode("sh").alias("s")),
@@ -430,11 +442,12 @@ def d_ngram_jaccard(e, max_doc_freq: int | None = None) -> DataFrame:
             )
             return tok.join(F.broadcast(hot), ["lang", "s"], "left_anti")
 
-        # pinned too: un-pinned, the hot-set rollup + anti-join replicate
-        # into both self-join legs (two more aggregations per pass). The
-        # tag carries the cap value — callers with a different
-        # max_doc_freq (the cap-equivalence tests) must never share a pin
-        tok = eager_cache_thunk(
+        # pinned too (same corpus-scale bound): un-pinned, the hot-set
+        # rollup + anti-join replicate into both self-join legs (two more
+        # aggregations per pass). The tag carries the cap value — callers
+        # with a different max_doc_freq (the cap-equivalence tests) must
+        # never share a pin
+        tok = corpus_pin(
             e, f"jaccard_postings_capped_{max_doc_freq}", _capped
         )
     a = tok.select(
@@ -696,6 +709,12 @@ def d_normalized_dedup(e) -> DataFrame:
             " ",
         )
     )
+    # Deliberately NOT fanned out (r12, measured): parallelizing the
+    # normalization would first shuffle the raw text off the one-split
+    # fixture (2.3-2.6 s at sf1, keyed or round-robin) while the
+    # single-task regex+md5 map costs 1.8 s — the map is too cheap per
+    # byte for a corpus shuffle to pay for itself (guide §8's rule in
+    # reverse: the heavy bytes would move just to decide 16-byte keys)
     return (
         e["documents"]
         .groupBy(F.md5(norm).alias("norm_md5"))
@@ -946,10 +965,13 @@ SPAN_K = 5
 
 
 def _span_occ(e) -> DataFrame:
-    """Positional span table (doc_id, start, span-hash), cached once and
-    shared by d_span_dedup (which only needs the hash column) and
-    d_span_removal (which needs positions) — one corpus-token-sized frame
-    instead of two."""
+    """Positional span table (doc_id, start, span-hash), shared by
+    d_span_dedup (which only needs the hash column) and d_span_removal
+    (which needs positions) — one frame instead of two. CORPUS-scale
+    (one row per token position), so the pin is bounded by corpus_pin
+    (r12): past the source-size budget consumers recompute the span
+    explode from the parquet inputs instead of holding it in executor
+    storage."""
     d = fan_out(e["documents"])
     toks = F.split("text", " ")
     occ_arr = F.when(
@@ -962,7 +984,7 @@ def _span_occ(e) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
-    return eager_cache_thunk(
+    return corpus_pin(
         e,
         "dedup_span_occ",
         lambda: d.select("doc_id", F.explode(occ_arr).alias("sp")).select(
@@ -982,7 +1004,7 @@ def _span_hash_stats(e) -> DataFrame:
     the pinned occurrence frame in one partial-aggregable pass per
     session instead of one aggregation per query per pass."""
     occ = _span_occ(e)
-    return eager_cache_thunk(
+    return corpus_pin(
         e,
         "dedup_span_stats",
         lambda: occ.groupBy("h").agg(
@@ -1003,7 +1025,7 @@ def _span_flagged(e) -> DataFrame:
     the join already happened)."""
     occ = _span_occ(e)
     stats = _span_hash_stats(e)
-    return eager_cache_thunk(
+    return corpus_pin(
         e,
         "dedup_span_flagged",
         lambda: occ.join(stats, "h").select(

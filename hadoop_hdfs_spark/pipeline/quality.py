@@ -150,9 +150,15 @@ JOIN t ON s.lang = t.lang
     "permille is integer division end to end.",
 )
 def t_quality_cdf(e) -> DataFrame:
+    from ..session import fan_out
+
     d = e["documents"]
     toks = F.split("text", " ")
-    scored = d.select(
+    # fanned out before scoring (r12, guide §2.5): the one-split corpus
+    # fixture otherwise runs the split+distinct scoring single-task —
+    # twice, since both the CDF aggregate and the final per-doc join
+    # re-evaluate this subtree
+    scored = fan_out(d).select(
         "doc_id",
         "lang",
         F.size(F.array_distinct(toks)).cast("long").alias("score"),

@@ -953,25 +953,17 @@ FROM vka
     "tests/test_sketch.py.",
 )
 def t_shingle_kmv(e) -> DataFrame:
-    docs = e["documents"].select("source", F.split("text", " ").alias("w"))
-    shingles = (
-        docs.filter(F.size("w") >= 3)
-        .select(
-            "source",
-            "w",
-            F.explode(
-                F.sequence(F.lit(1), F.size("w") - 2)
-            ).alias("i"),
-        )
-        .select(
-            "source",
-            F.concat_ws(
-                " ",
-                F.element_at("w", F.col("i")),
-                F.element_at("w", F.col("i") + 1),
-                F.element_at("w", F.col("i") + 2),
-            ).alias("s"),
-        )
+    # Reuses the dedup family's shared shingle table (r12, guide §2.4 —
+    # sharing across queries): functions.ngrams builds the identical
+    # concat_ws-joined word trigrams (distinct per doc, empty under 3
+    # tokens — the same strings the inline explode produced), and the
+    # global per-source DISTINCT of per-doc-distinct shingles equals the
+    # distinct of all shingle positions, so the sketch is unchanged while
+    # the split/transform pass comes off the shared (budget-bounded) pin.
+    from .dedup import _shingles_cached
+
+    shingles = _shingles_cached(e).select(
+        "source", F.explode("sh").alias("s")
     )
     h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
     dh = shingles.select("source", h.alias("h")).distinct()

@@ -47,7 +47,14 @@ from hadoop_hdfs_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--plans-suffix", default=None,
-                    help="write plans/r11/<q>_<suffix>.txt per query")
+                    help="write plans/<round>/<q>_<suffix>.txt per query")
+    ap.add_argument("--plans-round", default="r12",
+                    help="plans/ subdirectory the dumps go to")
+    ap.add_argument("--raw-plans", action="store_true",
+                    help="dump plans under pin_override('off') so pinned "
+                         "derivations keep their full physical shape "
+                         "(VERDICT r11 #9) instead of collapsing to a "
+                         "Scan ExistingRDD memo hit")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default="/tmp/profile_times.json")
     ap.add_argument("--only", default=None)
@@ -71,7 +78,7 @@ def main() -> None:
             ent.count()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(repo, "plans", "r11")
+    plans_dir = os.path.join(repo, "plans", args.plans_round)
     if args.plans_suffix:
         os.makedirs(plans_dir, exist_ok=True)
 
@@ -104,9 +111,13 @@ def main() -> None:
             n: round(min(r[n] for r in per_run), 3) for n in names
         }
     if args.plans_suffix:
-        for n in names:
-            with open(os.path.join(plans_dir, f"{n}_{args.plans_suffix}.txt"), "w") as f:
-                f.write(formatted_plan(qs[n](spark, _sf_dir)))
+        from contextlib import nullcontext
+
+        ctx = registry.pin_override("off") if args.raw_plans else nullcontext()
+        with ctx:
+            for n in names:
+                with open(os.path.join(plans_dir, f"{n}_{args.plans_suffix}.txt"), "w") as f:
+                    f.write(formatted_plan(qs[n](spark, _sf_dir)))
     out = {
         "action": "noop" if args.noop else "count",
         "cold": cold,
