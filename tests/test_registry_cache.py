@@ -118,7 +118,10 @@ def _call_site_count() -> int:
                 if isinstance(node, ast.Call):
                     fn = node.func
                     name = getattr(fn, "attr", getattr(fn, "id", ""))
-                    if name in ("eager_cache", "eager_cache_thunk"):
+                    # corpus_pin delegates to eager_cache_thunk, so each
+                    # of its call sites also contributes one live tag
+                    # while the corpus is under the pin budget
+                    if name in ("eager_cache", "eager_cache_thunk", "corpus_pin"):
                         n += 1
     return n
 
@@ -163,3 +166,48 @@ def test_cache_pins_env_is_validated():
             os.environ.pop("SPARK_GRAFT_CACHE_PINS", None)
         else:
             os.environ["SPARK_GRAFT_CACHE_PINS"] = old
+
+
+def test_corpus_pin_budget_guard(monkeypatch, tmp_path):
+    """corpus_pin (r12, judge r11 #8): a corpus-scale frame pins while the
+    SOURCE parquet is at or under the byte budget and passes through as
+    the raw (recomputable) derivation past it. The thunk must not run on
+    a pin hit; past the budget it must run every call (no hidden memo)."""
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"x" * 1024)  # 1 KiB stand-in source
+    e = {"__sf_dir__": str(tmp_path)}
+    calls = []
+
+    class _FakeSessionClass:
+        @staticmethod
+        def getActiveSession():
+            return _FakeSession()
+
+    # the under-budget path delegates to eager_cache_thunk, whose cache
+    # key reads the active session's applicationId — no JVM in this test
+    monkeypatch.setattr(registry, "SparkSession", _FakeSessionClass)
+
+    def thunk():
+        calls.append(1)
+        return _FakeFrame("corpus")
+
+    # over budget: raw derivation returned, thunk runs per call, no pin
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_PIN_BUDGET_BYTES", "10")
+    registry._CACHED.clear()
+    a = registry.corpus_pin(e, "tag_over", thunk)
+    b = registry.corpus_pin(e, "tag_over", thunk)
+    assert len(calls) == 2 and a is not b
+    assert not any(k[2] == "tag_over" for k in registry._CACHED)
+
+    # at/under budget: pinned once, memo served after
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_PIN_BUDGET_BYTES", "4096")
+    calls.clear()
+    c = registry.corpus_pin(e, "tag_under", thunk)
+    d = registry.corpus_pin(e, "tag_under", thunk)
+    assert len(calls) == 1 and c is d
+
+    # malformed budget: named error, not a bare ValueError
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_PIN_BUDGET_BYTES", "huge")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CORPUS_PIN_BUDGET"):
+        registry.corpus_pin(e, "tag_bad", thunk)
+    registry._CACHED.clear()
