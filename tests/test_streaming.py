@@ -276,8 +276,12 @@ def test_shingles_short_docs_no_ansi_crash(spark):
     from hadoop_hdfs_spark.pipeline.dedup import _shingles
 
     docs = spark.createDataFrame(
-        [(1, "one", "en"), (2, "two words", "en"), (3, "three word doc", "en")],
-        "doc_id LONG, text STRING, lang STRING",
+        [
+            (1, "one", "en", "s0"),
+            (2, "two words", "en", "s0"),
+            (3, "three word doc", "en", "s0"),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
     )
     rows = {r["doc_id"]: r["sh"] for r in _shingles(docs).collect()}
     assert rows[1] == [] and rows[2] == []
